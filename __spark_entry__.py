@@ -1,38 +1,709 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship BM25 query on sf0.001; ``queries`` exposes
+one callable per implemented operator (SURVEY.md §2 + training-data
+ops); ``oracle_sql`` gives the DuckDB-equivalent SQL. Fulltext oracles
+reproduce the engine's exact semantics — bleve-parity BM25 (float32
+norm roundtrip, ceil'd avgDocLen, tf=√freq), queryNorm/coord composite
+scoring — as pure SQL CTEs over the same parquet, so the driver's
+row-count + schema + value-hash compare is a true rank-identity gate.
+
+Scores are rounded to 6 decimals on BOTH sides (ln/sqrt may differ in
+the last ulp across libm implementations; everything else is identical
+IEEE-754 double arithmetic in the same operation order).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from bleve_spark.analysis.stopwords import ENGLISH_STOP_WORDS
+from bleve_spark.index.build import index_table
+from bleve_spark.search.searcher import compile_query
+
+# --------------------------------------------------------------- caches --
+
+_INDEX_CACHE: dict = {}
+
+
+def _docs_index(spark: SparkSession, sf_dir: str, scoring: str = "bm25"):
+    key = (spark.sparkContext.applicationId, sf_dir, "documents", scoring)
+    if key not in _INDEX_CACHE:
+        df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _INDEX_CACHE[key] = index_table(
+            df,
+            key_cols=["doc_id"],
+            fields={"text": "standard", "lang": "keyword",
+                    "source": "keyword"},
+            scoring=scoring,
+        )
+    return _INDEX_CACHE[key]
+
+
+def _events_index(spark: SparkSession, sf_dir: str):
+    key = (spark.sparkContext.applicationId, sf_dir, "events")
+    if key not in _INDEX_CACHE:
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        _INDEX_CACHE[key] = index_table(
+            df,
+            key_cols=["event_id"],
+            fields={"event_type": "keyword"},
+            scoring="bm25",
+        )
+    return _INDEX_CACHE[key]
+
+
+def _topk(idx, q, k=20, from_=0) -> DataFrame:
+    """Rounded-score top-k with deterministic (rounded score, key)
+    ordering so engine and oracle select identical boundary rows."""
+    scored = compile_query(idx, q).select(
+        *idx.key_cols, F.round(F.col("score"), 6).alias("score")
+    )
+    order = [F.col("score").desc()] + [F.col(c).asc() for c in idx.key_cols]
+    top = scored.orderBy(*order).limit(from_ + k)
+    if from_ > 0:
+        head = scored.orderBy(*order).limit(from_)
+        top = top.join(head, idx.key_cols, "left_anti")
+    return top
+
+
+# ------------------------------------------------------------ oracle SQL --
+
+_STOP_SQL = ", ".join(
+    "'" + w.replace("'", "''") + "'" for w in sorted(ENGLISH_STOP_WORDS)
+)
+
+# postings/dict/stats over `documents` — the SQL statement of the same
+# single-segment index the engine builds (text is space-joined lowercase
+# tokens, so UAX#29 == string_split here; stop list applied verbatim)
+_PRELUDE = f"""
+WITH raw AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), tok AS (
+  SELECT doc_id, unnest(words) AS term,
+         unnest(range(1, len(words)+1)) AS pos
+  FROM raw
+), tok2 AS (
+  SELECT * FROM tok WHERE term NOT IN ({_STOP_SQL})
+), doclen AS (
+  SELECT doc_id, count(*) AS flen FROM tok2 GROUP BY doc_id
+), post AS (
+  SELECT t.doc_id, t.term, count(*) AS tf,
+         CAST(CAST(1.0/sqrt(d.flen) AS REAL) AS DOUBLE) AS norm,
+         list(t.pos ORDER BY t.pos) AS positions
+  FROM tok2 t JOIN doclen d USING (doc_id)
+  GROUP BY t.doc_id, t.term, d.flen
+), ndocs AS (SELECT count(*) AS n FROM documents),
+avgl AS (
+  SELECT ceil(CAST(count(DISTINCT term) AS DOUBLE)
+              / (SELECT n FROM ndocs)) AS v
+  FROM post
+), dict AS (
+  SELECT term, count(*) AS df FROM post GROUP BY term
+)
+"""
+
+# BM25 per-posting base score (p=posting alias, q=query-term alias
+# carrying idf) — identical op order to bleve_spark.search.scorer
+_BASE = (
+    "(q.idf * (sqrt(p.tf)*1.2) / (sqrt(p.tf) + 1.2*(0.25 + "
+    "(0.75 * (1.0/(p.norm*p.norm))) / (SELECT v FROM avgl))))"
+)
+
+_IDF = (
+    "ln(1 + ((SELECT n FROM ndocs) - {df} + 0.5) / ({df} + 0.5))"
+)
+
+
+def _values(terms):
+    vals = ",".join(f"('{t}')" for t in terms)
+    return (
+        f"SELECT qt.term, coalesce(d.df, 0) AS df,\n"
+        f"  {_IDF.format(df='coalesce(d.df, 0)')} AS idf, 1.0 AS mult\n"
+        f"FROM (VALUES {vals}) qt(term) LEFT JOIN dict d USING (term)"
+    )
+
+
+def _expansion(pred, mult="1.0"):
+    return (
+        f"SELECT d.term, d.df, {_IDF.format(df='d.df')} AS idf, "
+        f"{mult} AS mult FROM dict d WHERE {pred}"
+    )
+
+
+def _sql_single_term(term, k=20):
+    """Root-level term query: queryWeight stays 1."""
+    return f"""{_PRELUDE},
+q AS (SELECT qt.term, {_IDF.format(df='coalesce(d.df,0)')} AS idf
+      FROM (VALUES ('{term}')) qt(term) LEFT JOIN dict d USING (term))
+SELECT p.doc_id, round({_BASE}, 6) AS score
+FROM post p JOIN q USING (term)
+ORDER BY score DESC, p.doc_id LIMIT {k}"""
+
+
+def _sql_multi(exp_sql, k=20, min_req=1, conj=False, offset=0):
+    """Disjunction (coord, min) / conjunction (sum) of scored terms with
+    the root composite's queryNorm — the SQL twin of SDisj/SConj."""
+    having = ""
+    if conj:
+        having = "HAVING count(*) = (SELECT t FROM total)"
+    elif min_req > 1:
+        having = f"HAVING count(*) >= {min_req}"
+    coord = (
+        "sum(s)"
+        if conj
+        else "sum(s) * count(*) / (SELECT CAST(t AS DOUBLE) FROM total)"
+    )
+    page = f" OFFSET {offset}" if offset else ""
+    return f"""{_PRELUDE},
+expq AS ({exp_sql}),
+qnorm AS (SELECT 1.0/sqrt(sum((mult*idf)*(mult*idf))) AS v FROM expq),
+total AS (SELECT count(*) AS t FROM expq),
+scored AS (
+  SELECT p.doc_id,
+         {_BASE} * (q.mult * q.idf * (SELECT v FROM qnorm)) AS s
+  FROM post p JOIN expq q USING (term))
+SELECT doc_id, round({coord}, 6) AS score
+FROM scored GROUP BY doc_id {having}
+ORDER BY score DESC, doc_id LIMIT {k}{page}"""
+
+
+_SQL_PHRASE = f"""{_PRELUDE},
+expq AS ({{exp}}),
+qnorm AS (SELECT 1.0/sqrt(sum(idf*idf)) AS v FROM expq),
+p1 AS (SELECT p.doc_id, p.positions,
+              {_BASE} * (q.idf * (SELECT v FROM qnorm)) AS s
+       FROM post p JOIN expq q USING (term) WHERE p.term = '{{t1}}'),
+p2 AS (SELECT p.doc_id, p.positions,
+              {_BASE} * (q.idf * (SELECT v FROM qnorm)) AS s
+       FROM post p JOIN expq q USING (term) WHERE p.term = '{{t2}}')
+SELECT p1.doc_id, round(p1.s + p2.s, 6) AS score
+FROM p1 JOIN p2 USING (doc_id)
+WHERE len(list_intersect(list_transform(p1.positions, x -> x + 1),
+                         p2.positions)) > 0
+ORDER BY score DESC, doc_id LIMIT 20"""
+
+
+_SQL_BOOLEAN = f"""{_PRELUDE},
+expq AS ({{exp}}),
+qnorm AS (SELECT 1.0/sqrt(sum(idf*idf)) AS v FROM expq),
+must AS (SELECT p.doc_id, {_BASE} * (q.idf * (SELECT v FROM qnorm)) AS s
+         FROM post p JOIN expq q USING (term) WHERE p.term = 'spark'),
+should AS (SELECT p.doc_id,
+                  {_BASE} * (q.idf * (SELECT v FROM qnorm)) AS s
+           FROM post p JOIN expq q USING (term) WHERE p.term = 'join')
+SELECT m.doc_id, round(m.s + coalesce(sh.s, 0.0), 6) AS score
+FROM must m LEFT JOIN should sh USING (doc_id)
+WHERE m.doc_id NOT IN (SELECT doc_id FROM documents WHERE lang = 'zh')
+ORDER BY score DESC, doc_id LIMIT 20"""
+
+
+def _sql_tfidf_term(term, k=20):
+    return f"""{_PRELUDE},
+q AS (SELECT qt.term,
+        1.0 + ln((SELECT CAST(n AS DOUBLE) FROM ndocs)
+                 / (coalesce(d.df, 0) + 1.0)) AS idf
+      FROM (VALUES ('{term}')) qt(term) LEFT JOIN dict d USING (term))
+SELECT p.doc_id, round(sqrt(p.tf) * p.norm * q.idf, 6) AS score
+FROM post p JOIN q USING (term)
+ORDER BY score DESC, p.doc_id LIMIT {k}"""
+
+
+# querystring: +text:spark +n_chars:>300 -lang:zh text:join^2
+# root boolean: W(must)=idf_spark^2 + 1 (const boost 1), W(should)=(2*idf_join)^2
+_SQL_QSTRING = f"""{_PRELUDE},
+wts AS (SELECT
+  (SELECT {_IDF.format(df='coalesce(d.df,0)')} FROM (VALUES ('spark')) qt(term)
+     LEFT JOIN dict d USING (term)) AS idf_spark,
+  (SELECT {_IDF.format(df='coalesce(d.df,0)')} FROM (VALUES ('join')) qt(term)
+     LEFT JOIN dict d USING (term)) AS idf_join),
+qnorm AS (SELECT 1.0/sqrt(idf_spark*idf_spark + 1.0
+                          + (2.0*idf_join)*(2.0*idf_join)) AS v FROM wts),
+mustterm AS (
+  SELECT p.doc_id,
+         (q.idf * (sqrt(p.tf)*1.2) / (sqrt(p.tf) + 1.2*(0.25 +
+          (0.75 * (1.0/(p.norm*p.norm))) / (SELECT v FROM avgl))))
+         * (q.idf * (SELECT v FROM qnorm)) AS s
+  FROM post p JOIN (SELECT 'spark' AS term,
+                           (SELECT idf_spark FROM wts) AS idf) q USING (term)),
+mustrange AS (
+  SELECT doc_id, 1.0 * (SELECT v FROM qnorm) AS s
+  FROM documents WHERE n_chars > 300),
+must AS (
+  SELECT doc_id, sum(s) AS s, count(*) AS c
+  FROM (SELECT * FROM mustterm UNION ALL SELECT * FROM mustrange)
+  GROUP BY doc_id HAVING count(*) = 2),
+should AS (
+  SELECT p.doc_id,
+         (q.idf * (sqrt(p.tf)*1.2) / (sqrt(p.tf) + 1.2*(0.25 +
+          (0.75 * (1.0/(p.norm*p.norm))) / (SELECT v FROM avgl))))
+         * (2.0 * q.idf * (SELECT v FROM qnorm)) AS s
+  FROM post p JOIN (SELECT 'join' AS term,
+                           (SELECT idf_join FROM wts) AS idf) q USING (term))
+SELECT m.doc_id, round(m.s + coalesce(sh.s, 0.0), 6) AS score
+FROM must m LEFT JOIN should sh USING (doc_id)
+WHERE m.doc_id NOT IN (SELECT doc_id FROM documents WHERE lang = 'zh')
+ORDER BY score DESC, doc_id LIMIT 20"""
+
+
+_SQL_TEXT_PROFILE = f"""
+WITH base AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\\s+'),
+                x -> len(x) > 0) AS words,
+    text
+  FROM documents
+), m AS (
+  SELECT doc_id, words, text,
+    len(words) AS n_tokens,
+    len(regexp_extract_all(lower(text),
+        '[a-z0-9]+(?:''[a-z]+)?')) AS n_regex_tokens,
+    CAST(len(list_filter(words, x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+      / greatest(CAST(len(words) AS DOUBLE), 1.0) AS swr,
+    CAST(list_aggregate(list_transform(words, x -> len(x)), 'sum')
+         AS DOUBLE)
+      / greatest(CAST(len(words) AS DOUBLE), 1.0) AS mwl,
+    CAST(len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+         AS DOUBLE)
+      / greatest(CAST(len(text) AS DOUBLE), 1.0) AS pr,
+    len(list_filter(words,
+        x -> x IN ('the','and','of','to','is','in','that','it','for')))
+        AS c_en,
+    len(list_filter(words,
+        x -> x IN ('el','la','de','que','los','las','una','por','como')))
+        AS c_es,
+    len(list_filter(words,
+        x -> x IN ('le','la','les','des','est','dans','une','pour','que')))
+        AS c_fr,
+    len(list_filter(words,
+        x -> x IN ('der','die','das','und','ist','nicht','ein','mit','zu')))
+        AS c_de
+  FROM base
+)
+SELECT doc_id AS key, n_tokens, n_regex_tokens,
+  round(swr, 6) AS stopword_ratio,
+  round(mwl, 6) AS mean_word_len,
+  round(pr, 6) AS punct_ratio,
+  round(
+    least(CAST(n_tokens AS DOUBLE)/20.0, 1.0)
+      * least(2000.0/greatest(CAST(n_tokens AS DOUBLE), 1.0), 1.0) * 0.4
+    + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+    + least(swr * 4.0, 1.0) * 0.2
+    + (CASE WHEN pr <= 0.2 THEN 1.0
+            ELSE greatest(1.0 - (pr - 0.2) * 2.0, 0.0) END) * 0.2,
+  6) AS quality,
+  (CASE WHEN greatest(c_en, c_es, c_fr, c_de) = 0 THEN 'und'
+        WHEN c_en = greatest(c_en, c_es, c_fr, c_de) THEN 'en'
+        WHEN c_es = greatest(c_en, c_es, c_fr, c_de) THEN 'es'
+        WHEN c_fr = greatest(c_en, c_es, c_fr, c_de) THEN 'fr'
+        ELSE 'de' END) AS lang_pred,
+  md5(array_to_string(list_sort(list_distinct(words)), ' '))
+    AS fingerprint
+FROM m"""
+
+
+_SQL_NGRAM_JACCARD = """
+WITH sh AS (
+  SELECT doc_id AS key,
+         unnest(list_distinct(string_split(lower(text), ' '))) AS shingle
+  FROM documents
+), sh2 AS (SELECT * FROM sh WHERE len(shingle) > 0),
+sizes AS (SELECT key, count(*) AS n_sh FROM sh2 GROUP BY key),
+inter AS (
+  SELECT l.key AS key_a, r.key AS key_b, count(*) AS i
+  FROM sh2 l JOIN sh2 r ON l.shingle = r.shingle AND l.key < r.key
+  GROUP BY l.key, r.key
+)
+SELECT key_a, key_b,
+       round(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.key = key_a
+JOIN sizes sb ON sb.key = key_b
+WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.25"""
+
+
+_SQL_COSINE_TOPK = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT vec_id, unnest(embedding) AS x, unnest((SELECT qv FROM q)) AS y
+  FROM embeddings
+), sums AS (
+  SELECT vec_id,
+         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
+         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
+  FROM pairs GROUP BY vec_id
+)
+SELECT vec_id AS key, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cosine
+FROM sums ORDER BY cosine DESC, key LIMIT 10"""
+
+
+# ---------------------------------------------------------------- entry --
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: BM25 match top-10."""
+    idx = _docs_index(spark, "/root/testdata/sf0.001")
+    return _topk(idx, {"field": "text", "match": "spark data query"}, k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- fulltext / query algebra (documents) ----
+    def q_term_bm25(spark, sf):
+        return _topk(
+            _docs_index(spark, sf), {"field": "text", "term": "spark"}
+        )
+
+    def q_term_tfidf(spark, sf):
+        return _topk(
+            _docs_index(spark, sf, "tfidf"),
+            {"field": "text", "term": "data"},
+        )
+
+    def q_match_or(spark, sf):
+        return _topk(
+            _docs_index(spark, sf), {"field": "text", "match": "spark join"}
+        )
+
+    def q_match_and(spark, sf):
+        return _topk(
+            _docs_index(spark, sf),
+            {"field": "text", "match": "spark join", "operator": "and"},
+        )
+
+    def q_conjunction(spark, sf):
+        return _topk(
+            _docs_index(spark, sf),
+            {"conjuncts": [
+                {"field": "text", "term": "query"},
+                {"field": "text", "term": "data"},
+            ]},
+        )
+
+    def q_disjunction_min2(spark, sf):
+        return _topk(
+            _docs_index(spark, sf),
+            {"disjuncts": [
+                {"field": "text", "term": "spark"},
+                {"field": "text", "term": "join"},
+                {"field": "text", "term": "filter"},
+            ], "min": 2},
+        )
+
+    def q_boolean(spark, sf):
+        return _topk(
+            _docs_index(spark, sf),
+            {
+                "must": {"conjuncts": [{"field": "text", "term": "spark"}]},
+                "should": {"disjuncts": [{"field": "text", "term": "join"}],
+                           "min": 0},
+                "must_not": {"disjuncts": [
+                    {"field": "lang", "term": "zh"}]},
+            },
+        )
+
+    def q_phrase(spark, sf):
+        return _topk(
+            _docs_index(spark, sf),
+            {"field": "text", "match_phrase": "table hash"},
+        )
+
+    def q_prefix(spark, sf):
+        return _topk(
+            _docs_index(spark, sf), {"field": "text", "prefix": "sc"}
+        )
+
+    def q_regexp(spark, sf):
+        return _topk(
+            _docs_index(spark, sf), {"field": "text", "regexp": "sc.n"}
+        )
+
+    def q_wildcard(spark, sf):
+        return _topk(
+            _docs_index(spark, sf), {"field": "text", "wildcard": "s?an"}
+        )
+
+    def q_fuzzy(spark, sf):
+        return _topk(
+            _docs_index(spark, sf),
+            {"field": "text", "term": "spak", "fuzziness": 1},
+        )
+
+    def q_term_range(spark, sf):
+        return _topk(
+            _docs_index(spark, sf),
+            {"field": "text", "min": "scan", "max": "sort",
+             "inclusive_min": True, "inclusive_max": False},
+        )
+
+    def q_numeric_range(spark, sf):
+        return _topk(
+            _docs_index(spark, sf),
+            {"field": "n_chars", "min": 200, "max": 400,
+             "inclusive_min": True, "inclusive_max": False},
+            k=10_000_000,
+        )
+
+    def q_date_range(spark, sf):
+        return _topk(
+            _events_index(spark, sf),
+            {"field": "ts", "start": "2024-01-10T00:00:00",
+             "end": "2024-01-15T00:00:00"},
+            k=10_000_000,
+        )
+
+    def q_ids(spark, sf):
+        return _topk(_docs_index(spark, sf), {"ids": ["3", "5", "7"]})
+
+    def q_match_all_count(spark, sf):
+        idx = _docs_index(spark, sf)
+        return compile_query(idx, {"match_all": {}}).agg(
+            F.count(F.lit(1)).alias("total")
+        )
+
+    def q_sort_by_field(spark, sf):
+        from bleve_spark.search.searcher import search_df
+
+        idx = _docs_index(spark, sf)
+        return search_df(
+            idx, {"match_all": {}}, size=10, sort=["-n_chars"]
+        ).select("doc_id", "n_chars")
+
+    def q_pagination(spark, sf):
+        return _topk(
+            _docs_index(spark, sf), {"field": "text", "term": "spark"},
+            k=5, from_=5,
+        )
+
+    def q_query_string(spark, sf):
+        return _topk(
+            _docs_index(spark, sf),
+            {"query": "+text:spark +n_chars:>300 -lang:zh text:join^2"},
+        )
+
+    def q_facet_lang(spark, sf):
+        from bleve_spark.search.facets import terms_facet_df
+
+        idx = _docs_index(spark, sf)
+        scored = compile_query(idx, {"match_all": {}})
+        return terms_facet_df(idx, scored, "lang", size=10)
+
+    def q_facet_nchars(spark, sf):
+        from bleve_spark.search.facets import numeric_range_facet
+
+        idx = _docs_index(spark, sf)
+        scored = compile_query(idx, {"match_all": {}})
+        fr = numeric_range_facet(
+            idx, scored, "n_chars",
+            [
+                {"name": "small", "max": 200},
+                {"name": "mid", "min": 200, "max": 400},
+                {"name": "large", "min": 400},
+            ],
+        )
+        return spark.createDataFrame(
+            [(b["name"], b["count"]) for b in fr["numeric_ranges"]],
+            "bucket string, count long",
+        )
+
+    # ---- training-data pipeline ops ----
+    def dedup_exact(spark, sf):
+        from bleve_spark.functions.dedup import exact_dedup
+
+        df = spark.read.parquet(f"{sf}/documents.parquet")
+        return exact_dedup(df, "text", "doc_id")
+
+    def dedup_ngram_jaccard(spark, sf):
+        from bleve_spark.functions.dedup import ngram_jaccard_pairs
+
+        df = spark.read.parquet(f"{sf}/documents.parquet")
+        pairs = ngram_jaccard_pairs(
+            df, "text", "doc_id", n=1, threshold=0.25
+        )
+        return pairs.select(
+            "key_a", "key_b", F.round("jaccard", 6).alias("jaccard")
+        )
+
+    def dedup_minhash_pairs(spark, sf):
+        from bleve_spark.functions.dedup import minhash_lsh_pairs
+
+        df = spark.read.parquet(f"{sf}/documents.parquet")
+        return minhash_lsh_pairs(
+            df, "text", "doc_id", shingle_n=1, num_hashes=64, bands=16,
+            jaccard_threshold=0.35,
+        )
+
+    def dedup_simhash_pairs(spark, sf):
+        from bleve_spark.functions.dedup import simhash_pairs
+
+        df = spark.read.parquet(f"{sf}/documents.parquet")
+        return simhash_pairs(df, "text", "doc_id", max_hamming=8)
+
+    def ann_cosine_topk(spark, sf):
+        from bleve_spark.functions.similarity import cosine_topk
+
+        df = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qv = df.where(F.col("vec_id") == 0).select("embedding").first()[0]
+        top = cosine_topk(df, "embedding", "vec_id", qv, k=10)
+        return top.select("key", F.round("cosine", 6).alias("cosine"))
+
+    def ann_lsh_topk(spark, sf):
+        from bleve_spark.functions.similarity import lsh_topk
+
+        df = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qv = df.where(F.col("vec_id") == 0).select("embedding").first()[0]
+        top = lsh_topk(
+            df, "embedding", "vec_id", qv, k=10, planes=12,
+            probe_hamming=3,
+        )
+        return top.select("key", F.round("cosine", 6).alias("cosine"))
+
+    def ann_ivf_topk(spark, sf):
+        from bleve_spark.functions.similarity import ivf_topk
+
+        df = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qv = df.where(F.col("vec_id") == 0).select("embedding").first()[0]
+        top = ivf_topk(
+            df, "embedding", "vec_id", qv, k=10, cell_bits=6,
+            n_probe_cells=16,
+        )
+        return top.select("key", F.round("cosine", 6).alias("cosine"))
+
+    def text_profile(spark, sf):
+        from bleve_spark.functions.textstats import text_profile as tp
+
+        df = spark.read.parquet(f"{sf}/documents.parquet")
+        return tp(df, "text", "doc_id")
+
+    def multimodal_features(spark, sf):
+        from bleve_spark.functions.multimodal import (
+            extract_features,
+            synthesize_media_df,
+        )
+
+        df = spark.read.parquet(f"{sf}/documents.parquet")
+        media = synthesize_media_df(spark, df.limit(100), "doc_id")
+        feats = extract_features(media)
+        return feats.select(
+            "key", "media_type", "content_hash", "n_bytes"
+        )
+
+    q.update(
+        {
+            "q_term_bm25": q_term_bm25,
+            "q_term_tfidf": q_term_tfidf,
+            "q_match_or": q_match_or,
+            "q_match_and": q_match_and,
+            "q_conjunction": q_conjunction,
+            "q_disjunction_min2": q_disjunction_min2,
+            "q_boolean": q_boolean,
+            "q_phrase": q_phrase,
+            "q_prefix": q_prefix,
+            "q_regexp": q_regexp,
+            "q_wildcard": q_wildcard,
+            "q_fuzzy": q_fuzzy,
+            "q_term_range": q_term_range,
+            "q_numeric_range": q_numeric_range,
+            "q_date_range": q_date_range,
+            "q_ids": q_ids,
+            "q_match_all_count": q_match_all_count,
+            "q_sort_by_field": q_sort_by_field,
+            "q_pagination": q_pagination,
+            "q_query_string": q_query_string,
+            "q_facet_lang": q_facet_lang,
+            "q_facet_nchars": q_facet_nchars,
+            "dedup_exact": dedup_exact,
+            "dedup_ngram_jaccard": dedup_ngram_jaccard,
+            "dedup_minhash_pairs": dedup_minhash_pairs,
+            "dedup_simhash_pairs": dedup_simhash_pairs,
+            "ann_cosine_topk": ann_cosine_topk,
+            "ann_lsh_topk": ann_lsh_topk,
+            "ann_ivf_topk": ann_ivf_topk,
+            "text_profile": text_profile,
+            "multimodal_features": multimodal_features,
+        }
+    )
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = {
+        "q_term_bm25": _sql_single_term("spark"),
+        "q_term_tfidf": _sql_tfidf_term("data"),
+        "q_match_or": _sql_multi(_values(["spark", "join"]), min_req=1),
+        "q_match_and": _sql_multi(_values(["spark", "join"]), conj=True),
+        "q_conjunction": _sql_multi(_values(["query", "data"]), conj=True),
+        "q_disjunction_min2": _sql_multi(
+            _values(["spark", "join", "filter"]), min_req=2
+        ),
+        "q_boolean": _SQL_BOOLEAN.format(exp=_values(["spark", "join"])),
+        "q_phrase": _SQL_PHRASE.format(
+            exp=_values(["table", "hash"]), t1="table", t2="hash"
+        ),
+        "q_prefix": _sql_multi(_expansion("d.term LIKE 'sc%'")),
+        "q_regexp": _sql_multi(
+            _expansion("regexp_full_match(d.term, 'sc.n')")
+        ),
+        "q_wildcard": _sql_multi(
+            _expansion("regexp_full_match(d.term, 's.an')")
+        ),
+        "q_fuzzy": _sql_multi(
+            _expansion(
+                "levenshtein(d.term, 'spak') <= 1",
+                mult="1.0 / (levenshtein(d.term, 'spak') + 1.0)",
+            )
+        ),
+        "q_term_range": _sql_multi(
+            _expansion("d.term >= 'scan' AND d.term < 'sort'")
+        ),
+        "q_numeric_range": (
+            "SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM documents "
+            "WHERE n_chars >= 200 AND n_chars < 400"
+        ),
+        "q_date_range": (
+            "SELECT event_id, CAST(1.0 AS DOUBLE) AS score FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' "
+            "AND ts < TIMESTAMP '2024-01-15 00:00:00'"
+        ),
+        "q_ids": (
+            "SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM documents "
+            "WHERE doc_id IN (3, 5, 7)"
+        ),
+        "q_match_all_count": "SELECT count(*) AS total FROM documents",
+        "q_sort_by_field": (
+            "SELECT doc_id, n_chars FROM documents "
+            "ORDER BY n_chars DESC, doc_id LIMIT 10"
+        ),
+        "q_pagination": _sql_single_term("spark", k=5) + " OFFSET 5",
+        "q_query_string": _SQL_QSTRING,
+        "q_facet_lang": (
+            "SELECT lang AS term, count(*) AS count FROM documents "
+            "WHERE lang IS NOT NULL GROUP BY lang "
+            "ORDER BY count DESC, term LIMIT 10"
+        ),
+        "q_facet_nchars": (
+            "SELECT b.bucket, count(d.doc_id) AS count FROM "
+            "(VALUES ('small'), ('mid'), ('large')) b(bucket) "
+            "LEFT JOIN documents d ON "
+            "(b.bucket='small' AND d.n_chars < 200) OR "
+            "(b.bucket='mid' AND d.n_chars >= 200 AND d.n_chars < 400) OR "
+            "(b.bucket='large' AND d.n_chars >= 400) "
+            "GROUP BY b.bucket"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, "
+            "count(*) AS dup_count FROM documents GROUP BY md5(text)"
+        ),
+        "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
+        "ann_cosine_topk": _SQL_COSINE_TOPK,
+        "text_profile": _SQL_TEXT_PROFILE,
+        # dedup_minhash_pairs / dedup_simhash_pairs / ann_lsh_topk /
+        # ann_ivf_topk / multimodal_features: xxhash64/seeded-plane
+        # dependent — deterministic but not ANSI-SQL-expressible; the
+        # driver records the rows-only check for these.
+    }
+    return out

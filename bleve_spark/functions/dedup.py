@@ -1,0 +1,316 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are pure DataFrame plans (no driver-side loops, no
+collect): exact dedup is one hash-groupBy; MinHash/SimHash candidate
+generation is explode → agg → band-bucket self-join, the standard
+shuffle-bounded LSH shape. At 100 TB the band join is the only shuffle
+that matters and it is keyed by (band_id, signature) — high cardinality,
+naturally well-distributed; exact verification happens only within
+buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+# 2^31-1: keeps a·x + b < 2^62, safe under ANSI long arithmetic
+_MERSENNE = (1 << 31) - 1
+
+
+def _seeded_params(num: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE - 1, size=num, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE - 1, size=num, dtype=np.int64)
+    return a, b
+
+
+def exact_dedup(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text with the
+    smallest key as the keeper. Map-side partial agg; single shuffle."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(key_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str, key_col: str,
+                  n: int = 3) -> DataFrame:
+    """(key, shingle) rows of word n-grams (lowercased whitespace
+    tokens). Native: split + transform + explode."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return df.select(
+        F.col(key_col).alias("key"),
+        F.explode(F.array_distinct(sh)).alias("shingle"),
+    ).where(F.length("shingle") > 0)
+
+
+def minhash_signatures(
+    shingled: DataFrame,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(key, sig array<long>) MinHash signatures.
+
+    h_i(x) = (a_i·x + b_i) mod M over a 64-bit base hash of the shingle;
+    computed as ``num_hashes`` parallel min-aggregations — map-side
+    combinable, one shuffle, no UDF."""
+    a, b = _seeded_params(num_hashes, seed)
+    base = F.abs(F.xxhash64("shingle")) % F.lit(_MERSENNE)
+    aggs = [
+        F.min(
+            (F.lit(int(a[i])) * base + F.lit(int(b[i]))) % F.lit(_MERSENNE)
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = shingled.groupBy("key").agg(*aggs)
+    return sigs.select(
+        "key", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + banded LSH.
+
+    → (key_a, key_b, est_jaccard) with key_a < key_b and estimated
+    jaccard (fraction of agreeing minhashes) ≥ threshold. Band-bucket
+    join keeps the self-join linear in bucket sizes."""
+    rows_per_band = num_hashes // bands
+    sh = word_shingles(df, text_col, key_col, shingle_n)
+    sigs = minhash_signatures(sh, num_hashes, seed).persist()
+
+    band_rows = sigs.select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", j + 1).cast("string")
+                                    for j in range(
+                                        i * rows_per_band,
+                                        (i + 1) * rows_per_band,
+                                    )
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("key", "bb.band", "bb.bucket")
+
+    cand = (
+        band_rows.alias("l")
+        .join(
+            band_rows.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.key") < F.col("r.key")),
+        )
+        .select(
+            F.col("l.key").alias("key_a"), F.col("r.key").alias("key_b")
+        )
+        .distinct()
+    )
+
+    sa = sigs.select(F.col("key").alias("key_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("key").alias("key_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda v: v,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return (
+        cand.join(sa, "key_a")
+        .join(sb, "key_b")
+        .select("key_a", "key_b", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= jaccard_threshold)
+    )
+
+
+def simhash(df: DataFrame, text_col: str, key_col: str,
+            bits: int = 64) -> DataFrame:
+    """(key, simhash long) 64-bit SimHash over whitespace tokens.
+
+    Per-bit weighted sums as native aggregations (explode → 64 SUMs,
+    map-side combinable)."""
+    toks = df.select(
+        F.col(key_col).alias("key"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).where(F.length("tok") > 0)
+    h = F.xxhash64("tok")
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    per_doc = toks.groupBy("key").agg(*aggs)
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        # shiftleft wraps at bit 63 to the sign bit — the desired
+        # two's-complement bit pattern for a 64-bit hash in a long
+        acc = acc + F.when(
+            F.col(f"b{i}") > 0,
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+    return per_doc.select("key", acc.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming, candidates
+    via 4×16-bit chunk banding (a pair within hamming ≤3 must agree on
+    ≥1 of 4 chunks — pigeonhole)."""
+    sh = simhash(df, text_col, key_col).persist()
+    chunks = sh.select(
+        "key",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned("simhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("key", "simhash", "c.chunk", "c.val")
+    cand = (
+        chunks.alias("l")
+        .join(
+            chunks.alias("r"),
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.key") < F.col("r.key")),
+        )
+        .select(
+            F.col("l.key").alias("key_a"),
+            F.col("r.key").alias("key_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select(
+        "key_a", "key_b", ham.alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs ≥ threshold (the verification-grade
+    dedup; quadratic only within shared-shingle groups)."""
+    sh = word_shingles(df, text_col, key_col, n)
+    sizes = sh.groupBy("key").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.alias("l")
+        .join(
+            sh.alias("r"),
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.key") < F.col("r.key")),
+        )
+        .groupBy(
+            F.col("l.key").alias("key_a"), F.col("r.key").alias("key_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ja = (
+        inter.join(
+            sizes.select(
+                F.col("key").alias("key_a"), F.col("n_sh").alias("na")
+            ),
+            "key_a",
+        )
+        .join(
+            sizes.select(
+                F.col("key").alias("key_b"), F.col("n_sh").alias("nb")
+            ),
+            "key_b",
+        )
+        .select(
+            "key_a",
+            "key_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return ja.where(F.col("jaccard") >= threshold)
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    vec_col: str,
+    key_col: str,
+    threshold: float = 0.95,
+    planes: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding near-dup pairs: random-hyperplane LSH buckets →
+    exact cosine within buckets. Deterministic planes (seeded)."""
+    from bleve_spark.functions.similarity import (
+        add_hyperplane_bucket,
+        cosine_expr,
+    )
+
+    b = add_hyperplane_bucket(df, vec_col, planes, seed).select(
+        F.col(key_col).alias("key"), F.col(vec_col).alias("vec"), "bucket"
+    )
+    cand = (
+        b.alias("l")
+        .join(
+            b.alias("r"),
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.key") < F.col("r.key")),
+        )
+        .select(
+            F.col("l.key").alias("key_a"),
+            F.col("r.key").alias("key_b"),
+            cosine_expr(F.col("l.vec"), F.col("r.vec")).alias("cosine"),
+        )
+    )
+    return cand.where(F.col("cosine") >= threshold)

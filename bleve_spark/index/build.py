@@ -1,0 +1,231 @@
+"""Inverted-index build: source DataFrame → postings relation + stats.
+
+The postings relation is the Spark-native statement of the reference's
+TermFrequencyRow (/root/reference/index/upsidedown/row.go:258 — key
+(field, term, doc), value (freq, norm, term vectors)) and of a scorch
+segment's postings (/root/reference/index/scorch/README.md:48-97):
+
+    postings(field string, term string, <key cols...>,
+             tf int, positions array<int>, norm float)
+
+Design notes for 100 TB scale:
+* analysis is one vectorized Arrow UDF per text field — data-parallel,
+  no driver involvement (reference's analysis worker queue,
+  /root/reference/index/scorch/scorch.go:538-568);
+* tf/positions come from explode + groupBy on (doc, term) with map-side
+  partial aggregation; no global sort is required to SERVE queries —
+  the sorted, compressed at-rest layout lives in
+  :mod:`bleve_spark.index.segments`;
+* ``norm`` is stored as FloatType — the float32 roundtrip bleve bakes
+  into scores (norm = float32(1/sqrt(fieldLength)),
+  /root/reference/index/upsidedown/upsidedown.go:609; fieldLength is the
+  post-analysis token count, /root/reference/document/field_text.go:82-106);
+* global stats follow bleve's quirks exactly: avg_doc_len =
+  ceil(field_cardinality / doc_count)
+  (/root/reference/search/searcher/search_term.go:112), cardinality = Σ
+  per-segment unique-term counts
+  (/root/reference/index/scorch/snapshot_index.go:151-161). We build
+  offline like bleve's Builder, which merges down to a SINGLE segment
+  (/root/reference/index/scorch/builder.go:169-236), so cardinality =
+  global distinct terms per field.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, functions as F
+
+from bleve_spark.analysis.udf import tokens_udf
+
+BM25_K1 = 1.2  # /root/reference/search/util.go:275
+BM25_B = 0.75  # /root/reference/search/util.go:276
+
+
+@dataclass
+class IndexStats:
+    doc_count: int
+    field_cardinality: dict[str, int]
+    avg_doc_len: dict[str, float]  # ceil(card/count), bm25 only
+    scoring: str = "bm25"  # "bm25" | "tfidf"
+
+    def avg_len(self, field_name: str) -> float:
+        return self.avg_doc_len.get(field_name, 0.0)
+
+
+@dataclass
+class IndexedTable:
+    """A queryable index: source rows + postings + broadcastable stats.
+
+    ``key_cols`` provide stable doc identity AND the tie-break order
+    (reference HitNumber semantics, /root/reference/search/sort.go:269-275):
+    ascending key order == index natural order.
+    """
+
+    source: DataFrame
+    postings: DataFrame
+    key_cols: list[str]
+    field_analyzers: dict[str, str]
+    stats: IndexStats
+    dictionary: DataFrame = None  # (field, term, doc_freq, max_tf, min_norm)
+    _persisted: list = dc_field(default_factory=list)
+
+    @property
+    def spark(self):
+        return self.source.sparkSession
+
+    def doc_id_col(self) -> F.Column:
+        """External _id: key cols joined by ':' (docID = conv_id:turn_idx)."""
+        return F.concat_ws(
+            ":", *[F.col(k).cast("string") for k in self.key_cols]
+        )
+
+    def doc_freq(self, field_name: str, terms: list[str]) -> dict[str, int]:
+        """Dictionary lookup: #docs containing each term (bleve
+        TermFieldReader.Count, /root/reference/search/searcher/
+        search_term.go:146). Tiny collect — mirrors the FST dictionary
+        probe; at cluster scale this is a broadcast-friendly scan of the
+        dictionary dataset, pruned by term."""
+        if not terms:
+            return {}
+        rows = (
+            self.dictionary.where(
+                (F.col("field") == field_name) & F.col("term").isin(terms)
+            )
+            .select("term", "doc_freq")
+            .collect()
+        )
+        out = {t: 0 for t in terms}
+        out.update({r["term"]: int(r["doc_freq"]) for r in rows})
+        return out
+
+    def expand_terms(
+        self,
+        field_name: str,
+        predicate,
+        with_freq: bool = False,
+    ) -> list:
+        """Dictionary expansion for prefix/regexp/fuzzy/term-range — the
+        DataFrame analogue of bleve's FST automaton intersection
+        (/root/reference/index/scorch/snapshot_index.go:242-246).
+        ``predicate`` is a Column over ``term``."""
+        df = self.dictionary.where(
+            (F.col("field") == field_name) & predicate
+        ).select("term", "doc_freq")
+        rows = df.collect()
+        rows.sort(key=lambda r: r["term"])  # dictionary iteration order
+        if with_freq:
+            return [(r["term"], int(r["doc_freq"])) for r in rows]
+        return [r["term"] for r in rows]
+
+    def persist(self):
+        self.postings = self.postings.persist()
+        self.dictionary = self.dictionary.persist()
+        self._persisted = [self.postings, self.dictionary]
+        return self
+
+    def unpersist(self):
+        for df in self._persisted:
+            df.unpersist()
+        self._persisted = []
+
+
+def _field_postings(
+    df: DataFrame, keys: list[str], field_name: str, analyzer: str
+) -> DataFrame:
+    toks = tokens_udf(analyzer)
+    with_toks = df.select(
+        *keys, toks(F.col(field_name).cast("string")).alias("_toks")
+    ).withColumn("_field_len", F.size("_toks"))
+    exploded = with_toks.where(F.col("_field_len") > 0).select(
+        *keys,
+        "_field_len",
+        F.explode("_toks").alias("_tok"),
+    )
+    return (
+        exploded.groupBy(*keys, "_field_len", F.col("_tok.term").alias("term"))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("tf"),
+            F.sort_array(F.collect_list(F.col("_tok.pos"))).alias("positions"),
+        )
+        .select(
+            F.lit(field_name).alias("field"),
+            F.col("term"),
+            *keys,
+            "tf",
+            "positions",
+            # float32 roundtrip is intentional and observable in scores
+            (F.lit(1.0) / F.sqrt(F.col("_field_len")))
+            .cast("float")
+            .alias("norm"),
+        )
+    )
+
+
+def index_table(
+    df: DataFrame,
+    key_cols: list[str],
+    fields: dict[str, str],
+    scoring: str = "bm25",
+    persist: bool = True,
+) -> IndexedTable:
+    """Build the index for ``df``.
+
+    ``fields`` maps column name → analyzer name (e.g. ``{"text":
+    "standard", "role": "keyword"}``). Numeric / timestamp / boolean
+    columns need no postings — range queries compile to native predicates
+    on ``df`` (Parquet min/max pruning replaces the reference's numeric
+    trie, /root/reference/search/searcher/search_numeric_range.go:194).
+    """
+    parts = [
+        _field_postings(df, key_cols, f, a) for f, a in fields.items()
+    ]
+    postings = parts[0]
+    for p in parts[1:]:
+        postings = postings.unionByName(p)
+
+    idx = IndexedTable(
+        source=df,
+        postings=postings,
+        key_cols=list(key_cols),
+        field_analyzers=dict(fields),
+        stats=None,
+        dictionary=None,
+    )
+    if persist:
+        idx.postings = idx.postings.persist()
+        idx._persisted.append(idx.postings)
+
+    idx.dictionary = (
+        idx.postings.groupBy("field", "term")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.max("tf").alias("max_tf"),
+            F.min("norm").alias("min_norm"),
+        )
+    )
+    if persist:
+        idx.dictionary = idx.dictionary.persist()
+        idx._persisted.append(idx.dictionary)
+
+    # ---- global stats (bleve PreSearchData analogue: one tiny agg job,
+    # result broadcast driver-side — /root/reference/pre_search.go:96-110)
+    doc_count = df.count()
+    card_rows = (
+        idx.dictionary.groupBy("field")
+        .agg(F.count(F.lit(1)).alias("card"))
+        .collect()
+    )
+    field_card = {r["field"]: int(r["card"]) for r in card_rows}
+    avg_doc_len = {
+        f: (math.ceil(c / doc_count) if doc_count else 0.0)
+        for f, c in field_card.items()
+    }
+    idx.stats = IndexStats(
+        doc_count=doc_count,
+        field_cardinality=field_card,
+        avg_doc_len=avg_doc_len,
+        scoring=scoring,
+    )
+    return idx

@@ -1,0 +1,172 @@
+"""Facets: terms / numeric-range / datetime-range over matched docs.
+
+Reference: /root/reference/search/facets_builder.go:111,404 (per-hit
+docvalue visit → hash count) and search/facet/facet_builder_*.go.
+In Spark the docvalue visit is just a join hits×source followed by a
+groupBy — and the cross-shard FacetResult.Merge
+(facets_builder.go:320-386) is the same shuffle, for free.
+
+Terms facets are ordered by count desc then term asc; ``other`` counts
+the mass beyond the requested size; ``missing`` counts matched docs with
+NULL in the facet field.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from bleve_spark.index.build import IndexedTable
+
+
+def _matched_source(idx: IndexedTable, scored: DataFrame) -> DataFrame:
+    return idx.source.join(
+        scored.select(*idx.key_cols), idx.key_cols, "left_semi"
+    )
+
+
+def terms_facet(
+    idx: IndexedTable, scored: DataFrame, field: str, size: int = 10
+) -> dict:
+    src = _matched_source(idx, scored)
+    counts = (
+        src.groupBy(F.col(field).alias("term"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .collect()
+    )
+    missing = sum(int(r["count"]) for r in counts if r["term"] is None)
+    present = [
+        (r["term"], int(r["count"])) for r in counts if r["term"] is not None
+    ]
+    present.sort(key=lambda x: (-x[1], x[0]))
+    top = present[:size]
+    total = sum(c for _, c in present)
+    other = total - sum(c for _, c in top)
+    return {
+        "field": field,
+        "total": total,
+        "missing": missing,
+        "other": other,
+        "terms": [{"term": t, "count": c} for t, c in top],
+    }
+
+
+def numeric_range_facet(
+    idx: IndexedTable,
+    scored: DataFrame,
+    field: str,
+    ranges: list[dict],
+) -> dict:
+    """``ranges``: [{"name": ..., "min": x|None, "max": y|None}] —
+    min inclusive, max exclusive (facet_builder_numeric.go:53-133)."""
+    src = _matched_source(idx, scored)
+    col = F.col(field)
+    agg_exprs = []
+    for r in ranges:
+        cond = F.lit(True)
+        if r.get("min") is not None:
+            cond = cond & (col >= float(r["min"]))
+        if r.get("max") is not None:
+            cond = cond & (col < float(r["max"]))
+        cond = cond & col.isNotNull()
+        agg_exprs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).alias(r["name"])
+        )
+    agg_exprs.append(
+        F.sum(F.when(col.isNull(), 1).otherwise(0)).alias("__missing")
+    )
+    agg_exprs.append(F.count(F.lit(1)).alias("__total"))
+    row = src.agg(*agg_exprs).collect()[0]
+    buckets = [
+        {
+            "name": r["name"],
+            "min": r.get("min"),
+            "max": r.get("max"),
+            "count": int(row[r["name"]]),
+        }
+        for r in ranges
+    ]
+    return {
+        "field": field,
+        "total": int(row["__total"]),
+        "missing": int(row["__missing"]),
+        "numeric_ranges": buckets,
+    }
+
+
+def datetime_range_facet(
+    idx: IndexedTable,
+    scored: DataFrame,
+    field: str,
+    ranges: list[dict],
+) -> dict:
+    """``ranges``: [{"name":..., "start": iso|None, "end": iso|None}]."""
+    src = _matched_source(idx, scored)
+    col = F.col(field)
+    agg_exprs = []
+    for r in ranges:
+        cond = col.isNotNull()
+        if r.get("start"):
+            cond = cond & (col >= F.to_timestamp(F.lit(r["start"])))
+        if r.get("end"):
+            cond = cond & (col < F.to_timestamp(F.lit(r["end"])))
+        agg_exprs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).alias(r["name"])
+        )
+    agg_exprs.append(
+        F.sum(F.when(col.isNull(), 1).otherwise(0)).alias("__missing")
+    )
+    agg_exprs.append(F.count(F.lit(1)).alias("__total"))
+    row = src.agg(*agg_exprs).collect()[0]
+    return {
+        "field": field,
+        "total": int(row["__total"]),
+        "missing": int(row["__missing"]),
+        "date_ranges": [
+            {
+                "name": r["name"],
+                "start": r.get("start"),
+                "end": r.get("end"),
+                "count": int(row[r["name"]]),
+            }
+            for r in ranges
+        ],
+    }
+
+
+def terms_facet_df(
+    idx: IndexedTable, scored: DataFrame, field: str, size: int = 10
+) -> DataFrame:
+    """DataFrame variant of :func:`terms_facet` (term, count), ordered
+    count desc / term asc, limited to ``size`` — the distributed facet
+    path (merge-across-shards is the groupBy shuffle)."""
+    src = _matched_source(idx, scored)
+    return (
+        src.where(F.col(field).isNotNull())
+        .groupBy(F.col(field).alias("term"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.col("count").desc(), F.col("term").asc())
+        .limit(size)
+    )
+
+
+def compute_facets(
+    idx: IndexedTable, scored: DataFrame, requests: dict
+) -> dict:
+    """``requests``: {name: {"field":..., "size":N}} or with
+    "numeric_ranges"/"date_ranges" lists — mirroring the reference's
+    FacetRequest JSON (/root/reference/index_impl.go:891-950)."""
+    out = {}
+    for name, req in requests.items():
+        if "numeric_ranges" in req:
+            out[name] = numeric_range_facet(
+                idx, scored, req["field"], req["numeric_ranges"]
+            )
+        elif "date_ranges" in req:
+            out[name] = datetime_range_facet(
+                idx, scored, req["field"], req["date_ranges"]
+            )
+        else:
+            out[name] = terms_facet(
+                idx, scored, req["field"], int(req.get("size", 10))
+            )
+    return out

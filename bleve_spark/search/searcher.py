@@ -1,0 +1,978 @@
+"""Query compiler: Query AST → DataFrame plan over the postings relation.
+
+The reference compiles a Query tree into a Searcher tree of sorted
+doc-iterators with Next/Advance merge-join machinery
+(/root/reference/index/scorch/README.md:231-256). Here a Searcher tree
+IS a DataFrame: each node compiles to ``(key cols..., score)``;
+``Advance`` is a shuffle join; conjunction/disjunction are one
+union+groupBy (a single shuffle for N-ary composites instead of N-1
+binary joins); the collector is ORDER BY score LIMIT k
+(Catalyst TakeOrderedAndProject).
+
+Scoring constants (idf, queryNorm, per-leaf queryWeight) are computed
+driver-side from tiny dictionary lookups — the exact analogue of the
+reference's global-stats pre-search (/root/reference/pre_search.go:85-110)
+— then baked into whole-stage-codegen column expressions.
+
+queryNorm semantics (verified against the reference): every composite
+searcher computes ``queryNorm = 1/sqrt(Σ child Weight())`` at
+construction and pushes it down, parents overwriting children
+(search_conjunction.go:90-102, search_boolean.go:92-110,
+search_disjunction_slice.go:104). Net effect: every scoring leaf uses the
+queryNorm of the OUTERMOST composite; a leaf at the root keeps
+queryWeight=1.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, field as dc_field
+from datetime import datetime, timezone
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from bleve_spark.analysis.analyzers import get_analyzer
+from bleve_spark.index.build import IndexedTable
+from bleve_spark.search import query as Q
+from bleve_spark.search.scorer import idf_value, term_score_col, term_weight
+
+# threshold above which a multi-term disjunction compiles to a single
+# broadcast join against a term-metadata table instead of N unioned scans
+BULK_DISJUNCTION_THRESHOLD = 8
+
+MAX_FUZZINESS = 2  # search/searcher/search_fuzzy.go:27
+
+
+@dataclass
+class _Ctx:
+    idx: IndexedTable
+    qn: float = 1.0
+
+    @property
+    def keys(self):
+        return self.idx.key_cols
+
+    @property
+    def scoring(self):
+        return self.idx.stats.scoring
+
+    def empty(self) -> DataFrame:
+        return (
+            self.idx.source.select(*self.keys)
+            .where(F.lit(False))
+            .withColumn("score", F.lit(0.0))
+        )
+
+
+# ---------------------------------------------------------------- nodes --
+
+
+class SNode:
+    def weight(self, ctx: _Ctx) -> float:
+        raise NotImplementedError
+
+    def compile(self, ctx: _Ctx) -> DataFrame:
+        """→ DataFrame(keys..., score) with unique key rows."""
+        raise NotImplementedError
+
+    def docs(self, ctx: _Ctx) -> DataFrame:
+        """Unscored doc-key set (for must_not / filter clauses)."""
+        return self.compile(ctx).select(*ctx.keys)
+
+
+@dataclass
+class STerm(SNode):
+    field: str
+    term: str
+    boost: float
+    doc_freq: int
+    boost_multiplier: float = 1.0  # fuzzy edit-distance 1/(1+d)
+
+    def _idf(self, ctx: _Ctx) -> float:
+        avg = (
+            ctx.idx.stats.avg_len(self.field)
+            if ctx.scoring == "bm25"
+            else 0.0
+        )
+        return idf_value(
+            ctx.scoring, ctx.idx.stats.doc_count, self.doc_freq, avg
+        )
+
+    def _boost(self) -> float:
+        return self.boost * self.boost_multiplier
+
+    def weight(self, ctx: _Ctx) -> float:
+        return term_weight(self._boost(), self._idf(ctx))
+
+    def _rows(self, ctx: _Ctx) -> DataFrame:
+        return ctx.idx.postings.where(
+            (F.col("field") == self.field) & (F.col("term") == self.term)
+        )
+
+    def score_col(self, ctx: _Ctx) -> Column:
+        idf = self._idf(ctx)
+        qw = (
+            self._boost() * idf * ctx.qn if ctx.qn != 1.0 else 1.0
+        )
+        avg = (
+            ctx.idx.stats.avg_len(self.field)
+            if ctx.scoring == "bm25"
+            else 0.0
+        )
+        return term_score_col(ctx.scoring, idf, avg, qw)
+
+    def compile(self, ctx: _Ctx) -> DataFrame:
+        return self._rows(ctx).select(
+            *ctx.keys, self.score_col(ctx).alias("score")
+        )
+
+    def compile_with_positions(self, ctx: _Ctx) -> DataFrame:
+        return self._rows(ctx).select(
+            *ctx.keys,
+            self.score_col(ctx).alias("score"),
+            F.col("positions"),
+        )
+
+    def docs(self, ctx: _Ctx) -> DataFrame:
+        return self._rows(ctx).select(*ctx.keys)
+
+
+@dataclass
+class SConst(SNode):
+    """Constant scorer (scorer_constant.go:53): match_all / ids / ranges.
+    ``df_fn(ctx)`` yields the matching doc keys."""
+
+    df_fn: object
+    boost: float
+
+    def weight(self, ctx: _Ctx) -> float:
+        return self.boost * self.boost
+
+    def compile(self, ctx: _Ctx) -> DataFrame:
+        score = self.boost * ctx.qn if ctx.qn != 1.0 else self.boost
+        return self.df_fn(ctx).select(
+            *ctx.keys, F.lit(float(score)).alias("score")
+        )
+
+    def docs(self, ctx: _Ctx) -> DataFrame:
+        return self.df_fn(ctx).select(*ctx.keys)
+
+
+@dataclass
+class SNone(SNode):
+    def weight(self, ctx):
+        return 0.0
+
+    def compile(self, ctx):
+        return ctx.empty()
+
+
+def _union_children(ctx: _Ctx, dfs: list[DataFrame]) -> DataFrame:
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+@dataclass
+class SConj(SNode):
+    """AND; score = Σ child scores (scorer_conjunction.go:45-71).
+    Compiled as union + groupBy HAVING count = n — one shuffle."""
+
+    children: list[SNode]
+
+    def weight(self, ctx):
+        return sum(c.weight(ctx) for c in self.children)
+
+    def compile(self, ctx):
+        if not self.children:
+            return ctx.empty()
+        if any(isinstance(c, SNone) for c in self.children):
+            return ctx.empty()
+        if len(self.children) == 1:
+            return self.children[0].compile(ctx)
+        u = _union_children(ctx, [c.compile(ctx) for c in self.children])
+        n = len(self.children)
+        return (
+            u.groupBy(*ctx.keys)
+            .agg(
+                F.sum("score").alias("score"),
+                F.count(F.lit(1)).alias("_cnt"),
+            )
+            .where(F.col("_cnt") == n)
+            .drop("_cnt")
+        )
+
+    def docs(self, ctx):
+        if not self.children or any(
+            isinstance(c, SNone) for c in self.children
+        ):
+            return ctx.empty().select(*ctx.keys)
+        if len(self.children) == 1:
+            return self.children[0].docs(ctx)
+        u = _union_children(ctx, [c.docs(ctx) for c in self.children])
+        n = len(self.children)
+        return (
+            u.groupBy(*ctx.keys)
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .where(F.col("_cnt") == n)
+            .drop("_cnt")
+        )
+
+
+@dataclass
+class SDisj(SNode):
+    """OR with ``min`` and coord = matched/total
+    (scorer_disjunction.go:46-83). min=0 behaves as ≥1 (an emitted doc
+    matched something)."""
+
+    children: list[SNode]
+    min: int = 0
+
+    def weight(self, ctx):
+        return sum(c.weight(ctx) for c in self.children)
+
+    def _bulk_terms(self) -> list[STerm] | None:
+        """All-STerm same-field disjunctions compile to one broadcast
+        join — the scale path for big dictionary expansions."""
+        if len(self.children) < BULK_DISJUNCTION_THRESHOLD:
+            return None
+        terms = []
+        fields = set()
+        for c in self.children:
+            if not isinstance(c, STerm):
+                return None
+            fields.add(c.field)
+            terms.append(c)
+        return terms if len(fields) == 1 else None
+
+    def compile(self, ctx):
+        kids = [c for c in self.children if not isinstance(c, SNone)]
+        if not kids:
+            return ctx.empty()
+        total = len(self.children)
+        min_req = max(int(self.min), 1)
+        if min_req > total:
+            return ctx.empty()
+
+        bulk = self._bulk_terms()
+        if bulk is not None:
+            return self._compile_bulk(ctx, bulk, total, min_req)
+
+        u = _union_children(ctx, [c.compile(ctx) for c in kids])
+        agg = u.groupBy(*ctx.keys).agg(
+            F.sum("score").alias("_sum"),
+            F.count(F.lit(1)).alias("_cnt"),
+        )
+        if min_req > 1:
+            agg = agg.where(F.col("_cnt") >= min_req)
+        return agg.select(
+            *ctx.keys,
+            (
+                F.col("_sum") * F.col("_cnt").cast("double") / F.lit(float(total))
+            ).alias("score"),
+        )
+
+    def _compile_bulk(self, ctx, terms: list[STerm], total, min_req):
+        spark = ctx.idx.spark
+        fld = terms[0].field
+        avg = ctx.idx.stats.avg_len(fld) if ctx.scoring == "bm25" else 0.0
+        meta = []
+        for t in terms:
+            idf = t._idf(ctx)
+            qw = t._boost() * idf * ctx.qn if ctx.qn != 1.0 else 1.0
+            meta.append((t.term, float(idf), float(qw)))
+        mdf = spark.createDataFrame(meta, "term string, _idf double, _qw double")
+        rows = ctx.idx.postings.where(F.col("field") == fld).join(
+            F.broadcast(mdf), "term"
+        )
+        # same formula as term_score_col but idf/qw come in as columns
+        if ctx.scoring == "bm25" and avg > 0:
+            per = F.col("_idf") * (
+                F.sqrt(F.col("tf").cast("double")) * F.lit(1.2)
+            ) / (
+                F.sqrt(F.col("tf").cast("double"))
+                + F.lit(1.2)
+                * (
+                    F.lit(0.25)
+                    + (
+                        F.lit(0.75)
+                        * (
+                            F.lit(1.0)
+                            / (
+                                F.col("norm").cast("double")
+                                * F.col("norm").cast("double")
+                            )
+                        )
+                    )
+                    / F.lit(avg)
+                )
+            )
+        else:
+            per = (
+                F.sqrt(F.col("tf").cast("double"))
+                * F.col("norm").cast("double")
+                * F.col("_idf")
+            )
+        per = F.when(F.col("_qw") != 1.0, per * F.col("_qw")).otherwise(per)
+        rows = rows.select(*ctx.keys, per.alias("score"))
+        agg = rows.groupBy(*ctx.keys).agg(
+            F.sum("score").alias("_sum"),
+            F.count(F.lit(1)).alias("_cnt"),
+        )
+        if min_req > 1:
+            agg = agg.where(F.col("_cnt") >= min_req)
+        return agg.select(
+            *ctx.keys,
+            (
+                F.col("_sum") * F.col("_cnt").cast("double") / F.lit(float(total))
+            ).alias("score"),
+        )
+
+    def docs(self, ctx):
+        kids = [c for c in self.children if not isinstance(c, SNone)]
+        if not kids:
+            return ctx.empty().select(*ctx.keys)
+        min_req = max(int(self.min), 1)
+        u = _union_children(ctx, [c.docs(ctx) for c in kids])
+        if min_req <= 1:
+            return u.distinct()
+        return (
+            u.groupBy(*ctx.keys)
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .where(F.col("_cnt") >= min_req)
+            .drop("_cnt")
+        )
+
+
+@dataclass
+class SBool(SNode):
+    """must/should/must_not/filter (search_boolean.go:209-330):
+    must=inner, should adds score (left join when its min is 0, inner
+    when >0), must_not=anti join, filter=semi join (unscored)."""
+
+    must: SNode | None = None
+    should: SDisj | None = None
+    must_not: SNode | None = None
+    filter: SNode | None = None
+
+    def weight(self, ctx):
+        w = 0.0
+        if self.must is not None:
+            w += self.must.weight(ctx)
+        if self.should is not None:
+            w += self.should.weight(ctx)
+        return w
+
+    def compile(self, ctx):
+        keys = ctx.keys
+        result = None
+        if self.must is not None and self.should is not None:
+            m = self.must.compile(ctx)
+            s = self.should.compile(ctx).withColumnRenamed(
+                "score", "_should_score"
+            )
+            if int(self.should.min) > 0:
+                j = m.join(s, keys, "inner")
+                result = j.select(
+                    *keys,
+                    (F.col("score") + F.col("_should_score")).alias("score"),
+                )
+            else:
+                j = m.join(s, keys, "left")
+                result = j.select(
+                    *keys,
+                    (
+                        F.col("score")
+                        + F.coalesce(F.col("_should_score"), F.lit(0.0))
+                    ).alias("score"),
+                )
+        elif self.must is not None:
+            result = self.must.compile(ctx)
+        elif self.should is not None:
+            result = self.should.compile(ctx)
+        else:
+            result = ctx.empty()
+
+        if self.must_not is not None and not isinstance(self.must_not, SNone):
+            result = result.join(self.must_not.docs(ctx), keys, "left_anti")
+        if self.filter is not None:
+            result = result.join(self.filter.docs(ctx), keys, "left_semi")
+        return result
+
+
+@dataclass
+class SPhrase(SNode):
+    """Positional phrase. ``slots`` are (relative position, [STerm
+    alternatives]) pairs; stop-filtered query tokens leave gaps that
+    widen the required offset (match_phrase.go:76 keeps token positions).
+
+    slop=0 compiles to pure native array ops: chained
+    array_intersect(transform(prev, x→x+gap), next) — no Python.
+    slop>0 falls back to a vectorized pandas UDF implementing the
+    reference's position-path DFS (search_phrase.go:439 findPhrasePaths)
+    over the (already conjunction-filtered) candidate docs only.
+    """
+
+    slots: list[tuple[int, list[STerm]]] = dc_field(default_factory=list)
+    slop: int = 0
+
+    def weight(self, ctx):
+        return sum(
+            t.weight(ctx) for _, alts in self.slots for t in alts
+        )
+
+    def compile(self, ctx):
+        if not self.slots:
+            return ctx.empty()
+        keys = ctx.keys
+
+        # per-slot doc rows: positions + score (alternatives unioned;
+        # disjunction coord within a slot — multi_phrase.go:77 semantics)
+        slot_dfs = []
+        for _, alts in self.slots:
+            if len(alts) == 1:
+                d = alts[0].compile_with_positions(ctx)
+            else:
+                parts = [t.compile_with_positions(ctx) for t in alts]
+                u = _union_children(ctx, parts)
+                total = len(alts)
+                d = (
+                    u.groupBy(*keys)
+                    .agg(
+                        F.sum("score").alias("_s"),
+                        F.count(F.lit(1)).alias("_c"),
+                        F.sort_array(
+                            F.flatten(F.collect_list("positions"))
+                        ).alias("positions"),
+                    )
+                    .select(
+                        *keys,
+                        (
+                            F.col("_s")
+                            * F.col("_c").cast("double")
+                            / F.lit(float(total))
+                        ).alias("score"),
+                        "positions",
+                    )
+                )
+            slot_dfs.append(d)
+
+        # conjunction join, threading positions through
+        base = slot_dfs[0].select(
+            *keys,
+            F.col("score").alias("_score0"),
+            F.col("positions").alias("_chain"),
+            F.col("positions").alias("_pos0"),
+        )
+        joined = base
+        score_cols = [F.col("_score0")]
+        pos_cols = [F.col("_pos0")]
+        for i in range(1, len(slot_dfs)):
+            gap = self.slots[i][0] - self.slots[i - 1][0]
+            nxt = slot_dfs[i].select(
+                *keys,
+                F.col("score").alias(f"_score{i}"),
+                F.col("positions").alias(f"_pos{i}"),
+            )
+            joined = joined.join(nxt, keys, "inner")
+            if self.slop == 0:
+                joined = joined.withColumn(
+                    "_chain",
+                    F.array_intersect(
+                        _shift_positions("_chain", gap),
+                        F.col(f"_pos{i}"),
+                    ),
+                )
+            score_cols.append(F.col(f"_score{i}"))
+            pos_cols.append(F.col(f"_pos{i}"))
+
+        total_score = score_cols[0]
+        for c in score_cols[1:]:
+            total_score = total_score + c
+
+        if self.slop == 0:
+            return (
+                joined.where(F.size("_chain") > 0)
+                .select(*keys, total_score.alias("score"))
+            )
+
+        # slop path: python check over candidates only
+        gaps = [
+            self.slots[i][0] - self.slots[i - 1][0]
+            for i in range(1, len(self.slots))
+        ]
+        slop = self.slop
+        from pyspark.sql.types import BooleanType
+
+        @F.udf(BooleanType())
+        def _paths_ok(*pos_arrays):
+            return _find_phrase_path(list(pos_arrays), gaps, slop)
+
+        return (
+            joined.where(_paths_ok(*[F.col(f"_pos{i}") for i in
+                                     range(len(slot_dfs))]))
+            .select(*keys, total_score.alias("score"))
+        )
+
+
+def _shift_positions(col, gap: int):
+    """positions + gap (single-arg lambda keeps F.transform unary)."""
+    return F.transform(col, lambda x: x + F.lit(int(gap)))
+
+
+def _find_phrase_path(pos_arrays, gaps, slop) -> bool:
+    """DFS over slot positions with a shared slop budget
+    (reference findPhrasePaths, search_phrase.go:439)."""
+
+    def rec(slot_i, prev_pos, budget):
+        if slot_i == len(pos_arrays):
+            return True
+        gap = gaps[slot_i - 1] if slot_i > 0 else 0
+        for p in pos_arrays[slot_i]:
+            if slot_i == 0:
+                if rec(1, p, budget):
+                    return True
+            else:
+                want = prev_pos + gap
+                cost = abs(p - want)
+                if p > prev_pos and cost <= budget:
+                    if rec(slot_i + 1, p, budget - cost):
+                        return True
+        return False
+
+    return rec(0, None, slop)
+
+
+# ------------------------------------------------------------- resolve --
+
+
+def _default_field(idx: IndexedTable) -> str:
+    return next(iter(idx.field_analyzers))
+
+
+def _auto_fuzziness(term: str) -> int:
+    # search/searcher/search_fuzzy.go:26-39
+    if len(term) <= 2:
+        return 0
+    if len(term) <= 5:
+        return MAX_FUZZINESS - 1
+    return MAX_FUZZINESS
+
+
+def _wildcard_to_regexp(w: str) -> str:
+    out = []
+    for ch in w:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "".join(out)
+
+
+def _parse_dt(s: str) -> datetime:
+    if s is None:
+        return None
+    s2 = s.replace("Z", "+00:00") if s.endswith("Z") else s
+    dt = datetime.fromisoformat(s2)
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+    return dt
+
+
+class Compiler:
+    def __init__(self, idx: IndexedTable):
+        self.idx = idx
+
+    # -- resolution: AST → SNode (dictionary expansions + doc freqs) --
+
+    def resolve(self, q: Q.Query) -> SNode:
+        idx = self.idx
+        m = getattr(self, "_r_" + type(q).__name__, None)
+        if m is None:
+            raise NotImplementedError(type(q).__name__)
+        return m(q)
+
+    def _field(self, q: Q.Query) -> str:
+        return q.field or _default_field(self.idx)
+
+    def _terms(self, field: str, terms: list[str],
+               boost: float) -> list[STerm]:
+        freqs = self.idx.doc_freq(field, list(dict.fromkeys(terms)))
+        return [STerm(field, t, boost, freqs.get(t, 0)) for t in terms]
+
+    def _r_TermQuery(self, q: Q.TermQuery) -> SNode:
+        f = self._field(q)
+        return self._terms(f, [q.term], q.boost)[0]
+
+    def _r_MatchQuery(self, q: Q.MatchQuery) -> SNode:
+        f = self._field(q)
+        analyzer = get_analyzer(
+            q.analyzer or self.idx.field_analyzers.get(f, "standard")
+        )
+        tokens = [t for t, _ in analyzer.analyze_terms(q.match)]
+        if not tokens:
+            return SNone()
+        if q.fuzziness:
+            subs: list[SNode] = [
+                self._fuzzy_node(f, t, q.fuzziness, q.prefix_length, q.boost)
+                for t in tokens
+            ]
+        else:
+            subs = list(self._terms(f, tokens, q.boost))
+        if q.operator == "and":
+            return SConj(subs)
+        return SDisj(subs, min=1)
+
+    def _r_MatchPhraseQuery(self, q: Q.MatchPhraseQuery) -> SNode:
+        f = self._field(q)
+        analyzer = get_analyzer(
+            q.analyzer or self.idx.field_analyzers.get(f, "standard")
+        )
+        pairs = analyzer.analyze_terms(q.match_phrase)
+        if not pairs:
+            return SNone()
+        terms = [t for t, _ in pairs]
+        sterm = {
+            s.term: s for s in self._terms(f, terms, q.boost)
+        }
+        slots = [(p, [sterm[t]]) for t, p in pairs]
+        return SPhrase(slots, slop=q.slop)
+
+    def _r_PhraseQuery(self, q: Q.PhraseQuery) -> SNode:
+        f = self._field(q)
+        if not q.terms:
+            return SNone()
+        sterms = self._terms(f, q.terms, q.boost)
+        slots = [(i + 1, [s]) for i, s in enumerate(sterms)]
+        return SPhrase(slots, slop=q.slop)
+
+    def _r_MultiPhraseQuery(self, q: Q.MultiPhraseQuery) -> SNode:
+        f = self._field(q)
+        flat = [t for alts in q.terms for t in alts]
+        freqs = self.idx.doc_freq(f, list(dict.fromkeys(flat)))
+        slots = []
+        for i, alts in enumerate(q.terms):
+            slots.append(
+                (
+                    i + 1,
+                    [STerm(f, t, q.boost, freqs.get(t, 0)) for t in alts],
+                )
+            )
+        return SPhrase(slots, slop=q.slop)
+
+    def _fuzzy_node(self, field: str, term: str, fuzziness,
+                    prefix_len: int, boost: float) -> SNode:
+        d = (
+            _auto_fuzziness(term)
+            if fuzziness in ("auto", "Auto", "AUTO")
+            else int(fuzziness)
+        )
+        if d > MAX_FUZZINESS:
+            raise ValueError(f"fuzziness {d} > max {MAX_FUZZINESS}")
+        if d == 0:
+            return self._terms(field, [term], boost)[0]
+        pred = F.levenshtein(F.col("term"), F.lit(term)) <= d
+        if prefix_len > 0:
+            pred = pred & F.col("term").startswith(term[:prefix_len])
+        cands = self.idx.expand_terms(field, pred, with_freq=True)
+        children = []
+        for t, df_ in cands:
+            dist = _levenshtein(term, t)
+            if dist > d:
+                continue  # levenshtein() in SQL is exact; belt+braces
+            children.append(
+                STerm(field, t, boost, df_,
+                      boost_multiplier=1.0 / (dist + 1.0))
+            )
+        if not children:
+            return SNone()
+        return SDisj(children, min=0)
+
+    def _r_FuzzyQuery(self, q: Q.FuzzyQuery) -> SNode:
+        return self._fuzzy_node(
+            self._field(q), q.term, q.fuzziness, q.prefix_length, q.boost
+        )
+
+    def _multi_term(self, field: str, terms_freqs, boost: float) -> SNode:
+        if not terms_freqs:
+            return SNone()
+        return SDisj(
+            [STerm(field, t, boost, n) for t, n in terms_freqs], min=0
+        )
+
+    def _r_PrefixQuery(self, q: Q.PrefixQuery) -> SNode:
+        f = self._field(q)
+        tf = self.idx.expand_terms(
+            f, F.col("term").startswith(q.prefix), with_freq=True
+        )
+        return self._multi_term(f, tf, q.boost)
+
+    def _r_RegexpQuery(self, q: Q.RegexpQuery) -> SNode:
+        f = self._field(q)
+        # dictionary automaton matches the WHOLE term — anchor it
+        tf = self.idx.expand_terms(
+            f, F.col("term").rlike(f"^(?:{q.regexp})$"), with_freq=True
+        )
+        return self._multi_term(f, tf, q.boost)
+
+    def _r_WildcardQuery(self, q: Q.WildcardQuery) -> SNode:
+        f = self._field(q)
+        rx = _wildcard_to_regexp(q.wildcard)
+        tf = self.idx.expand_terms(
+            f, F.col("term").rlike(f"^(?:{rx})$"), with_freq=True
+        )
+        return self._multi_term(f, tf, q.boost)
+
+    def _r_TermRangeQuery(self, q: Q.TermRangeQuery) -> SNode:
+        f = self._field(q)
+        pred = F.lit(True)
+        if q.min is not None:
+            pred = pred & (
+                F.col("term") >= q.min
+                if q.inclusive_min
+                else F.col("term") > q.min
+            )
+        if q.max is not None:
+            pred = pred & (
+                F.col("term") <= q.max
+                if q.inclusive_max
+                else F.col("term") < q.max
+            )
+        tf = self.idx.expand_terms(f, pred, with_freq=True)
+        return self._multi_term(f, tf, q.boost)
+
+    def _r_NumericRangeQuery(self, q: Q.NumericRangeQuery) -> SNode:
+        f = self._field(q)
+
+        def df_fn(ctx, q=q, f=f):
+            src = ctx.idx.source
+            pred = F.lit(True)
+            if q.min is not None:
+                pred = pred & (
+                    F.col(f) >= q.min if q.inclusive_min else F.col(f) > q.min
+                )
+            if q.max is not None:
+                pred = pred & (
+                    F.col(f) <= q.max if q.inclusive_max else F.col(f) < q.max
+                )
+            return src.where(pred)
+
+        return SConst(df_fn, q.boost)
+
+    def _r_DateRangeQuery(self, q: Q.DateRangeQuery) -> SNode:
+        f = self._field(q)
+        start = _parse_dt(q.start)
+        end = _parse_dt(q.end)
+
+        def df_fn(ctx, q=q, f=f, start=start, end=end):
+            src = ctx.idx.source
+            pred = F.lit(True)
+            if start is not None:
+                pred = pred & (
+                    F.col(f) >= start
+                    if q.inclusive_start
+                    else F.col(f) > start
+                )
+            if end is not None:
+                pred = pred & (
+                    F.col(f) <= end if q.inclusive_end else F.col(f) < end
+                )
+            return src.where(pred)
+
+        return SConst(df_fn, q.boost)
+
+    def _r_BoolFieldQuery(self, q: Q.BoolFieldQuery) -> SNode:
+        f = self._field(q)
+        term = "T" if q.bool_value else "F"
+        return self._terms(f, [term], q.boost)[0]
+
+    def _r_DocIDQuery(self, q: Q.DocIDQuery) -> SNode:
+        ids = list(q.ids)
+
+        def df_fn(ctx, ids=ids):
+            return ctx.idx.source.where(
+                ctx.idx.doc_id_col().isin(ids)
+            )
+
+        return SConst(df_fn, q.boost)
+
+    def _r_MatchAllQuery(self, q: Q.MatchAllQuery) -> SNode:
+        return SConst(lambda ctx: ctx.idx.source, q.boost)
+
+    def _r_MatchNoneQuery(self, q: Q.MatchNoneQuery) -> SNode:
+        return SNone()
+
+    def _r_ConjunctionQuery(self, q: Q.ConjunctionQuery) -> SNode:
+        return SConj([self.resolve(c) for c in q.conjuncts])
+
+    def _r_DisjunctionQuery(self, q: Q.DisjunctionQuery) -> SNode:
+        return SDisj(
+            [self.resolve(c) for c in q.disjuncts], min=int(q.min)
+        )
+
+    def _r_BooleanQuery(self, q: Q.BooleanQuery) -> SNode:
+        must = self.resolve(q.must) if q.must else None
+        should = None
+        if q.should is not None:
+            sq = q.should
+            if isinstance(sq, Q.DisjunctionQuery):
+                mn = int(sq.min or q.min_should)
+                should = SDisj(
+                    [self.resolve(c) for c in sq.disjuncts], min=mn
+                )
+            else:
+                should = SDisj([self.resolve(sq)], min=int(q.min_should))
+        must_not = self.resolve(q.must_not) if q.must_not else None
+        filt = self.resolve(q.filter) if q.filter else None
+        # pruning mirrors boolean.go:142-240: nothing scoreable → none
+        if must is None and should is None and filt is not None:
+            must = SConst(lambda ctx: ctx.idx.source, 1.0)
+        if must is None and should is None and must_not is not None:
+            # bleve: must_not alone matches nothing scoreable
+            return SNone()
+        return SBool(must=must, should=should, must_not=must_not,
+                     filter=filt)
+
+    def _r_QueryStringQuery(self, q: Q.QueryStringQuery) -> SNode:
+        from bleve_spark.search.query_string import parse_query_string
+
+        return self.resolve(parse_query_string(q.query))
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (ca != b[j - 1]),
+            )
+        prev = cur
+    return prev[lb]
+
+
+_COMPOSITE = (SConj, SDisj, SBool, SPhrase)
+
+
+def compile_query(idx: IndexedTable, q: Q.Query | dict) -> DataFrame:
+    """Query → DataFrame(keys..., score)."""
+    if isinstance(q, dict):
+        q = Q.parse_query(q)
+    node = Compiler(idx).resolve(q)
+    ctx = _Ctx(idx)
+    if isinstance(node, _COMPOSITE):
+        w = node.weight(ctx)
+        ctx.qn = 1.0 / math.sqrt(w) if w > 0 else 1.0
+    return node.compile(ctx)
+
+
+def search_df(
+    idx: IndexedTable,
+    q: Q.Query | dict,
+    size: int = 10,
+    from_: int = 0,
+    sort: list[str] | None = None,
+) -> DataFrame:
+    """Top-k hits: ORDER BY ... LIMIT from+size — Catalyst's
+    TakeOrderedAndProject is the reference's TopNCollector
+    (/root/reference/search/collector/topn.go:95).
+
+    ``sort`` entries mirror the reference's sort-order strings
+    (/root/reference/search/sort.go:52-120): ``"field"``, ``"-field"``
+    (descending), ``"_score"`` / ``"-_score"``, ``"_id"`` / ``"-_id"``.
+    Default ["-_score"] with the implicit HitNumber tie-break =
+    ascending key order (/root/reference/search/sort.go:269-275).
+    Field sorts read native columns — Spark's columnar source IS the
+    reference's docvalues, no uninverting needed."""
+    scored = compile_query(idx, q)
+    sort = sort or ["-_score"]
+    need_fields = [
+        s.lstrip("-")
+        for s in sort
+        if s.lstrip("-") not in ("_score", "_id") and
+        s.lstrip("-") not in idx.key_cols
+    ]
+    if need_fields:
+        scored = scored.join(
+            idx.source.select(*idx.key_cols, *need_fields),
+            idx.key_cols,
+            "inner",
+        )
+    order = []
+    for s in sort:
+        desc = s.startswith("-")
+        name = s.lstrip("-")
+        if name == "_score":
+            col = F.col("score")
+        elif name == "_id":
+            col = idx.doc_id_col()
+        else:
+            col = F.col(name)
+        order.append(col.desc() if desc else col.asc())
+    order += [F.col(k).asc() for k in idx.key_cols]
+    return scored.orderBy(*order).limit(from_ + size)
+
+
+def search(
+    idx: IndexedTable,
+    q: Q.Query | dict,
+    size: int = 10,
+    from_: int = 0,
+    facets: dict | None = None,
+    highlight_field: str | None = None,
+) -> dict:
+    """Full SearchResult: hits + total + max_score (+facets/highlights),
+    assembled like indexImpl.SearchInContext
+    (/root/reference/index_impl.go:1039-1049)."""
+    scored = compile_query(idx, q)
+    scored = scored.persist()
+    try:
+        agg = scored.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.max("score").alias("max_score"),
+        ).collect()[0]
+        total, max_score = int(agg["total"]), agg["max_score"]
+        order = [F.col("score").desc()] + [
+            F.col(k).asc() for k in idx.key_cols
+        ]
+        rows = scored.orderBy(*order).limit(from_ + size).collect()
+        rows = rows[from_:]
+        hits = [
+            {
+                "id": ":".join(str(r[k]) for k in idx.key_cols),
+                "score": float(r["score"]),
+            }
+            for r in rows
+        ]
+        result = {
+            "total_hits": total,
+            "max_score": float(max_score) if max_score is not None else 0.0,
+            "hits": hits,
+        }
+        if facets:
+            from bleve_spark.search.facets import compute_facets
+
+            result["facets"] = compute_facets(idx, scored, facets)
+        if highlight_field and hits:
+            from bleve_spark.search.highlight import highlight_hits
+
+            result["hits"] = highlight_hits(
+                idx, q, hits, highlight_field
+            )
+        return result
+    finally:
+        scored.unpersist()

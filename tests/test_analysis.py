@@ -1,0 +1,141 @@
+"""Analyzer goldens — mirrors the reference's token-level unit tests
+(/root/reference/analysis/tokenizer/unicode/unicode_test.go,
+analysis/token/stop/stop_test.go)."""
+
+from bleve_spark.analysis.analyzers import REGISTRY
+from bleve_spark.analysis.porter import stem
+from bleve_spark.analysis.tokenizers import Token, UnicodeTokenizer
+
+std = REGISTRY["standard"]
+
+
+def test_hello_world_offsets():
+    assert std.analyze("Hello World") == [
+        Token("hello", 1, 0, 5),
+        Token("world", 2, 6, 11),
+    ]
+
+
+def test_apostrophe_stays_single_token():
+    # unicode_test.go: "steven's" is one token
+    assert [t for t, _ in std.analyze_terms("steven's")] == ["steven's"]
+
+
+def test_ideographic_per_char():
+    # unicode_test.go: こんにちは世界 → one token per char, byte offsets
+    toks = std.analyze("こんにちは世界")
+    assert [t.term for t in toks] == list("こんにちは世界")
+    assert toks[0] == Token("こ", 1, 0, 3)
+    assert toks[1] == Token("ん", 2, 3, 6)
+    assert toks[6] == Token("界", 7, 18, 21)
+
+
+def test_katakana_run_stays_together():
+    assert [t for t, _ in std.analyze_terms("カタカナ test")] == [
+        "カタカナ",
+        "test",
+    ]
+
+
+def test_stopwords_keep_position_gaps():
+    # stop filter deletes tokens without renumbering (stop.go:43-54)
+    pairs = std.analyze_terms("The QUICK brown-fox's 2 dogs, 東京 test")
+    assert pairs == [
+        ("quick", 2),
+        ("brown", 3),
+        ("fox's", 4),
+        ("2", 5),
+        ("dogs", 6),
+        ("東", 7),
+        ("京", 8),
+        ("test", 9),
+    ]
+
+
+def test_numbers_and_extendnumlet():
+    pairs = std.analyze_terms("3.14 1,000 marker_017 can't")
+    # can't is a stopword
+    assert pairs == [("3.14", 1), ("1,000", 2), ("marker_017", 3)]
+
+
+def test_byte_offsets_are_utf8():
+    toks = UnicodeTokenizer().tokenize("東京 test")
+    assert toks[0].start == 0 and toks[0].end == 3
+    assert toks[1].start == 3 and toks[1].end == 6
+    assert toks[2].start == 7 and toks[2].end == 11
+
+
+def test_simple_analyzer_letters_only():
+    assert [t for t, _ in REGISTRY["simple"].analyze_terms("abc123 def")] == [
+        "abc",
+        "def",
+    ]
+
+
+def test_keyword_analyzer_whole_value():
+    assert REGISTRY["keyword"].analyze_terms("Hello World") == [
+        ("Hello World", 1)
+    ]
+
+
+def test_whitespace_analyzer():
+    assert [
+        t for t, _ in REGISTRY["whitespace"].analyze_terms("a-b C_d")
+    ] == ["a-b", "c_d"]
+
+
+def test_web_analyzer_keeps_urls_whole():
+    terms = [
+        t
+        for t, _ in REGISTRY["web"].analyze_terms(
+            "see https://example.com/x?y=1 or mail bob@example.com"
+        )
+    ]
+    assert "https://example.com/x?y=1" in terms
+    assert "bob@example.com" in terms
+
+
+def test_en_analyzer_stems_and_strips_possessive():
+    terms = [
+        t for t, _ in REGISTRY["en"].analyze_terms("Steven's connections")
+    ]
+    assert terms == ["steven", "connect"]
+
+
+def test_porter_vectors():
+    # canonical pairs from the Porter paper's vocabulary output
+    vectors = {
+        "caresses": "caress", "ponies": "poni", "cats": "cat",
+        "feed": "feed", "agreed": "agre", "plastered": "plaster",
+        "motoring": "motor", "hopping": "hop", "falling": "fall",
+        "happy": "happi", "sky": "sky", "relational": "relat",
+        "conditional": "condit", "rational": "ration",
+        "digitizer": "digit", "operator": "oper",
+        "feudalism": "feudal", "decisiveness": "decis",
+        "hopeful": "hope", "goodness": "good", "revival": "reviv",
+        "allowance": "allow", "inference": "infer",
+        "adjustable": "adjust", "defensible": "defens",
+        "irritant": "irrit", "replacement": "replac",
+        "adjustment": "adjust", "dependent": "depend",
+        "adoption": "adopt", "communism": "commun",
+        "activate": "activ", "effective": "effect", "rate": "rate",
+        "cease": "ceas", "controll": "control", "roll": "roll",
+    }
+    for w, expect in vectors.items():
+        assert stem(w) == expect, f"{w}: {stem(w)} != {expect}"
+
+
+def test_wikipedia_style_unique_terms_stable():
+    # correctness anchor analogue of analysis/benchmark_test.go:37-44
+    # (the reference asserts 511 unique terms on a fixed article; we pin
+    # our own fixed input's unique-term count to catch analyzer drift)
+    text = (
+        "The Quick brown fox's 2,000 dogs jump over the lazy dog. "
+        "カタカナ 東京 bob@example.com 3.14 marker_001 don't can't it's "
+    ) * 3
+    terms = {t for t, _ in std.analyze_terms(text)}
+    assert terms == {
+        "quick", "brown", "fox's", "2,000", "dogs", "jump", "lazy",
+        "dog", "カタカナ", "東", "京", "bob", "example.com", "3.14",
+        "marker_001",
+    }
