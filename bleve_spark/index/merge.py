@@ -1,0 +1,223 @@
+"""Tiered segment merging — the reference's merge planner, as Spark jobs.
+
+The offline builder merges groups of ≤10 segments per round until one
+remains (/root/reference/index/scorch/builder.go:169-236; policy
+envelope /root/reference/index/scorch/mergeplan/merge_plan.go:159-167).
+Here one round = one shuffle keyed by (new_segment, field, term):
+member chunks are decoded, doc-renumbered with per-member offsets, and
+re-encoded sorted — log_fanin(#segments) rounds total, which is the
+bounded-shuffle-rounds scale argument (10^12 docs / 5M-doc segments →
+200k segments → 6 rounds).
+
+Skew: a hot term's group = all its chunks in the member segments. Pass
+``band_chunks`` to sub-key groups by bands of source chunks — group
+size is then bounded by band_chunks · chunk_docs postings regardless of
+term frequency (the salting knob for Zipfian tool/role terms; chunk ids
+stay order-preserving, just not dense)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession, functions as F
+
+from bleve_spark.index.segments import (
+    SEG_SHIFT,
+    DEFAULT_CHUNK_DOCS,
+    _posting_schema,
+    _seg_paths,
+)
+from bleve_spark.index.varint import (
+    decode_positions,
+    delta_decode_sorted,
+    delta_encode_sorted,
+    encode_positions,
+    varint_decode,
+    varint_encode,
+)
+
+LOCAL_MASK = (1 << SEG_SHIFT) - 1
+
+
+def merge_level(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    fanin: int = 10,
+    chunk_docs: int = DEFAULT_CHUNK_DOCS,
+    band_chunks: int | None = None,
+) -> list[dict]:
+    """One merge round: segments grouped in id order, ≤fanin per group."""
+    t_start = time.time()
+    mdir = os.path.join(src_root, "manifest")
+    manifests = []
+    for fn in sorted(os.listdir(mdir)):
+        if fn.endswith(".json"):
+            with open(os.path.join(mdir, fn)) as f:
+                manifests.append(json.load(f))
+    manifests.sort(key=lambda m: m["segment_id"])
+
+    groups: list[list[dict]] = [
+        manifests[i : i + fanin] for i in range(0, len(manifests), fanin)
+    ]
+    # per-old-segment: (new_seg, doc offset within new seg, member idx)
+    remap: dict[int, tuple[int, int, int]] = {}
+    for g, members in enumerate(groups):
+        off = 0
+        for mi, m in enumerate(members):
+            remap[m["segment_id"]] = (g, off, mi)
+            off += m["doc_count"]
+
+    os.makedirs(dst_root, exist_ok=True)
+
+    # ---- postings: decode → renumber → re-encode, one shuffle ----
+    from bleve_spark.index.segments import SegmentStore
+
+    rows = SegmentStore(spark, src_root).chunk_rows(with_blobs=True)
+    remap_items = [
+        (int(old), int(v[0]), int(v[1]), int(v[2]))
+        for old, v in remap.items()
+    ]
+    rm_df = spark.createDataFrame(
+        remap_items, "segment_id int, new_seg int, doc_off long, member int"
+    )
+    rows = rows.join(F.broadcast(rm_df), "segment_id")
+    group_keys = ["new_seg", "field", "term"]
+    if band_chunks:
+        rows = rows.withColumn(
+            "band",
+            (F.col("member") * F.lit(1 << 20) + F.col("chunk_id"))
+            / F.lit(band_chunks),
+        ).withColumn("band", F.col("band").cast("int"))
+        group_keys = group_keys + ["band"]
+
+    cd = chunk_docs
+    bc = band_chunks
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["member", "chunk_id"], kind="mergesort")
+        new_seg = int(pdf["new_seg"].iloc[0])
+        base_new = np.uint64(new_seg) << np.uint64(SEG_SHIFT)
+        docs_all, tfs_all, pos_all = [], [], []
+        norms_max = 0.0
+        for r in pdf.itertuples():
+            docs = delta_decode_sorted(r.doc_blob)
+            local = docs & np.uint64(LOCAL_MASK)
+            off = np.uint64(int(r.doc_off))
+            docs_all.append(base_new + off + local)
+            tfs_all.append(varint_decode(r.tf_blob))
+            pos_all.extend(decode_positions(r.pos_blob, len(docs)))
+            norms_max = max(norms_max, float(r.max_norm))
+        docs_a = np.concatenate(docs_all)
+        tfs_a = np.concatenate(tfs_all)
+        out = {
+            "segment_id": [], "field": [], "term": [], "chunk_id": [],
+            "n_docs": [], "doc_blob": [], "tf_blob": [], "pos_blob": [],
+            "max_tf": [], "max_norm": [], "min_doc": [], "max_doc": [],
+        }
+        fld = pdf["field"].iloc[0]
+        term = pdf["term"].iloc[0]
+        band = int(pdf["band"].iloc[0]) if bc else 0
+        for i, c0 in enumerate(range(0, len(docs_a), cd)):
+            c1 = min(c0 + cd, len(docs_a))
+            out["segment_id"].append(new_seg)
+            out["field"].append(fld)
+            out["term"].append(term)
+            out["chunk_id"].append((band << 20) + i if bc else i)
+            out["n_docs"].append(c1 - c0)
+            out["doc_blob"].append(delta_encode_sorted(docs_a[c0:c1]))
+            out["tf_blob"].append(varint_encode(tfs_a[c0:c1]))
+            out["pos_blob"].append(encode_positions(pos_all[c0:c1]))
+            out["max_tf"].append(int(tfs_a[c0:c1].max()))
+            out["max_norm"].append(norms_max)
+            out["min_doc"].append(int(docs_a[c0]))
+            out["max_doc"].append(int(docs_a[c1 - 1]))
+        return pd.DataFrame(out)
+
+    merged = rows.groupBy(*group_keys).applyInPandas(
+        merge_group, schema=_posting_schema()
+    )
+    (
+        merged.withColumnRenamed("segment_id", "seg")
+        .write.partitionBy("seg")
+        .mode("overwrite")
+        .parquet(os.path.join(dst_root, "postings"))
+    )
+    # normalize partition dir name seg=<id> matches reader glob
+    # (spark writes postings/seg=K/part-*.parquet — same layout)
+
+    # ---- doc tables: renumber per group ----
+    for g, members in enumerate(groups):
+        parts = []
+        for m in members:
+            old = m["segment_id"]
+            d = spark.read.parquet(
+                os.path.join(src_root, "docs", f"seg={old}")
+            )
+            _, off, _ = remap[old][0], remap[old][1], remap[old][2]
+            new_num = (
+                F.lit(g << SEG_SHIFT).cast("long")
+                + F.lit(int(remap[old][1])).cast("long")
+                + F.col("doc_num").cast("long").bitwiseAND(
+                    F.lit(LOCAL_MASK).cast("long")
+                )
+            )
+            parts.append(d.withColumn("doc_num", new_num))
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(dst_root, "docs", f"seg={g}")
+        )
+
+    # ---- manifests ----
+    out_manifests = []
+    secs = time.time() - t_start
+    for g, members in enumerate(groups):
+        man = {
+            "segment_id": g,
+            "doc_count": sum(m["doc_count"] for m in members),
+            "postings": sum(m["postings"] for m in members),
+            "unique_terms": None,  # recomputed lazily by stats()
+            "bytes": sum(m["bytes"] for m in members),
+            "seconds": secs,
+            "postings_per_sec": (
+                sum(m["postings"] for m in members) / secs
+                if secs > 0 else 0.0
+            ),
+            "merged_from": [m["segment_id"] for m in members],
+            "fields": members[0].get("fields"),
+            "key_cols": members[0].get("key_cols"),
+        }
+        _, _, mpath = _seg_paths(dst_root, g)
+        os.makedirs(os.path.dirname(mpath), exist_ok=True)
+        with open(mpath, "w") as f:
+            json.dump(man, f)
+        out_manifests.append(man)
+    return out_manifests
+
+
+def merge_to_single(
+    spark: SparkSession,
+    root: str,
+    fanin: int = 10,
+    chunk_docs: int = DEFAULT_CHUNK_DOCS,
+    band_chunks: int | None = None,
+) -> str:
+    """Repeated ≤fanin-way rounds until one segment remains
+    (builder.go:169-236). Returns the final level's root path."""
+    level = 0
+    cur = root
+    while True:
+        mdir = os.path.join(cur, "manifest")
+        n = len([f for f in os.listdir(mdir) if f.endswith(".json")])
+        if n <= 1:
+            return cur
+        level += 1
+        nxt = f"{root}_L{level}"
+        merge_level(spark, cur, nxt, fanin, chunk_docs, band_chunks)
+        cur = nxt

