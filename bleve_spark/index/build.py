@@ -137,12 +137,18 @@ def _field_postings(
     toks = tokens_udf(analyzer)
     with_toks = df.select(
         *keys, toks(F.col(field_name).cast("string")).alias("_toks")
-    ).withColumn("_field_len", F.size("_toks"))
-    exploded = with_toks.where(F.col("_field_len") > 0).select(
-        *keys,
-        "_field_len",
-        F.explode("_toks").alias("_tok"),
     )
+    # explode_outer, not explode: InferFiltersFromGenerate synthesizes
+    # a size()>0 filter under a plain explode and pushes it below the
+    # projection, making Catalyst run the analysis UDF TWICE per row
+    # (two ArrowEvalPython nodes). explode_outer has no inferable
+    # constraint; the null rows from empty docs are dropped after the
+    # Generate, above the single UDF evaluation.
+    exploded = with_toks.select(
+        *keys,
+        F.size("_toks").alias("_field_len"),
+        F.explode_outer("_toks").alias("_tok"),
+    ).where(F.col("_tok").isNotNull())
     return (
         exploded.groupBy(*keys, "_field_len", F.col("_tok.term").alias("term"))
         .agg(

@@ -886,6 +886,7 @@ def search_df(
     size: int = 10,
     from_: int = 0,
     sort: list[str] | None = None,
+    search_after: list | None = None,
 ) -> DataFrame:
     """Top-k hits: ORDER BY ... LIMIT from+size — Catalyst's
     TakeOrderedAndProject is the reference's TopNCollector
@@ -913,6 +914,7 @@ def search_df(
             "inner",
         )
     order = []
+    specs = []  # (Column, descending) incl. implicit key tie-break
     for s in sort:
         desc = s.startswith("-")
         name = s.lstrip("-")
@@ -923,7 +925,25 @@ def search_df(
         else:
             col = F.col(name)
         order.append(col.desc() if desc else col.asc())
-    order += [F.col(k).asc() for k in idx.key_cols]
+        specs.append((col, desc))
+    for k in idx.key_cols:
+        order.append(F.col(k).asc())
+        specs.append((F.col(k), False))
+
+    if search_after is not None:
+        # cursor semantics (topn.go:103-128): keep rows strictly AFTER
+        # the cursor in sort order — lexicographic comparison over the
+        # sort tuple (cursor must cover the leading sort keys; missing
+        # trailing values make the comparison prefix-based)
+        n = min(len(search_after), len(specs))
+        pred = F.lit(False)
+        for i in range(n - 1, -1, -1):
+            col, desc = specs[i]
+            cur = F.lit(search_after[i])
+            strictly = col < cur if desc else col > cur
+            pred = strictly | ((col == cur) & pred)
+        scored = scored.where(pred)
+
     return scored.orderBy(*order).limit(from_ + size)
 
 
