@@ -31,12 +31,14 @@ _INDEX_CACHE: dict = {}
 def _docs_index(spark: SparkSession, sf_dir: str, scoring: str = "bm25"):
     key = (spark.sparkContext.applicationId, sf_dir, "documents", scoring)
     if key not in _INDEX_CACHE:
-        df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        df = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+            "long_doc", F.col("n_chars") > 300
+        )
         _INDEX_CACHE[key] = index_table(
             df,
             key_cols=["doc_id"],
             fields={"text": "standard", "lang": "keyword",
-                    "source": "keyword"},
+                    "source": "keyword", "long_doc": "boolean"},
             scoring=scoring,
         )
     return _INDEX_CACHE[key]
@@ -78,7 +80,10 @@ _STOP_SQL = ", ".join(
 # postings/dict/stats over `documents` — the SQL statement of the same
 # single-segment index the engine builds (text is space-joined lowercase
 # tokens, so UAX#29 == string_split here; stop list applied verbatim)
-_PRELUDE = f"""
+
+
+def _mk_prelude(avgl_cte: str) -> str:
+    return f"""
 WITH raw AS (
   SELECT doc_id, string_split(text, ' ') AS words FROM documents
 ), tok AS (
@@ -96,14 +101,30 @@ WITH raw AS (
   FROM tok2 t JOIN doclen d USING (doc_id)
   GROUP BY t.doc_id, t.term, d.flen
 ), ndocs AS (SELECT count(*) AS n FROM documents),
-avgl AS (
-  SELECT ceil(CAST(count(DISTINCT term) AS DOUBLE)
-              / (SELECT n FROM ndocs)) AS v
-  FROM post
-), dict AS (
+{avgl_cte}, dict AS (
   SELECT term, count(*) AS df FROM post GROUP BY term
 )
 """
+
+
+_PRELUDE = _mk_prelude(
+    """avgl AS (
+  SELECT ceil(CAST(count(DISTINCT term) AS DOUBLE)
+              / (SELECT n FROM ndocs)) AS v
+  FROM post
+)"""
+)
+
+# alias over 2 shards (doc_id % 2): bleve sums PER-SHARD unique-term
+# counts (pre_search.go:96-110 + snapshot_index.go:151-161), so
+# avg_doc_len = ceil(Σ shard cards / N) — NOT the global distinct count
+_PRELUDE_ALIAS2 = _mk_prelude(
+    """avgl AS (
+  SELECT ceil(CAST((SELECT sum(c) FROM (
+           SELECT count(DISTINCT term) AS c FROM post GROUP BY doc_id % 2
+         ) shard_cards) AS DOUBLE) / (SELECT n FROM ndocs)) AS v
+)"""
+)
 
 # BM25 per-posting base score (p=posting alias, q=query-term alias
 # carrying idf) — identical op order to bleve_spark.search.scorer
@@ -133,9 +154,9 @@ def _expansion(pred, mult="1.0"):
     )
 
 
-def _sql_single_term(term, k=20):
+def _sql_single_term(term, k=20, prelude=None):
     """Root-level term query: queryWeight stays 1."""
-    return f"""{_PRELUDE},
+    return f"""{prelude or _PRELUDE},
 q AS (SELECT qt.term, {_IDF.format(df='coalesce(d.df,0)')} AS idf
       FROM (VALUES ('{term}')) qt(term) LEFT JOIN dict d USING (term))
 SELECT p.doc_id, round({_BASE}, 6) AS score
@@ -245,6 +266,103 @@ should AS (
 SELECT m.doc_id, round(m.s + coalesce(sh.s, 0.0), 6) AS score
 FROM must m LEFT JOIN should sh USING (doc_id)
 WHERE m.doc_id NOT IN (SELECT doc_id FROM documents WHERE lang = 'zh')
+ORDER BY score DESC, doc_id LIMIT 20"""
+
+
+# multi_phrase slots [part|value] → [hash]: per-slot disjunction coord
+# (multi_phrase.go:77), adjacency via position intersection; qnorm over
+# ALL alternatives' idfs (SPhrase.weight sums every slot term)
+_SQL_MULTI_PHRASE = f"""{_PRELUDE},
+expq AS (SELECT qt.term, {_IDF.format(df='coalesce(d.df,0)')} AS idf
+         FROM (VALUES ('part'),('value'),('hash')) qt(term)
+         LEFT JOIN dict d USING (term)),
+qnorm AS (SELECT 1.0/sqrt(sum(idf*idf)) AS v FROM expq),
+s1 AS (
+  SELECT p.doc_id,
+         sum({_BASE} * (q.idf * (SELECT v FROM qnorm))) AS raw,
+         count(*) AS c,
+         flatten(list(p.positions)) AS pos
+  FROM post p JOIN expq q USING (term) WHERE p.term IN ('part','value')
+  GROUP BY p.doc_id),
+s2 AS (
+  SELECT p.doc_id, {_BASE} * (q.idf * (SELECT v FROM qnorm)) AS s,
+         p.positions AS pos
+  FROM post p JOIN expq q USING (term) WHERE p.term = 'hash')
+SELECT s1.doc_id, round(s1.raw * s1.c / 2.0 + s2.s, 6) AS score
+FROM s1 JOIN s2 USING (doc_id)
+WHERE len(list_intersect(list_transform(s1.pos, x -> x + 1), s2.pos)) > 0
+ORDER BY score DESC, doc_id LIMIT 20"""
+
+# phrase "table hash" with slop=1 — findPhrasePaths budget semantics
+# (search_phrase.go:439): match iff ∃ a∈pos(table), b∈pos(hash) with
+# b > a and |b-(a+1)| ≤ 1, i.e. b-a ∈ {1,2}
+_SQL_PHRASE_SLOP = f"""{_PRELUDE},
+expq AS (SELECT qt.term, {_IDF.format(df='coalesce(d.df,0)')} AS idf
+         FROM (VALUES ('table'),('hash')) qt(term)
+         LEFT JOIN dict d USING (term)),
+qnorm AS (SELECT 1.0/sqrt(sum(idf*idf)) AS v FROM expq),
+p1 AS (SELECT p.doc_id, p.positions,
+              {_BASE} * (q.idf * (SELECT v FROM qnorm)) AS s
+       FROM post p JOIN expq q USING (term) WHERE p.term = 'table'),
+p2 AS (SELECT p.doc_id, p.positions,
+              {_BASE} * (q.idf * (SELECT v FROM qnorm)) AS s
+       FROM post p JOIN expq q USING (term) WHERE p.term = 'hash')
+SELECT p1.doc_id, round(p1.s + p2.s, 6) AS score
+FROM p1 JOIN p2 USING (doc_id)
+WHERE len(list_filter(p1.positions,
+      a -> len(list_filter(p2.positions,
+           b -> b - a >= 1 AND b - a <= 2)) > 0)) > 0
+ORDER BY score DESC, doc_id LIMIT 20"""
+
+# bool_field compiles to a term searcher on the single "T" token
+# (bool_field.go:56): fieldLength=1 → norm=1.0, tf=1;
+# avg_doc_len = ceil(#distinct bool values / N)
+_SQL_BOOL_FIELD = """
+WITH n AS (SELECT count(*) AS c FROM documents),
+fdf AS (SELECT count(*) AS c FROM documents WHERE n_chars > 300),
+card AS (SELECT count(DISTINCT (n_chars > 300)) AS c FROM documents),
+avgl AS (SELECT ceil(CAST((SELECT c FROM card) AS DOUBLE)
+                     / (SELECT c FROM n)) AS v),
+idf AS (SELECT ln(1 + ((SELECT c FROM n) - (SELECT c FROM fdf) + 0.5)
+                     / ((SELECT c FROM fdf) + 0.5)) AS v)
+SELECT doc_id, round((SELECT v FROM idf) * 1.2
+       / (1.0 + 1.2 * (0.25 + 0.75 / (SELECT v FROM avgl))), 6) AS score
+FROM documents WHERE n_chars > 300
+ORDER BY score DESC, doc_id LIMIT 20"""
+
+# search_after cursor = the 4th-ranked (score, doc_id) of the term
+# query; page is the strictly-after tuple order (topn.go:103-128)
+_SQL_SEARCH_AFTER = f"""{_PRELUDE},
+q AS (SELECT qt.term, {_IDF.format(df='coalesce(d.df,0)')} AS idf
+      FROM (VALUES ('spark')) qt(term) LEFT JOIN dict d USING (term)),
+scored AS (SELECT p.doc_id, round({_BASE}, 6) AS score
+           FROM post p JOIN q USING (term)),
+cur AS (SELECT score, doc_id FROM scored
+        ORDER BY score DESC, doc_id LIMIT 1 OFFSET 3)
+SELECT s.doc_id, s.score FROM scored s, cur c
+WHERE s.score < c.score OR (s.score = c.score AND s.doc_id > c.doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT 6"""
+
+# RRF fusion of two BM25 top-20 lists (rrf.go:34):
+# score = Σ 1/(rank_i + 60), rank by (score desc, doc_id asc)
+_SQL_RRF = f"""{_PRELUDE},
+q1 AS (SELECT qt.term, {_IDF.format(df='coalesce(d.df,0)')} AS idf
+       FROM (VALUES ('spark')) qt(term) LEFT JOIN dict d USING (term)),
+q2 AS (SELECT qt.term, {_IDF.format(df='coalesce(d.df,0)')} AS idf
+       FROM (VALUES ('join')) qt(term) LEFT JOIN dict d USING (term)),
+l1 AS (SELECT p.doc_id, round({_BASE}, 6) AS score
+       FROM post p JOIN q1 q USING (term)
+       ORDER BY score DESC, p.doc_id LIMIT 20),
+l2 AS (SELECT p.doc_id, round({_BASE}, 6) AS score
+       FROM post p JOIN q2 q USING (term)
+       ORDER BY score DESC, p.doc_id LIMIT 20),
+r AS (
+  SELECT doc_id, 1.0/(60 + row_number()
+         OVER (ORDER BY score DESC, doc_id)) AS c FROM l1
+  UNION ALL
+  SELECT doc_id, 1.0/(60 + row_number()
+         OVER (ORDER BY score DESC, doc_id)) AS c FROM l2)
+SELECT doc_id, round(sum(c), 6) AS score FROM r GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT 20"""
 
 
@@ -510,6 +628,90 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bucket string, count long",
         )
 
+    def q_multi_phrase(spark, sf):
+        return _topk(
+            _docs_index(spark, sf),
+            {"field": "text", "terms": [["part", "value"], ["hash"]]},
+        )
+
+    def q_phrase_slop(spark, sf):
+        return _topk(
+            _docs_index(spark, sf),
+            {"field": "text", "terms": ["table", "hash"], "slop": 1},
+        )
+
+    def q_bool_field(spark, sf):
+        return _topk(
+            _docs_index(spark, sf), {"field": "long_doc", "bool": True}
+        )
+
+    def q_search_after(spark, sf):
+        idx = _docs_index(spark, sf)
+        scored = compile_query(
+            idx, {"field": "text", "term": "spark"}
+        ).select("doc_id", F.round(F.col("score"), 6).alias("score"))
+        order = [F.col("score").desc(), F.col("doc_id").asc()]
+        cur = scored.orderBy(*order).limit(4).collect()[-1]
+        after = scored.where(
+            (F.col("score") < cur["score"])
+            | ((F.col("score") == cur["score"])
+               & (F.col("doc_id") > cur["doc_id"]))
+        )
+        return after.orderBy(*order).limit(6)
+
+    def q_rrf_fusion(spark, sf):
+        from bleve_spark.search.fusion import rrf_fuse
+
+        idx = _docs_index(spark, sf)
+        l1 = _topk(idx, {"field": "text", "term": "spark"}, k=20)
+        l2 = _topk(idx, {"field": "text", "term": "join"}, k=20)
+        fused = rrf_fuse(
+            [l1.select("doc_id", "score"), l2.select("doc_id", "score")],
+            ["doc_id"],
+        )
+        return (
+            fused.select(
+                "doc_id", F.round(F.col("score"), 6).alias("score")
+            )
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(20)
+        )
+
+    def q_alias_2shards(spark, sf):
+        from bleve_spark.search.alias import AliasIndex
+
+        key = (spark.sparkContext.applicationId, sf, "documents-alias2")
+        if key not in _INDEX_CACHE:
+            df = spark.read.parquet(f"{sf}/documents.parquet")
+            shards = [
+                index_table(
+                    df.where(F.col("doc_id") % 2 == i),
+                    key_cols=["doc_id"],
+                    fields={"text": "standard"},
+                )
+                for i in (0, 1)
+            ]
+            _INDEX_CACHE[key] = AliasIndex(shards)
+        return _topk(
+            _INDEX_CACHE[key], {"field": "text", "term": "spark"}, k=20
+        )
+
+    def q_highlight(spark, sf):
+        from bleve_spark.search.searcher import search
+
+        idx = _docs_index(spark, sf)
+        res = search(
+            idx, {"field": "text", "match": "spark data"}, size=5,
+            highlight_field="text",
+        )
+        rows = [
+            (h["id"], h.get("fragments", {}).get("text", [""])[0])
+            for h in res["hits"]
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id string, fragment string"
+        )
+
     # ---- training-data pipeline ops ----
     def dedup_exact(spark, sf):
         from bleve_spark.functions.dedup import exact_dedup
@@ -616,6 +818,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_query_string": q_query_string,
             "q_facet_lang": q_facet_lang,
             "q_facet_nchars": q_facet_nchars,
+            "q_multi_phrase": q_multi_phrase,
+            "q_phrase_slop": q_phrase_slop,
+            "q_bool_field": q_bool_field,
+            "q_search_after": q_search_after,
+            "q_rrf_fusion": q_rrf_fusion,
+            "q_alias_2shards": q_alias_2shards,
+            "q_highlight": q_highlight,
             "dedup_exact": dedup_exact,
             "dedup_ngram_jaccard": dedup_ngram_jaccard,
             "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -694,6 +903,16 @@ def oracle_sql() -> dict[str, str]:
             "(b.bucket='large' AND d.n_chars >= 400) "
             "GROUP BY b.bucket"
         ),
+        "q_multi_phrase": _SQL_MULTI_PHRASE,
+        "q_phrase_slop": _SQL_PHRASE_SLOP,
+        "q_bool_field": _SQL_BOOL_FIELD,
+        "q_search_after": _SQL_SEARCH_AFTER,
+        "q_rrf_fusion": _SQL_RRF,
+        "q_alias_2shards": _sql_single_term(
+            "spark", prelude=_PRELUDE_ALIAS2
+        ),
+        # q_highlight: fragment extraction (200-byte windows, best-
+        # fragment scoring) is not ANSI-SQL-expressible — rows-only.
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, "
             "count(*) AS dup_count FROM documents GROUP BY md5(text)"

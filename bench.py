@@ -7,7 +7,7 @@ deterministic synthetic transcript corpus (the north-rule metric), and
 Env knobs:
   SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[] parallelism (default 32)
-  BENCH_TURNS          approx transcript turns to index (default 200000)
+  BENCH_TURNS          approx transcript turns to index (default 2000000)
   BENCH_JSON_EXTRA     if set, merged into the output dict (used by the
                        scaling harness to tag runs)
 
@@ -29,11 +29,11 @@ import time
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_turns_target = int(os.environ.get("BENCH_TURNS", "200000"))
+    n_turns_target = int(os.environ.get("BENCH_TURNS", "2000000"))
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from bleve_spark.corpus import transcripts_df
-    from bleve_spark.index.segments import build_segments
+    from bleve_spark.index.segments import build_segments_from_files
     from bleve_spark.session import get_spark
 
     import __spark_entry__ as E
@@ -45,33 +45,54 @@ def main():
     timings: dict[str, float] = {}
 
     # ---- index-build throughput (turns/sec) ----
-    # avg 16.5 turns/conv → conv count for the target turn volume
+    # avg 16.5 turns/conv → conv count for the target turn volume.
+    # The corpus is written as a FIXED 64-file layout so the job is
+    # byte-identical at every parallelism level; the shuffle-free
+    # file-per-segment build (bleve offline-Builder shape) then runs
+    # one columnar read + analyze + encode task per file. Build runs
+    # twice: cold (includes one-time python-worker spin-up — amortized
+    # away at real corpus sizes) and warm (steady-state throughput,
+    # the headline number).
     n_convs = max(64, int(n_turns_target / 16.5))
+    n_files = 64
     corpus_dir = tempfile.mkdtemp(prefix="bench_corpus_")
-    seg_root = tempfile.mkdtemp(prefix="bench_segs_") + "/idx"
+    seg_base = tempfile.mkdtemp(prefix="bench_segs_")
     try:
-        transcripts_df(spark, n_convs, parts=cpus * 2).write.mode(
+        transcripts_df(spark, n_convs, parts=n_files).write.mode(
             "overwrite"
         ).parquet(corpus_dir)
         src = spark.read.parquet(corpus_dir)
         n_turns = src.count()
+        paths = [
+            os.path.join(corpus_dir, f)
+            for f in os.listdir(corpus_dir)
+            if f.endswith(".parquet")
+        ]
 
-        t0 = time.time()
-        stats = build_segments(
-            src,
-            ["conv_id", "turn_idx"],
-            {"text": "standard"},
-            seg_root,
-            n_segments=cpus * 2,
-            resume=False,
-        )
-        build_secs = time.time() - t0
-        turns_per_sec = n_turns / build_secs
+        runs = {}
+        for mode in ("cold", "warm"):
+            seg_root = os.path.join(seg_base, f"idx_{mode}")
+            t0 = time.time()
+            stats = build_segments_from_files(
+                spark,
+                paths,
+                ["conv_id", "turn_idx"],
+                {"text": "standard"},
+                seg_root,
+                resume=False,
+            )
+            secs = time.time() - t0
+            runs[mode] = {
+                "seconds": round(secs, 3),
+                "turns_per_sec": round(n_turns / secs, 1),
+            }
         total_postings = sum(s["postings"] for s in stats)
+        build_secs = runs["warm"]["seconds"]
         index_build = {
             "turns": int(n_turns),
-            "seconds": round(build_secs, 3),
-            "turns_per_sec": round(turns_per_sec, 1),
+            "seconds": build_secs,
+            "turns_per_sec": runs["warm"]["turns_per_sec"],
+            "cold": runs["cold"],
             "postings": int(total_postings),
             "postings_per_sec": round(total_postings / build_secs, 1),
             "segments": len(stats),
@@ -79,7 +100,7 @@ def main():
         }
     finally:
         shutil.rmtree(corpus_dir, ignore_errors=True)
-        shutil.rmtree(os.path.dirname(seg_root), ignore_errors=True)
+        shutil.rmtree(seg_base, ignore_errors=True)
 
     # ---- headline query suite over the sf tables ----
     suite = [

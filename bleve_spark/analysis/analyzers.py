@@ -23,6 +23,7 @@ import re
 from dataclasses import dataclass, field
 
 from bleve_spark.analysis.filters import (
+    BooleanTFFilter,
     LowercaseFilter,
     PorterFilter,
     PossessiveEnFilter,
@@ -108,6 +109,100 @@ class Analyzer:
             tokens = f.apply(tokens)
         return tokens
 
+    def analyze_batch(self, texts: list):
+        """Vectorized batch path for segment builds: analyze many docs
+        at once, returning flat arrays instead of per-doc lists.
+
+        Returns ``(flens, doc_idx, codes, vocab, pos)`` where ``flens``
+        is the post-filter token count per doc (the reference's
+        fieldLength, /root/reference/document/field_text.go:82-106),
+        ``doc_idx``/``pos`` locate each surviving token (pos is the
+        1-based PRE-filter tokenizer position — drop-filters leave
+        gaps, /root/reference/analysis/type.go:42-62), ``codes`` are
+        int32 ranks into the lexicographically sorted ``vocab``.
+
+        Tokenization is one C-regex pass per doc; filters run
+        vectorized over the flat token stream (Arrow utf8_lower /
+        is_in); map-filters such as porter run once per UNIQUE term
+        via dictionary encoding, not once per token.
+        """
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        n = len(texts)
+        tokenize = self.tokenizer.terms
+        cfs = self.char_filters
+        tok_lists = []
+        for t in texts:
+            if t is None:
+                tok_lists.append(())
+                continue
+            s = str(t)
+            for cf in cfs:
+                s = cf.apply(s)
+            tok_lists.append(tokenize(s))
+
+        counts = np.fromiter(
+            (len(x) for x in tok_lists), dtype=np.int64, count=n
+        )
+        total = int(counts.sum())
+        # int32 throughout: these N-sized arrays dominate the build's
+        # memory traffic, and the box saturates bandwidth before cores
+        doc_idx = np.repeat(np.arange(n, dtype=np.int32), counts)
+        # 1-based position within each doc: arange minus each doc's start
+        starts = np.repeat(
+            (np.cumsum(counts) - counts).astype(np.int32), counts
+        )
+        pos = np.arange(total, dtype=np.int32) - starts + 1
+
+        flat: list[str] = []
+        for x in tok_lists:
+            flat.extend(x)
+        arr = pa.array(flat, type=pa.string())
+
+        for f in self.token_filters:
+            if isinstance(f, LowercaseFilter):
+                arr = pc.utf8_lower(arr)
+            elif isinstance(f, StopFilter):
+                drop = pc.is_in(
+                    arr, value_set=pa.array(sorted(f.stopset))
+                )
+                keep = pc.invert(drop)
+                arr = arr.filter(keep)
+                km = np.asarray(keep)
+                doc_idx = doc_idx[km]
+                pos = pos[km]
+            else:
+                # 1:1 map filters (porter, possessive, boolean T/F):
+                # apply once per unique term via dictionary encoding
+                enc = arr.dictionary_encode()
+                vocab = enc.dictionary.to_pylist()
+                mapped = []
+                for u in vocab:
+                    out = f.apply_terms([u])
+                    if len(out) != 1:
+                        raise NotImplementedError(
+                            f"filter {type(f).__name__} is not 1:1; "
+                            "batch path unsupported"
+                        )
+                    mapped.append(out[0])
+                arr = pc.take(
+                    pa.array(mapped, type=pa.string()), enc.indices
+                )
+
+        flens = np.bincount(doc_idx, minlength=n).astype(np.int64)
+
+        enc = arr.dictionary_encode()
+        codes_raw = np.asarray(enc.indices, dtype=np.int32)
+        vocab_raw = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        order = np.argsort(vocab_raw, kind="stable")
+        rank = np.empty(len(order), dtype=np.int32)
+        rank[order] = np.arange(len(order), dtype=np.int32)
+        codes = rank[codes_raw] if len(codes_raw) else codes_raw
+        vocab = vocab_raw[order]
+        return flens, doc_idx, codes, vocab, pos
+
 
 def _builtin() -> dict[str, Analyzer]:
     lower = LowercaseFilter()
@@ -125,6 +220,11 @@ def _builtin() -> dict[str, Analyzer]:
             [PossessiveEnFilter(), lower, stop_en, PorterFilter()],
         ),
         "whitespace": Analyzer("whitespace", WhitespaceTokenizer(), [lower]),
+        # boolean field encoding: whole value → one "T"/"F" token
+        # (/root/reference/document/field_boolean.go)
+        "boolean": Analyzer(
+            "boolean", SingleTokenTokenizer(), [BooleanTFFilter()]
+        ),
     }
 
 

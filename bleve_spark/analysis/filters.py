@@ -64,6 +64,20 @@ class StopFilter(TokenFilter):
         return [t for t in tokens if t.term not in ss]
 
 
+class BooleanTFFilter(TokenFilter):
+    """Boolean field encoding: one token "T"/"F" — the reference indexes
+    booleans as a single T/F term (/root/reference/document/
+    field_boolean.go). Accepts Spark's boolean→string cast output."""
+
+    _TRUE = frozenset({"true", "t", "1", "T", "True", "TRUE"})
+
+    def apply_terms(self, terms):
+        return ["T" if t in self._TRUE else "F" for t in terms]
+
+    def _one(self, term):
+        return ("T" if term in self._TRUE else "F",)
+
+
 class ApostropheFilter(TokenFilter):
     def apply_terms(self, terms):
         return [t.split("'", 1)[0].split("’", 1)[0] for t in terms]

@@ -105,10 +105,13 @@ def merge_level(
         docs_all, tfs_all, pos_all = [], [], []
         norms_max = 0.0
         for r in pdf.itertuples():
+            # blobs carry segment-LOCAL doc nums (mask is belt-and-
+            # braces for legacy absolute blobs); renumber into the new
+            # segment's local space — the blob stays local at rest
             docs = delta_decode_sorted(r.doc_blob)
             local = docs & np.uint64(LOCAL_MASK)
             off = np.uint64(int(r.doc_off))
-            docs_all.append(base_new + off + local)
+            docs_all.append(off + local)
             tfs_all.append(varint_decode(r.tf_blob))
             pos_all.extend(decode_positions(r.pos_blob, len(docs)))
             norms_max = max(norms_max, float(r.max_norm))
@@ -134,8 +137,10 @@ def merge_level(
             out["pos_blob"].append(encode_positions(pos_all[c0:c1]))
             out["max_tf"].append(int(tfs_a[c0:c1].max()))
             out["max_norm"].append(norms_max)
-            out["min_doc"].append(int(docs_a[c0]))
-            out["max_doc"].append(int(docs_a[c1 - 1]))
+            # min/max_doc columns stay GLOBAL (pruning predicates
+            # compare against global doc nums)
+            out["min_doc"].append(int(base_new + docs_a[c0]))
+            out["max_doc"].append(int(base_new + docs_a[c1 - 1]))
         return pd.DataFrame(out)
 
     merged = rows.groupBy(*group_keys).applyInPandas(

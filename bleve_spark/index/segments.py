@@ -50,10 +50,8 @@ from bleve_spark.index.build import IndexedTable, IndexStats
 from bleve_spark.index.varint import (
     decode_positions,
     delta_decode_sorted,
-    delta_encode_sorted,
-    encode_positions,
     varint_decode,
-    varint_encode,
+    varint_encode_with_ends,
 )
 
 SEG_SHIFT = 40  # doc_num = seg << 40 | local
@@ -86,26 +84,39 @@ def _seg_paths(root: str, seg: int):
 
 def _build_one_segment(
     seg: int,
-    pdf: pd.DataFrame,
+    tbl,
     key_cols: list[str],
     fields: dict[str, str],
     root: str,
     chunk_docs: int,
 ) -> dict:
-    """Analyze + encode one segment (runs inside an executor task)."""
+    """Analyze + encode one segment (runs inside an executor task).
+
+    ``tbl`` is a pyarrow Table — the build stays Arrow end-to-end (no
+    pandas materialization; per-worker allocator churn from object-
+    dtype frames was a measured 5-10× CPU inflation at local[32]).
+    Fully vectorized: one batch-analyzer pass per field, then NumPy
+    group arithmetic (lexsort + boundary flags + reduceat) to derive
+    (term, doc) postings, and ONE varint encode per stream with the
+    per-chunk blobs cut out of it by byte offset — no per-token or
+    per-term Python in the hot path."""
     import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     t0 = time.time()
-    pdf = pdf.sort_values(key_cols, kind="mergesort").reset_index(drop=True)
-    n = len(pdf)
+    order_idx = pc.sort_indices(
+        tbl, sort_keys=[(k, "ascending") for k in key_cols]
+    )
+    tbl = tbl.take(order_idx)
+    n = tbl.num_rows
     base = np.int64(seg) << np.int64(SEG_SHIFT)
 
-    doc_tbl = {"doc_num": (base + np.arange(n, dtype=np.int64))}
+    doc_tbl = {"doc_num": pa.array(base + np.arange(n, dtype=np.int64))}
     for k in key_cols:
-        doc_tbl[k] = pdf[k].values
+        doc_tbl[k] = tbl.column(k).combine_chunks()
 
-    rows = {
+    col_parts: dict[str, list] = {
         "segment_id": [], "field": [], "term": [], "chunk_id": [],
         "n_docs": [], "doc_blob": [], "tf_blob": [], "pos_blob": [],
         "max_tf": [], "max_norm": [], "min_doc": [], "max_doc": [],
@@ -115,61 +126,120 @@ def _build_one_segment(
 
     for fname, aname in fields.items():
         analyzer = get_analyzer(aname)
-        analyze = analyzer.analyze_terms
-        flens = np.zeros(n, dtype=np.int64)
-        # postings accumulation: term -> (doc list, tf list, poslists)
-        acc: dict[str, list] = {}
-        col = pdf[fname].values
-        for i in range(n):
-            text = col[i]
-            if text is None:
-                continue
-            pairs = analyze(str(text))
-            if not pairs:
-                continue
-            flens[i] = len(pairs)
-            per: dict[str, list[int]] = {}
-            for t, p in pairs:
-                per.setdefault(t, []).append(p)
-            dn = int(base) + i
-            for t, ps in per.items():
-                e = acc.get(t)
-                if e is None:
-                    acc[t] = e = ([], [], [])
-                e[0].append(dn)
-                e[1].append(len(ps))
-                e[2].append(np.asarray(ps, dtype=np.uint64))
+        texts = tbl.column(fname).to_pylist()
+        flens, doc_idx, codes, vocab, pos = analyzer.analyze_batch(texts)
 
-        doc_tbl[f"len_{fname}"] = flens
-        uniq_terms += len(acc)
+        doc_tbl[f"len_{fname}"] = pa.array(flens)
+        uniq_terms += len(vocab)
+        if len(codes) == 0:
+            continue
 
         norms = np.where(
             flens > 0, 1.0 / np.sqrt(np.maximum(flens, 1)), 0.0
         ).astype(np.float32)
 
-        for term in sorted(acc):
-            docs, tfs, plists = acc[term]
-            n_postings += len(docs)
-            docs_a = np.asarray(docs, dtype=np.uint64)
-            tfs_a = np.asarray(tfs, dtype=np.uint64)
-            for c0 in range(0, len(docs), chunk_docs):
-                c1 = min(c0 + chunk_docs, len(docs))
-                dslice = docs_a[c0:c1]
-                tslice = tfs_a[c0:c1]
-                pslice = plists[c0:c1]
-                local = (dslice - np.uint64(int(base))).astype(np.int64)
-                rows["segment_id"].append(seg)
-                rows["field"].append(fname)
-                rows["term"].append(term)
-                rows["chunk_id"].append(c0 // chunk_docs)
-                rows["n_docs"].append(c1 - c0)
-                rows["doc_blob"].append(delta_encode_sorted(dslice))
-                rows["tf_blob"].append(varint_encode(tslice))
-                rows["pos_blob"].append(encode_positions(pslice))
-                rows["max_tf"].append(int(tslice.max()))
-                rows["max_norm"].append(float(norms[local].max()))
-                rows["min_doc"].append(int(dslice[0]))
-                rows["max_doc"].append(int(dslice[-1]))
+        # ---- (term, doc) posting groups over the sorted token stream
+        order = np.lexsort((pos, doc_idx, codes))
+        c = codes[order]
+        d = doc_idx[order]
+        p = pos[order]
+        N = len(c)
+
+        gch = np.empty(N, dtype=bool)
+        gch[0] = True
+        gch[1:] = (c[1:] != c[:-1]) | (d[1:] != d[:-1])
+        gs = np.flatnonzero(gch)                 # group start (token idx)
+        G = len(gs)
+        tf = np.diff(np.append(gs, N)).astype(np.int64)
+        g_c = c[gs]                              # per-group term code
+        g_d = d[gs]                              # per-group local doc
+        n_postings += G
+
+        # ---- chunk layout: ≤chunk_docs docs per (term, chunk)
+        tch = np.empty(G, dtype=bool)
+        tch[0] = True
+        tch[1:] = g_c[1:] != g_c[:-1]
+        ts_ = np.flatnonzero(tch)                # term start (group idx)
+        t_counts = np.diff(np.append(ts_, G))
+        grp_rank = np.arange(G) - np.repeat(ts_, t_counts)
+        is_cs = (grp_rank % chunk_docs) == 0
+        cs = np.flatnonzero(is_cs)               # chunk start (group idx)
+        c_counts = np.diff(np.append(cs, G))
+        chunk_last = cs + c_counts - 1
+
+        # ---- doc stream: LOCAL doc num at chunk start, gaps within.
+        # Local (not global) chunk-start values keep every varint ≤3
+        # bytes — absolute seg<<40 ids would force 7-byte varints and
+        # ~2.5× the encode/decode memory traffic; readers add the
+        # segment base back from the row's segment_id.
+        g_doc = g_d.astype(np.int64) + int(base)
+        dd = np.empty(G, dtype=np.int64)
+        dd[1:] = g_doc[1:] - g_doc[:-1]
+        dd[cs] = g_d[cs]
+        doc_bytes, doc_ends = varint_encode_with_ends(
+            dd.astype(np.uint64)
+        )
+        tf_bytes, tf_ends = varint_encode_with_ends(tf.astype(np.uint64))
+
+        # ---- positions stream: per group [tf, abs_pos, deltas...]
+        pp = np.empty(N, dtype=np.int32)
+        pp[1:] = p[1:] - p[:-1]
+        pp[gs] = p[gs]
+        grp_id = np.cumsum(gch) - 1
+        stream = np.empty(N + G, dtype=np.uint64)
+        g_head = gs + np.arange(G)               # group head in stream
+        stream[g_head] = tf.astype(np.uint64)
+        stream[np.arange(N) + grp_id + 1] = pp.astype(np.uint64)
+        pos_bytes, pos_ends = varint_encode_with_ends(stream)
+
+        # ---- per-chunk byte spans (slice, don't re-encode)
+        d_lo = np.where(cs > 0, doc_ends[cs - 1], 0)
+        d_hi = doc_ends[chunk_last]
+        t_lo = np.where(cs > 0, tf_ends[cs - 1], 0)
+        t_hi = tf_ends[chunk_last]
+        p_lo_idx = g_head[cs]
+        p_hi_idx = g_head[chunk_last] + tf[chunk_last]  # last stream slot
+        p_lo = np.where(p_lo_idx > 0, pos_ends[p_lo_idx - 1], 0)
+        p_hi = pos_ends[p_hi_idx]
+
+        max_tf_c = np.maximum.reduceat(tf, cs)
+        max_norm_c = np.maximum.reduceat(norms[g_d], cs)
+
+        n_chunks = len(cs)
+        mv_d = memoryview(doc_bytes)
+        mv_t = memoryview(tf_bytes)
+        mv_p = memoryview(pos_bytes)
+        col_parts["segment_id"].append(
+            np.full(n_chunks, seg, dtype=np.int32)
+        )
+        col_parts["field"].append([fname] * n_chunks)
+        col_parts["term"].append(vocab[g_c[cs]])
+        col_parts["chunk_id"].append(
+            (grp_rank[cs] // chunk_docs).astype(np.int32)
+        )
+        col_parts["n_docs"].append(c_counts.astype(np.int32))
+        col_parts["doc_blob"].append(
+            [bytes(mv_d[a:b]) for a, b in zip(d_lo, d_hi)]
+        )
+        col_parts["tf_blob"].append(
+            [bytes(mv_t[a:b]) for a, b in zip(t_lo, t_hi)]
+        )
+        col_parts["pos_blob"].append(
+            [bytes(mv_p[a:b]) for a, b in zip(p_lo, p_hi)]
+        )
+        col_parts["max_tf"].append(max_tf_c.astype(np.int32))
+        col_parts["max_norm"].append(max_norm_c)
+        col_parts["min_doc"].append(g_doc[cs])
+        col_parts["max_doc"].append(g_doc[chunk_last])
+
+    rows = {
+        k: (
+            np.concatenate(v)
+            if v and isinstance(v[0], np.ndarray)
+            else [x for part in v for x in part]
+        )
+        for k, v in col_parts.items()
+    }
 
     pdir, ddir, mpath = _seg_paths(root, seg)
     os.makedirs(pdir, exist_ok=True)
@@ -236,7 +306,11 @@ def build_segments(
     key_concat = F.concat_ws(
         "\x00", *[F.col(k).cast("string") for k in key_cols]
     )
-    with_seg = df.withColumn(
+    # prune to key + indexed columns BEFORE the shuffle: everything
+    # selected here is serialized twice (shuffle write/read) and once
+    # more over Arrow into the Python worker
+    needed = list(dict.fromkeys([*key_cols, *fields]))
+    with_seg = df.select(*needed).withColumn(
         "_seg",
         (
             F.pmod(F.xxhash64(key_concat), F.lit(n_segments))
@@ -250,16 +324,36 @@ def build_segments(
     fd = dict(fields)
 
     def build(batches):
-        pdfs = [p for p in batches if len(p)]
-        if not pdfs:
+        # Spark already runs one task per core; Arrow's own thread pool
+        # (default = all cores) inside every worker oversubscribes the
+        # box #tasks× and the kernel thrash shows up as 5-10× CPU-time
+        # inflation at local[32]. One Arrow thread per task is optimal.
+        import pyarrow as _pa
+
+        import pyarrow.compute as _pc
+
+        _pa.set_cpu_count(1)
+        bl = [b for b in batches if b.num_rows]
+        if not bl:
             return
-        pdf = pd.concat(pdfs, ignore_index=True)
-        for seg, grp in pdf.groupby("_seg"):
-            m = _build_one_segment(
-                int(seg), grp.drop(columns=["_seg"]), kc, fd, root,
-                chunk_docs,
-            )
-            yield pd.DataFrame(
+        tbl = _pa.Table.from_batches(bl)
+        segs = tbl.column("_seg")
+        out_schema = _pa.schema(
+            [
+                ("segment_id", _pa.int32()),
+                ("doc_count", _pa.int64()),
+                ("postings", _pa.int64()),
+                ("unique_terms", _pa.int64()),
+                ("bytes", _pa.int64()),
+                ("seconds", _pa.float64()),
+                ("postings_per_sec", _pa.float64()),
+                ("resumed", _pa.bool_()),
+            ]
+        )
+        for seg in _pc.unique(segs).to_pylist():
+            grp = tbl.filter(_pc.equal(segs, seg)).drop_columns(["_seg"])
+            m = _build_one_segment(int(seg), grp, kc, fd, root, chunk_docs)
+            yield _pa.RecordBatch.from_pylist(
                 [{
                     "segment_id": m["segment_id"],
                     "doc_count": m["doc_count"],
@@ -269,15 +363,98 @@ def build_segments(
                     "seconds": m["seconds"],
                     "postings_per_sec": m["postings_per_sec"],
                     "resumed": False,
-                }]
+                }],
+                schema=out_schema,
             )
 
+    # over-partition 8×: hashing n segment ids into exactly n partitions
+    # loads the max partition with ~ln n/ln ln n segments (balls into
+    # bins) and that one task gates the stage; with 8n partitions nearly
+    # every task carries ≤1 segment and the extra empty tasks cost ~ms.
+    # mapInArrow (not mapInPandas): the object-dtype pandas conversion
+    # both costs CPU and storms the allocator across 32 workers.
     stats = (
-        with_seg.repartition(n_segments, "_seg")
-        .mapInPandas(build, schema=_stats_schema())
+        with_seg.repartition(n_segments * 8, "_seg")
+        .mapInArrow(build, schema=_stats_schema())
         .collect()
     )
     out = [r.asDict() for r in stats]
+    for seg in sorted(done):
+        _, _, mpath = _seg_paths(root, seg)
+        with open(mpath) as f:
+            m = json.load(f)
+        out.append({**{k: m[k] for k in (
+            "segment_id", "doc_count", "postings", "unique_terms",
+            "bytes", "seconds", "postings_per_sec")}, "resumed": True})
+    out.sort(key=lambda m: m["segment_id"])
+    return out
+
+
+def build_segments_from_files(
+    spark: SparkSession,
+    paths: list[str],
+    key_cols: list[str],
+    fields: dict[str, str],
+    root: str,
+    chunk_docs: int = DEFAULT_CHUNK_DOCS,
+    resume: bool = True,
+) -> list[dict]:
+    """Shuffle-free segment build: one source parquet file → one
+    segment, tasks read their file directly with pyarrow.
+
+    This is the exact shape of the reference's offline Builder — it
+    batches documents in ARRIVAL order into segments
+    (/root/reference/index/scorch/builder.go:116-167), not by content
+    hash — so segment membership is deterministic given the dataset's
+    file layout, which is all resume needs. Against the generic
+    :func:`build_segments` this removes the full shuffle: no hash
+    exchange, no shuffle IO, no JVM→Python Arrow streaming; each task
+    does one columnar read + analyze + encode. On a cluster the tasks
+    stream their files straight from object storage, so stage-1 build
+    cost is purely data-parallel with zero cross-task traffic."""
+    os.makedirs(root, exist_ok=True)
+    paths = sorted(paths)
+    done: set[int] = set()
+    if resume:
+        mdir = os.path.join(root, "manifest")
+        if os.path.isdir(mdir):
+            for fn in os.listdir(mdir):
+                if fn.startswith("seg=") and fn.endswith(".json"):
+                    done.add(int(fn[4:-5]))
+    todo = [(i, p) for i, p in enumerate(paths) if i not in done]
+    kc = list(key_cols)
+    fd = dict(fields)
+    cols = list(dict.fromkeys([*key_cols, *fields]))
+    cd = chunk_docs
+
+    def build_one(item):
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        _pa.set_cpu_count(1)
+        seg, path = item
+        tbl = _pq.read_table(path, columns=cols, use_threads=False)
+        m = _build_one_segment(int(seg), tbl, kc, fd, root, cd)
+        return {
+            "segment_id": m["segment_id"],
+            "doc_count": m["doc_count"],
+            "postings": m["postings"],
+            "unique_terms": m["unique_terms"],
+            "bytes": m["bytes"],
+            "seconds": m["seconds"],
+            "postings_per_sec": m["postings_per_sec"],
+            "resumed": False,
+        }
+
+    out: list[dict] = []
+    if todo:
+        # a work-list of file paths, one partition each — the one place
+        # the RDD API is the right tool (driver-side metadata fan-out)
+        out = (
+            spark.sparkContext.parallelize(todo, len(todo))
+            .map(build_one)
+            .collect()
+        )
     for seg in sorted(done):
         _, _, mpath = _seg_paths(root, seg)
         with open(mpath) as f:
@@ -356,13 +533,19 @@ class SegmentStore:
                     "positions": [],
                 }
                 for r in pdf.itertuples():
-                    docs = delta_decode_sorted(r.doc_blob)
+                    # blobs store segment-local doc nums; re-add the base
+                    base = np.int64(int(r.segment_id)) << np.int64(
+                        SEG_SHIFT
+                    )
+                    docs = delta_decode_sorted(r.doc_blob).astype(
+                        np.int64
+                    ) + base
                     tfs = varint_decode(r.tf_blob)
                     plists = decode_positions(r.pos_blob, len(docs))
                     nd = len(docs)
                     out["field"].extend([r.field] * nd)
                     out["term"].extend([r.term] * nd)
-                    out["doc_num"].extend(docs.astype(np.int64).tolist())
+                    out["doc_num"].extend(docs.tolist())
                     out["tf"].extend(tfs.astype(np.int64).tolist())
                     out["positions"].extend(
                         [p.astype(np.int64).tolist() for p in plists]

@@ -13,35 +13,59 @@ from __future__ import annotations
 import numpy as np
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array."""
+def varint_encode_with_ends(
+    values: np.ndarray,
+) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a uint64 array; also return the cumulative byte
+    END offset of every value (``ends[i]`` = bytes written after value
+    i) so callers can slice sub-ranges of the stream without
+    re-encoding — the segment builder encodes a whole field's postings
+    in ONE call and cuts per-chunk blobs out of the result."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
-    # byte length per value: ceil(bits/7), min 1
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    nz = v > 0
-    # bit_length via log2 would lose precision at 2^53; use a loop over
-    # the (≤10) byte positions instead — vectorized across values
-    lengths = np.ones(v.shape, dtype=np.int64)
-    tmp = v >> np.uint64(7)
-    while tmp.any():
-        lengths += (tmp > 0).astype(np.int64)
-        tmp >>= np.uint64(7)
-    del nbits, nz
+        return b"", np.empty(0, dtype=np.int64)
 
-    total = int(lengths.sum())
-    out = np.empty(total, dtype=np.uint8)
+    big_idx = np.flatnonzero(v >= np.uint64(128))
+    if big_idx.size == 0:
+        # all 1-byte (the common case for delta streams): zero-copy-ish
+        out = v.astype(np.uint8)
+        return out.tobytes(), np.arange(1, v.size + 1, dtype=np.int64)
+
+    # byte length per value — computed only for the multi-byte subset
+    # (bit_length via log2 would lose precision at 2^53; loop over the
+    # ≤10 byte positions instead, vectorized across the subset)
+    bv = v[big_idx]
+    bl = np.ones(bv.shape, dtype=np.int64)
+    tmp = bv >> np.uint64(7)
+    while tmp.any():
+        bl += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+
+    lengths = np.ones(v.shape, dtype=np.int64)
+    lengths[big_idx] = bl
     ends = np.cumsum(lengths)
     starts = ends - lengths
-    maxlen = int(lengths.max())
-    for b in range(maxlen):
-        mask = lengths > b
-        idx = starts[mask] + b
-        chunk = (v[mask] >> np.uint64(7 * b)) & np.uint64(0x7F)
-        cont = (lengths[mask] > b + 1).astype(np.uint8) << 7
+    total = int(ends[-1])
+    out = np.empty(total, dtype=np.uint8)
+    # byte 0 of EVERY value in one sequential scatter
+    b0 = (v & np.uint64(0x7F)).astype(np.uint8)
+    b0[big_idx] |= np.uint8(0x80)
+    out[starts] = b0
+    # remaining bytes only for the multi-byte subset
+    bstarts = starts[big_idx]
+    maxlen = int(bl.max())
+    for b in range(1, maxlen):
+        sel = bl > b
+        idx = bstarts[sel] + b
+        chunk = (bv[sel] >> np.uint64(7 * b)) & np.uint64(0x7F)
+        cont = (bl[sel] > b + 1).astype(np.uint8) << 7
         out[idx] = chunk.astype(np.uint8) | cont
-    return out.tobytes()
+    return out.tobytes(), ends
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array."""
+    return varint_encode_with_ends(values)[0]
 
 
 def varint_decode(buf: bytes) -> np.ndarray:

@@ -220,16 +220,22 @@ def _decode_rows(store: SegmentStore, rows: DataFrame) -> DataFrame:
     )
 
     def dec(batches):
+        from bleve_spark.index.segments import SEG_SHIFT
+
         for pdf in batches:
             if not len(pdf):
                 continue
             out = {"term": [], "doc_num": [], "tf": []}
             for r in pdf.itertuples():
-                docs = delta_decode_sorted(r.doc_blob)
+                # blobs carry segment-local doc nums; re-add the base
+                base = np.int64(int(r.segment_id)) << np.int64(SEG_SHIFT)
+                docs = delta_decode_sorted(r.doc_blob).astype(
+                    np.int64
+                ) + base
                 tfs = varint_decode(r.tf_blob)
                 nd = len(docs)
                 out["term"].extend([r.term] * nd)
-                out["doc_num"].extend(docs.astype(np.int64).tolist())
+                out["doc_num"].extend(docs.tolist())
                 out["tf"].extend(tfs.astype(np.int64).tolist())
             yield pd.DataFrame(out)
 
