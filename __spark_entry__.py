@@ -422,11 +422,17 @@ SELECT doc_id AS key, n_tokens, n_regex_tokens,
 FROM m"""
 
 
+# word 3-gram shingles, same construction as dedup.word_shingles:
+# i ∈ [1, max(len-2, 1)], shingle = words[i : i+2] (truncating slice)
 _SQL_NGRAM_JACCARD = """
 WITH sh AS (
   SELECT doc_id AS key,
-         unnest(list_distinct(string_split(lower(text), ' '))) AS shingle
-  FROM documents
+         unnest(list_distinct(
+           [array_to_string(words[i:least(i+2, len(words))], ' ')
+            for i in range(1, greatest(len(words)-2, 1) + 1)]
+         )) AS shingle
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS words
+        FROM documents)
 ), sh2 AS (SELECT * FROM sh WHERE len(shingle) > 0),
 sizes AS (SELECT key, count(*) AS n_sh FROM sh2 GROUP BY key),
 inter AS (
@@ -439,7 +445,7 @@ SELECT key_a, key_b,
 FROM inter
 JOIN sizes sa ON sa.key = key_a
 JOIN sizes sb ON sb.key = key_b
-WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.25"""
+WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.5"""
 
 
 _SQL_COSINE_TOPK = """
@@ -724,26 +730,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         df = spark.read.parquet(f"{sf}/documents.parquet")
         pairs = ngram_jaccard_pairs(
-            df, "text", "doc_id", n=1, threshold=0.25
+            df, "text", "doc_id", n=3, threshold=0.5
         )
         return pairs.select(
             "key_a", "key_b", F.round("jaccard", 6).alias("jaccard")
         )
 
     def dedup_minhash_pairs(spark, sf):
+        # 64 hashes / 16 bands → LSH s-curve threshold (1/16)^(1/4)≈0.5:
+        # finds the corpus's planted near-dup pairs without the
+        # near-all-pairs blowup unigram shingles would cause
         from bleve_spark.functions.dedup import minhash_lsh_pairs
 
         df = spark.read.parquet(f"{sf}/documents.parquet")
         return minhash_lsh_pairs(
-            df, "text", "doc_id", shingle_n=1, num_hashes=64, bands=16,
-            jaccard_threshold=0.35,
+            df, "text", "doc_id", shingle_n=3, num_hashes=64, bands=16,
+            jaccard_threshold=0.5,
         )
 
     def dedup_simhash_pairs(spark, sf):
         from bleve_spark.functions.dedup import simhash_pairs
 
         df = spark.read.parquet(f"{sf}/documents.parquet")
-        return simhash_pairs(df, "text", "doc_id", max_hamming=8)
+        return simhash_pairs(df, "text", "doc_id", max_hamming=3)
 
     def ann_cosine_topk(spark, sf):
         from bleve_spark.functions.similarity import cosine_topk
