@@ -138,12 +138,15 @@ _IDF = (
 )
 
 
-def _values(terms):
-    vals = ",".join(f"('{t}')" for t in terms)
+def _values(terms, mults=None):
+    mults = mults or [1.0] * len(terms)
+    vals = ",".join(
+        f"('{t}', {float(m)})" for t, m in zip(terms, mults)
+    )
     return (
         f"SELECT qt.term, coalesce(d.df, 0) AS df,\n"
-        f"  {_IDF.format(df='coalesce(d.df, 0)')} AS idf, 1.0 AS mult\n"
-        f"FROM (VALUES {vals}) qt(term) LEFT JOIN dict d USING (term)"
+        f"  {_IDF.format(df='coalesce(d.df, 0)')} AS idf, qt.mult\n"
+        f"FROM (VALUES {vals}) qt(term, mult) LEFT JOIN dict d USING (term)"
     )
 
 
@@ -702,6 +705,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _INDEX_CACHE[key], {"field": "text", "term": "spark"}, k=20
         )
 
+    def q_synonym_term(spark, sf):
+        # separate index instance: synonyms are an index-level map
+        key = (spark.sparkContext.applicationId, sf, "documents-syn")
+        if key not in _INDEX_CACHE:
+            df = spark.read.parquet(f"{sf}/documents.parquet")
+            _INDEX_CACHE[key] = index_table(
+                df, key_cols=["doc_id"], fields={"text": "standard"},
+                synonyms={"text": {"spark": ["scan"]}},
+            )
+        return _topk(
+            _INDEX_CACHE[key], {"field": "text", "term": "spark"}, k=20
+        )
+
     def q_highlight(spark, sf):
         from bleve_spark.search.searcher import search
 
@@ -833,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_search_after": q_search_after,
             "q_rrf_fusion": q_rrf_fusion,
             "q_alias_2shards": q_alias_2shards,
+            "q_synonym_term": q_synonym_term,
             "q_highlight": q_highlight,
             "dedup_exact": dedup_exact,
             "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -919,6 +936,11 @@ def oracle_sql() -> dict[str, str]:
         "q_rrf_fusion": _SQL_RRF,
         "q_alias_2shards": _sql_single_term(
             "spark", prelude=_PRELUDE_ALIAS2
+        ),
+        # synonym expansion = disjunction(term@1, synonym@1/2) with coord
+        # (search_term.go:154-196)
+        "q_synonym_term": _sql_multi(
+            _values(["spark", "scan"], mults=[1.0, 0.5]), min_req=1
         ),
         # q_highlight: fragment extraction (200-byte windows, best-
         # fragment scoring) is not ANSI-SQL-expressible — rows-only.

@@ -69,6 +69,10 @@ class IndexedTable:
     field_analyzers: dict[str, str]
     stats: IndexStats
     dictionary: DataFrame = None  # (field, term, doc_freq, max_tf, min_norm)
+    # field → term → [synonyms]: the reference's FieldTermSynonymMap
+    # (/root/reference/search/util.go:252); query-time term expansion
+    # (/root/reference/search/searcher/search_term.go:154-196)
+    synonyms: dict = None
     _persisted: list = dc_field(default_factory=list)
 
     @property
@@ -175,6 +179,7 @@ def index_table(
     fields: dict[str, str],
     scoring: str = "bm25",
     persist: bool = True,
+    synonyms: dict | None = None,
 ) -> IndexedTable:
     """Build the index for ``df``.
 
@@ -198,6 +203,7 @@ def index_table(
         field_analyzers=dict(fields),
         stats=None,
         dictionary=None,
+        synonyms=synonyms,
     )
     if persist:
         idx.postings = idx.postings.persist()

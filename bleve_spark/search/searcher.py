@@ -604,9 +604,22 @@ class Compiler:
         freqs = self.idx.doc_freq(field, list(dict.fromkeys(terms)))
         return [STerm(field, t, boost, freqs.get(t, 0)) for t in terms]
 
+    def _term_node(self, field: str, term: str, boost: float) -> SNode:
+        """Single term, with query-time synonym expansion: term@boost +
+        each synonym@boost/2 as a disjunction (the reference's
+        NewSynonymSearcher, search_term.go:154-196, keyed from
+        FieldTermSynonymMap, search/util.go:252)."""
+        syns = (self.idx.synonyms or {}).get(field, {}).get(term)
+        if not syns:
+            return self._terms(field, [term], boost)[0]
+        nodes = self._terms(field, [term, *syns], boost)
+        for s in nodes[1:]:
+            s.boost = boost / 2.0
+        return SDisj(nodes, min=0)
+
     def _r_TermQuery(self, q: Q.TermQuery) -> SNode:
         f = self._field(q)
-        return self._terms(f, [q.term], q.boost)[0]
+        return self._term_node(f, q.term, q.boost)
 
     def _r_MatchQuery(self, q: Q.MatchQuery) -> SNode:
         f = self._field(q)
@@ -622,7 +635,7 @@ class Compiler:
                 for t in tokens
             ]
         else:
-            subs = list(self._terms(f, tokens, q.boost))
+            subs = [self._term_node(f, t, q.boost) for t in tokens]
         if q.operator == "and":
             return SConj(subs)
         return SDisj(subs, min=1)
@@ -954,9 +967,10 @@ def search(
     from_: int = 0,
     facets: dict | None = None,
     highlight_field: str | None = None,
+    explain: bool = False,
 ) -> dict:
-    """Full SearchResult: hits + total + max_score (+facets/highlights),
-    assembled like indexImpl.SearchInContext
+    """Full SearchResult: hits + total + max_score (+facets/highlights/
+    explanations), assembled like indexImpl.SearchInContext
     (/root/reference/index_impl.go:1039-1049)."""
     scored = compile_query(idx, q)
     scored = scored.persist()
@@ -978,6 +992,12 @@ def search(
             }
             for r in rows
         ]
+        if explain and rows:
+            from bleve_spark.search.explain import explain_hits
+
+            keys = [tuple(r[k] for k in idx.key_cols) for r in rows]
+            for h, e in zip(hits, explain_hits(idx, q, keys)):
+                h["explanation"] = e
         result = {
             "total_hits": total,
             "max_score": float(max_score) if max_score is not None else 0.0,
