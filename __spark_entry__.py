@@ -705,6 +705,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _INDEX_CACHE[key], {"field": "text", "term": "spark"}, k=20
         )
 
+    def q_term_store(spark, sf):
+        """Same BM25 term query served from the AT-REST compressed
+        segment store (delta+varint parquet blobs, term filter pushed
+        into the parquet scan) — must hash-match the same SQL oracle
+        as the in-memory path."""
+        import tempfile
+
+        from bleve_spark.index.segments import (
+            SegmentStore,
+            build_segments,
+        )
+
+        key = (spark.sparkContext.applicationId, sf, "documents-store")
+        if key not in _INDEX_CACHE:
+            df = spark.read.parquet(f"{sf}/documents.parquet")
+            root = tempfile.mkdtemp(prefix="entry_store_") + "/idx"
+            build_segments(
+                df, ["doc_id"], {"text": "standard"}, root,
+                n_segments=4, resume=False,
+            )
+            idx = SegmentStore(spark, root).to_indexed_table(
+                df, ["doc_id"], {"text": "standard"}, persist=True
+            )
+            # single logical build = single-segment stats semantics:
+            # use global distinct cardinality like the in-memory path
+            # so the oracle (and in-memory twin) agree exactly
+            from bleve_spark.index.build import index_table  # noqa: F401
+
+            card = (
+                idx.dictionary.where(F.col("field") == "text")
+                .agg(F.count(F.lit(1)).alias("c")).collect()[0]["c"]
+            )
+            import math as _math
+
+            idx.stats.field_cardinality["text"] = int(card)
+            idx.stats.avg_doc_len["text"] = _math.ceil(
+                card / idx.stats.doc_count
+            )
+            _INDEX_CACHE[key] = idx
+        return _topk(
+            _INDEX_CACHE[key], {"field": "text", "term": "spark"}, k=20
+        )
+
     def q_synonym_term(spark, sf):
         # separate index instance: synonyms are an index-level map
         key = (spark.sparkContext.applicationId, sf, "documents-syn")
@@ -850,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_rrf_fusion": q_rrf_fusion,
             "q_alias_2shards": q_alias_2shards,
             "q_synonym_term": q_synonym_term,
+            "q_term_store": q_term_store,
             "q_highlight": q_highlight,
             "dedup_exact": dedup_exact,
             "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -942,6 +986,8 @@ def oracle_sql() -> dict[str, str]:
         "q_synonym_term": _sql_multi(
             _values(["spark", "scan"], mults=[1.0, 0.5]), min_req=1
         ),
+        # at-rest store path: same scores as the in-memory term query
+        "q_term_store": _sql_single_term("spark"),
         # q_highlight: fragment extraction (200-byte windows, best-
         # fragment scoring) is not ANSI-SQL-expressible — rows-only.
         "dedup_exact": (
