@@ -88,11 +88,19 @@ def merge_level(
     rows = rows.join(F.broadcast(rm_df), "segment_id")
     group_keys = ["new_seg", "field", "term"]
     if band_chunks:
+        # band key orders by (member, chunk) — chunk_id < 2^40 always
+        # (a segment holds < 2^40 docs), so member·2^40 never collides.
+        # Output chunk ids are renumbered densely after the merge.
         rows = rows.withColumn(
             "band",
-            (F.col("member") * F.lit(1 << 20) + F.col("chunk_id"))
-            / F.lit(band_chunks),
-        ).withColumn("band", F.col("band").cast("int"))
+            (
+                (
+                    F.col("member").cast("long") * F.lit(1 << 40)
+                    + F.col("chunk_id").cast("long")
+                )
+                / F.lit(band_chunks)
+            ).cast("long"),
+        )
         group_keys = group_keys + ["band"]
 
     cd = chunk_docs
@@ -130,7 +138,10 @@ def merge_level(
             out["segment_id"].append(new_seg)
             out["field"].append(fld)
             out["term"].append(term)
-            out["chunk_id"].append((band << 20) + i if bc else i)
+            # band·band_chunks + i keeps chunk order == doc order
+            # across bands (bands partition the (member, chunk) range);
+            # renumbered densely below
+            out["chunk_id"].append(band * bc + i if bc else i)
             out["n_docs"].append(c1 - c0)
             out["doc_blob"].append(delta_encode_sorted(docs_a[c0:c1]))
             out["tf_blob"].append(varint_encode(tfs_a[c0:c1]))
@@ -146,6 +157,17 @@ def merge_level(
     merged = rows.groupBy(*group_keys).applyInPandas(
         merge_group, schema=_posting_schema()
     )
+    if band_chunks:
+        # dense, order-preserving chunk ids so any number of banded
+        # merge levels compose without id-space growth
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("segment_id", "field", "term").orderBy(
+            "chunk_id"
+        )
+        merged = merged.withColumn(
+            "chunk_id", (F.row_number().over(w) - 1).cast("long")
+        )
     (
         merged.withColumnRenamed("segment_id", "seg")
         .write.partitionBy("seg")

@@ -60,7 +60,7 @@ DEFAULT_CHUNK_DOCS = 1024
 
 def _posting_schema() -> str:
     return (
-        "segment_id int, field string, term string, chunk_id int, "
+        "segment_id int, field string, term string, chunk_id long, "
         "n_docs int, doc_blob binary, tf_blob binary, pos_blob binary, "
         "max_tf int, max_norm float, min_doc long, max_doc long"
     )
@@ -215,7 +215,7 @@ def _build_one_segment(
         col_parts["field"].append([fname] * n_chunks)
         col_parts["term"].append(vocab[g_c[cs]])
         col_parts["chunk_id"].append(
-            (grp_rank[cs] // chunk_docs).astype(np.int32)
+            (grp_rank[cs] // chunk_docs).astype(np.int64)
         )
         col_parts["n_docs"].append(c_counts.astype(np.int32))
         col_parts["doc_blob"].append(

@@ -120,6 +120,29 @@ def test_merge_to_single(spark, transcripts, seg_root):
     ]
 
 
+def test_merge_banded_equals_plain(spark, transcripts, seg_root,
+                                   tmp_path):
+    """band_chunks sub-keys (the Zipfian-term salting knob,
+    merge.py) must not change the merged postings — only the group
+    sizes the reducers see."""
+    from bleve_spark.index.merge import merge_level
+
+    plain_root = str(tmp_path / "plain")
+    band_root = str(tmp_path / "banded")
+    merge_level(spark, seg_root, plain_root, fanin=4)
+    merge_level(spark, seg_root, band_root, fanin=4, band_chunks=1)
+
+    plain = _postings_set(
+        SegmentStore(spark, plain_root).postings_df(KEYS, list(FIELDS)),
+        KEYS,
+    )
+    banded = _postings_set(
+        SegmentStore(spark, band_root).postings_df(KEYS, list(FIELDS)),
+        KEYS,
+    )
+    assert plain == banded and len(plain) > 0
+
+
 def test_blockmax_pruned_equals_naive(spark, transcripts, seg_root):
     from bleve_spark.search.blockmax import pruned_disjunction_topk
     from bleve_spark.search.searcher import compile_query
