@@ -37,8 +37,6 @@ from dataclasses import dataclass, field as dc_field
 
 from pyspark.sql import DataFrame, functions as F
 
-from bleve_spark.analysis.udf import tokens_udf
-
 BM25_K1 = 1.2  # /root/reference/search/util.go:275
 BM25_B = 0.75  # /root/reference/search/util.go:276
 
@@ -138,26 +136,66 @@ class IndexedTable:
 def _field_postings(
     df: DataFrame, keys: list[str], field_name: str, analyzer: str
 ) -> DataFrame:
-    toks = tokens_udf(analyzer)
-    with_toks = df.select(
-        *keys, toks(F.col(field_name).cast("string")).alias("_toks")
+    """(field, term, keys..., tf, positions, norm) for one field.
+
+    Tokenization runs as a mapInArrow stage over the vectorized batch
+    analyzer: flat (keys..., field_len, term, pos) token rows come
+    straight out of Arrow arrays (pc.take on the dictionary-encoded
+    token stream) — no nested array<struct> construction, no Generate,
+    no per-row Python. tf/positions then come from one groupBy with
+    map-side partial aggregation."""
+    from bleve_spark.analysis.analyzers import get_analyzer
+
+    analyzer_obj = get_analyzer(analyzer)
+    src = df.select(
+        *keys, F.col(field_name).cast("string").alias("_text")
     )
-    # explode_outer, not explode: InferFiltersFromGenerate synthesizes
-    # a size()>0 filter under a plain explode and pushes it below the
-    # projection, making Catalyst run the analysis UDF TWICE per row
-    # (two ArrowEvalPython nodes). explode_outer has no inferable
-    # constraint; the null rows from empty docs are dropped after the
-    # Generate, above the single UDF evaluation.
-    exploded = with_toks.select(
-        *keys,
-        F.size("_toks").alias("_field_len"),
-        F.explode_outer("_toks").alias("_tok"),
-    ).where(F.col("_tok").isNotNull())
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in src.schema.fields[:-1]
+    )
+    out_schema = (
+        f"{key_fields}, _field_len int, term string, pos int"
+    )
+    kc = list(keys)
+
+    def tokenize(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        pa.set_cpu_count(1)
+        for b in batches:
+            if not b.num_rows:
+                continue
+            texts = b.column("_text").to_pylist()
+            flens, doc_idx, codes, vocab, pos = (
+                analyzer_obj.analyze_batch(texts)
+            )
+            if len(codes) == 0:
+                continue
+            idx_arr = pa.array(doc_idx)
+            arrays = [
+                pc.take(b.column(k), idx_arr) for k in kc
+            ]
+            arrays.append(
+                pa.array(flens[doc_idx].astype(np.int32))
+            )
+            arrays.append(
+                pc.take(pa.array(vocab, type=pa.string()),
+                        pa.array(codes))
+            )
+            arrays.append(pa.array(pos))
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=[*kc, "_field_len", "term", "pos"]
+            )
+
+    exploded = src.mapInArrow(tokenize, schema=out_schema)
     return (
-        exploded.groupBy(*keys, "_field_len", F.col("_tok.term").alias("term"))
+        exploded.groupBy(*keys, "_field_len", "term")
         .agg(
             F.count(F.lit(1)).cast("int").alias("tf"),
-            F.sort_array(F.collect_list(F.col("_tok.pos"))).alias("positions"),
+            F.sort_array(F.collect_list(F.col("pos"))).alias("positions"),
         )
         .select(
             F.lit(field_name).alias("field"),
