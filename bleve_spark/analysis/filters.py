@@ -78,6 +78,25 @@ class BooleanTFFilter(TokenFilter):
         return ("T" if term in self._TRUE else "F",)
 
 
+class AsciiFoldingFilter(TokenFilter):
+    """Fold accented characters to ASCII (reference:
+    analysis/char/asciifolding — applied here as a 1:1 token map so the
+    vectorized batch path can dictionary-encode it)."""
+
+    def apply_terms(self, terms):
+        return [self._fold(t) for t in terms]
+
+    def _one(self, term):
+        return (self._fold(term),)
+
+    @staticmethod
+    def _fold(term: str) -> str:
+        import unicodedata
+
+        nfkd = unicodedata.normalize("NFKD", term)
+        return "".join(c for c in nfkd if not unicodedata.combining(c))
+
+
 class ApostropheFilter(TokenFilter):
     def apply_terms(self, terms):
         return [t.split("'", 1)[0].split("’", 1)[0] for t in terms]

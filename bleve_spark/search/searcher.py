@@ -574,12 +574,15 @@ def _wildcard_to_regexp(w: str) -> str:
 
 
 def _parse_dt(s: str) -> datetime:
+    """Layout-cascading parse (reference analysis/datetime/*):
+    ISO/RFC layouts, 'Z', and unix s/ms/µs/ns timestamps."""
+    from bleve_spark.analysis.datetimes import parse_datetime
+
     if s is None:
         return None
-    s2 = s.replace("Z", "+00:00") if s.endswith("Z") else s
-    dt = datetime.fromisoformat(s2)
-    if dt.tzinfo is not None:
-        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+    dt = parse_datetime(s)
+    if dt is None:
+        raise ValueError(f"unparseable datetime: {s!r}")
     return dt
 
 

@@ -139,3 +139,33 @@ def test_wikipedia_style_unique_terms_stable():
         "dog", "カタカナ", "東", "京", "bob", "example.com", "3.14",
         "marker_001",
     }
+
+
+def test_datetime_layouts():
+    from datetime import datetime
+
+    from bleve_spark.analysis.datetimes import parse_datetime
+
+    want = datetime(2024, 1, 10, 12, 30, 5)
+    assert parse_datetime("2024-01-10T12:30:05") == want
+    assert parse_datetime("2024-01-10 12:30:05") == want
+    assert parse_datetime("2024-01-10T12:30:05Z") == want
+    assert parse_datetime("2024-01-10T13:30:05+01:00") == want
+    assert parse_datetime("2024/01/10 12:30:05") == want
+    assert parse_datetime("10 Jan 2024 12:30:05") == want
+    epoch = int(want.replace(tzinfo=__import__("datetime").timezone.utc)
+                .timestamp())
+    assert parse_datetime(str(epoch)) == want            # seconds
+    assert parse_datetime(str(epoch * 1000)) == want     # millis
+    assert parse_datetime(str(epoch * 1000000)) == want  # micros
+    assert parse_datetime("2024-01-10") == datetime(2024, 1, 10)
+    assert parse_datetime("garbage") is None
+
+
+def test_asciifolding_filter():
+    from bleve_spark.analysis.filters import AsciiFoldingFilter
+
+    f = AsciiFoldingFilter()
+    assert f.apply_terms(["café", "über", "naïve", "plain"]) == [
+        "cafe", "uber", "naive", "plain"
+    ]
