@@ -705,11 +705,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _INDEX_CACHE[key], {"field": "text", "term": "spark"}, k=20
         )
 
-    def q_term_store(spark, sf):
-        """Same BM25 term query served from the AT-REST compressed
-        segment store (delta+varint parquet blobs, term filter pushed
-        into the parquet scan) — must hash-match the same SQL oracle
-        as the in-memory path."""
+    def _docs_store(spark, sf):
+        """At-rest compressed segment store over `documents` (cached):
+        returns (SegmentStore, IndexedTable). Stats use the global
+        distinct cardinality (single logical build) so the SQL oracle
+        and the in-memory twin agree exactly."""
+        import math as _math
         import tempfile
 
         from bleve_spark.index.segments import (
@@ -725,27 +726,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 df, ["doc_id"], {"text": "standard"}, root,
                 n_segments=4, resume=False,
             )
-            idx = SegmentStore(spark, root).to_indexed_table(
+            store = SegmentStore(spark, root)
+            idx = store.to_indexed_table(
                 df, ["doc_id"], {"text": "standard"}, persist=True
             )
-            # single logical build = single-segment stats semantics:
-            # use global distinct cardinality like the in-memory path
-            # so the oracle (and in-memory twin) agree exactly
-            from bleve_spark.index.build import index_table  # noqa: F401
-
             card = (
                 idx.dictionary.where(F.col("field") == "text")
                 .agg(F.count(F.lit(1)).alias("c")).collect()[0]["c"]
             )
-            import math as _math
-
             idx.stats.field_cardinality["text"] = int(card)
             idx.stats.avg_doc_len["text"] = _math.ceil(
                 card / idx.stats.doc_count
             )
-            _INDEX_CACHE[key] = idx
-        return _topk(
-            _INDEX_CACHE[key], {"field": "text", "term": "spark"}, k=20
+            _INDEX_CACHE[key] = (store, idx)
+        return _INDEX_CACHE[key]
+
+    def q_term_store(spark, sf):
+        """Same BM25 term query served from the AT-REST compressed
+        segment store (delta+varint parquet blobs, term filter pushed
+        into the parquet scan) — must hash-match the same SQL oracle
+        as the in-memory path."""
+        _, idx = _docs_store(spark, sf)
+        return _topk(idx, {"field": "text", "term": "spark"}, k=20)
+
+    def q_blockmax_topk(spark, sf):
+        """Block-max WAND pruned disjunction top-k over the store —
+        rank- and score-identical to the unpruned match disjunction,
+        so it shares q_match_or's oracle shape."""
+        from bleve_spark.search.blockmax import pruned_disjunction_topk
+
+        store, idx = _docs_store(spark, sf)
+        top = pruned_disjunction_topk(
+            store, idx.stats, ["doc_id"], "text", ["spark", "join"],
+            k=20,
+        )
+        return top.select(
+            "doc_id", F.round(F.col("score"), 6).alias("score")
         )
 
     def q_synonym_term(spark, sf):
@@ -894,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_alias_2shards": q_alias_2shards,
             "q_synonym_term": q_synonym_term,
             "q_term_store": q_term_store,
+            "q_blockmax_topk": q_blockmax_topk,
             "q_highlight": q_highlight,
             "dedup_exact": dedup_exact,
             "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -988,6 +1005,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         # at-rest store path: same scores as the in-memory term query
         "q_term_store": _sql_single_term("spark"),
+        # block-max pruning is score-preserving: same oracle as the
+        # plain match disjunction
+        "q_blockmax_topk": _sql_multi(
+            _values(["spark", "join"]), min_req=1
+        ),
         # q_highlight: fragment extraction (200-byte windows, best-
         # fragment scoring) is not ANSI-SQL-expressible — rows-only.
         "dedup_exact": (
