@@ -637,6 +637,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bucket string, count long",
         )
 
+    def q_facet_dates(spark, sf):
+        from bleve_spark.search.facets import datetime_range_facet
+
+        idx = _events_index(spark, sf)
+        scored = compile_query(idx, {"match_all": {}})
+        fr = datetime_range_facet(
+            idx, scored, "ts",
+            [
+                {"name": "early", "end": "2024-01-10T00:00:00"},
+                {"name": "mid", "start": "2024-01-10T00:00:00",
+                 "end": "2024-01-20T00:00:00"},
+                {"name": "late", "start": "2024-01-20T00:00:00"},
+            ],
+        )
+        return spark.createDataFrame(
+            [(b["name"], b["count"]) for b in fr["date_ranges"]],
+            "bucket string, count long",
+        )
+
     def q_multi_phrase(spark, sf):
         return _topk(
             _docs_index(spark, sf),
@@ -902,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_query_string": q_query_string,
             "q_facet_lang": q_facet_lang,
             "q_facet_nchars": q_facet_nchars,
+            "q_facet_dates": q_facet_dates,
             "q_multi_phrase": q_multi_phrase,
             "q_phrase_slop": q_phrase_slop,
             "q_bool_field": q_bool_field,
@@ -988,6 +1008,16 @@ def oracle_sql() -> dict[str, str]:
             "(b.bucket='small' AND d.n_chars < 200) OR "
             "(b.bucket='mid' AND d.n_chars >= 200 AND d.n_chars < 400) OR "
             "(b.bucket='large' AND d.n_chars >= 400) "
+            "GROUP BY b.bucket"
+        ),
+        "q_facet_dates": (
+            "SELECT b.bucket, count(e.event_id) AS count FROM "
+            "(VALUES ('early'), ('mid'), ('late')) b(bucket) "
+            "LEFT JOIN events e ON "
+            "(b.bucket='early' AND e.ts < TIMESTAMP '2024-01-10') OR "
+            "(b.bucket='mid' AND e.ts >= TIMESTAMP '2024-01-10' "
+            " AND e.ts < TIMESTAMP '2024-01-20') OR "
+            "(b.bucket='late' AND e.ts >= TIMESTAMP '2024-01-20') "
             "GROUP BY b.bucket"
         ),
         "q_multi_phrase": _SQL_MULTI_PHRASE,
