@@ -110,6 +110,21 @@ def main():
         shutil.rmtree(seg_base, ignore_errors=True)
 
     # ---- headline query suite over the sf tables ----
+    if os.environ.get("BENCH_SKIP_QUERIES"):
+        out = {
+            "metric": "index-build turns/sec (build-only run)",
+            "value": index_build["seconds"],
+            "unit": "sec",
+            "queries": {},
+            "sf": sf_dir.rstrip("/").split("/")[-1],
+            "index_build": index_build,
+        }
+        extra = os.environ.get("BENCH_JSON_EXTRA")
+        if extra:
+            out.update(json.loads(extra))
+        print(json.dumps(out))
+        return
+
     suite = [
         "q_term_bm25", "q_match_or", "q_match_and", "q_phrase",
         "q_boolean", "q_disjunction_min2", "q_fuzzy", "q_prefix",

@@ -57,6 +57,13 @@ def _query_terms(idx: IndexedTable, q: Q.Query, field: str) -> set[str]:
     return terms
 
 
+# formatter presets (reference: search/highlight/format/{html,ansi})
+FORMATTERS = {
+    "html": ("<mark>", "</mark>"),
+    "ansi": ("\x1b[43m", "\x1b[0m"),  # bg_yellow ... reset
+}
+
+
 def highlight_text(
     text: str,
     terms: set[str],
@@ -64,8 +71,11 @@ def highlight_text(
     pre: str = "<mark>",
     post: str = "</mark>",
     max_fragments: int = 1,
+    formatter: str | None = None,
 ) -> list[str]:
     """Best fragments of ≤200 bytes with matched terms wrapped."""
+    if formatter is not None:
+        pre, post = FORMATTERS[formatter]
     analyzer = get_analyzer(analyzer_name)
     toks = [t for t in analyzer.analyze(text) if t.term in terms]
     if not toks:

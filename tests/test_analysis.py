@@ -169,3 +169,14 @@ def test_asciifolding_filter():
     assert f.apply_terms(["café", "über", "naïve", "plain"]) == [
         "cafe", "uber", "naive", "plain"
     ]
+
+
+def test_highlight_formatters():
+    from bleve_spark.search.highlight import highlight_text
+
+    frags = highlight_text(
+        "the quick brown fox", {"quick"}, formatter="ansi"
+    )
+    assert frags and "\x1b[43mquick\x1b[0m" in frags[0]
+    frags = highlight_text("the quick brown fox", {"quick"})
+    assert "<mark>quick</mark>" in frags[0]
