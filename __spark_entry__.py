@@ -31,8 +31,19 @@ _INDEX_CACHE: dict = {}
 def _docs_index(spark: SparkSession, sf_dir: str, scoring: str = "bm25"):
     key = (spark.sparkContext.applicationId, sf_dir, "documents", scoring)
     if key not in _INDEX_CACHE:
-        df = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
-            "long_doc", F.col("n_chars") > 300
+        # derived columns: boolean field + deterministic geopoint
+        # (integer arithmetic — byte-identical in the SQL oracle)
+        df = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .withColumn("long_doc", F.col("n_chars") > 300)
+            .withColumn(
+                "geo_lat",
+                ((F.col("doc_id") * 7) % 181 - 90).cast("double"),
+            )
+            .withColumn(
+                "geo_lon",
+                ((F.col("doc_id") * 13) % 361 - 180).cast("double"),
+            )
         )
         _INDEX_CACHE[key] = index_table(
             df,
@@ -467,6 +478,21 @@ SELECT vec_id AS key, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cosine
 FROM sums ORDER BY cosine DESC, key LIMIT 10"""
 
 
+def _sql_geo_distance() -> str:
+    """Haversine radius filter over the derived geopoint — the SQL
+    twin of bleve_spark.search.geo (identical formula, op order)."""
+    from bleve_spark.search.geo import haversine_km_sql
+
+    hav = haversine_km_sql("glat", "glon", 10.0, 20.0)
+    return (
+        "SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM ("
+        "SELECT doc_id, "
+        "CAST((doc_id * 7) % 181 - 90 AS DOUBLE) AS glat, "
+        "CAST((doc_id * 13) % 361 - 180 AS DOUBLE) AS glon "
+        f"FROM documents) WHERE {hav} <= 2000.0"
+    )
+
+
 # ---------------------------------------------------------------- entry --
 
 
@@ -635,6 +661,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.createDataFrame(
             [(b["name"], b["count"]) for b in fr["numeric_ranges"]],
             "bucket string, count long",
+        )
+
+    def q_geo_distance(spark, sf):
+        return _topk(
+            _docs_index(spark, sf),
+            {"field": "geo",
+             "location": {"lon": 20.0, "lat": 10.0},
+             "distance": "2000km"},
+            k=10_000_000,
+        )
+
+    def q_geo_bbox(spark, sf):
+        return _topk(
+            _docs_index(spark, sf),
+            {"field": "geo",
+             "top_left": {"lon": -30.0, "lat": 40.0},
+             "bottom_right": {"lon": 50.0, "lat": -10.0}},
+            k=10_000_000,
         )
 
     def q_facet_dates(spark, sf):
@@ -922,6 +966,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_facet_lang": q_facet_lang,
             "q_facet_nchars": q_facet_nchars,
             "q_facet_dates": q_facet_dates,
+            "q_geo_distance": q_geo_distance,
+            "q_geo_bbox": q_geo_bbox,
             "q_multi_phrase": q_multi_phrase,
             "q_phrase_slop": q_phrase_slop,
             "q_bool_field": q_bool_field,
@@ -1009,6 +1055,15 @@ def oracle_sql() -> dict[str, str]:
             "(b.bucket='mid' AND d.n_chars >= 200 AND d.n_chars < 400) OR "
             "(b.bucket='large' AND d.n_chars >= 400) "
             "GROUP BY b.bucket"
+        ),
+        "q_geo_distance": _sql_geo_distance(),
+        "q_geo_bbox": (
+            "SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM ("
+            "SELECT doc_id, "
+            "CAST((doc_id * 7) % 181 - 90 AS DOUBLE) AS glat, "
+            "CAST((doc_id * 13) % 361 - 180 AS DOUBLE) AS glon "
+            "FROM documents) WHERE glat >= -10.0 AND glat <= 40.0 "
+            "AND glon >= -30.0 AND glon <= 50.0"
         ),
         "q_facet_dates": (
             "SELECT b.bucket, count(e.event_id) AS count FROM "

@@ -1,0 +1,142 @@
+"""Geo queries: distance and bounding-box over (lat, lon) columns.
+
+Parity targets: /root/reference/search/query/geo_distance.go:60 and
+geo_boundingbox.go:60 — both constant-scored filters. The distance
+predicate implements the reference's haversine
+(/root/reference/geo/geo_dist.go:88-98) with the latitude-dependent
+ellipsoidal earth diameter computed in closed form
+(/root/reference/geo/sloppy.go:29-49 uses a 1025-entry lookup table of
+the same formula; we evaluate the formula exactly, so results differ
+from the reference only by the table's quantization — well under the
+metre at any radius). The engine expression and the SQL oracle use the
+IDENTICAL formula, so engine↔oracle comparison is exact.
+
+The reference stores geopoints as morton-interleaved prefix terms and
+pre-filters via the term dictionary; in Spark the columnar source IS
+the docvalue store, and parquet min/max pruning on lat/lon replaces
+the term-prefix pre-filter.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from pyspark.sql import Column, functions as F
+
+# WGS84 semi-axes (sloppy.go:33-34)
+_A = 6378137.0
+_B = 6356752.31420
+
+# distance units → meters (/root/reference/geo/geo_dist.go:25-45)
+_UNITS = {
+    "mm": 0.001, "cm": 0.01, "m": 1.0, "km": 1000.0,
+    "mi": 1609.344, "yd": 0.9144, "ft": 0.3048, "in": 0.0254,
+    "nm": 1852.0, "kilometers": 1000.0, "meters": 1.0, "miles": 1609.344,
+}
+
+_DIST_RE = re.compile(r"^\s*([0-9.+-eE]+)\s*([a-zA-Z]*)\s*$")
+
+
+def parse_distance(s) -> float:
+    """Distance string → meters (geo.ParseDistance). Bare numbers are
+    meters."""
+    if isinstance(s, (int, float)):
+        return float(s)
+    m = _DIST_RE.match(str(s))
+    if not m:
+        raise ValueError(f"unparseable distance: {s!r}")
+    val = float(m.group(1))
+    unit = m.group(2).lower() or "m"
+    if unit not in _UNITS:
+        raise ValueError(f"unknown distance unit: {unit!r}")
+    return val * _UNITS[unit]
+
+
+def earth_diameter_km_col(avg_lat_rad: Column) -> Column:
+    """2·R(φ) in km for the WGS84 ellipsoid — closed form of
+    sloppy.go's table entries."""
+    lat = F.abs(avg_lat_rad)
+    c, s = F.cos(lat), F.sin(lat)
+    a2, b2 = _A * _A, _B * _B
+    num = (F.lit(a2) * c) * (F.lit(a2) * c) + (F.lit(b2) * s) * (
+        F.lit(b2) * s
+    )
+    den = (F.lit(_A) * c) * (F.lit(_A) * c) + (F.lit(_B) * s) * (
+        F.lit(_B) * s
+    )
+    return F.lit(2.0) * F.sqrt(num / den) / F.lit(1000.0)
+
+
+def haversine_km_col(
+    lat_col: Column, lon_col: Column, lat: float, lon: float
+) -> Column:
+    """geo_dist.go:88-98, as native column arithmetic."""
+    d2r = math.pi / 180.0
+    x1 = lat_col.cast("double") * F.lit(d2r)
+    x2 = F.lit(lat * d2r)
+    h1 = F.lit(1.0) - F.cos(x1 - x2)
+    h2 = F.lit(1.0) - F.cos(
+        (lon_col.cast("double") - F.lit(float(lon))) * F.lit(d2r)
+    )
+    h = (h1 + F.cos(x1) * F.cos(F.lit(lat * d2r)) * h2) / F.lit(2.0)
+    avg = (x1 + F.lit(lat * d2r)) / F.lit(2.0)
+    return earth_diameter_km_col(avg) * F.asin(
+        F.least(F.lit(1.0), F.sqrt(h))
+    )
+
+
+def distance_pred(
+    lat_col: Column, lon_col: Column, lat: float, lon: float,
+    distance_meters: float,
+) -> Column:
+    return (
+        haversine_km_col(lat_col, lon_col, lat, lon)
+        <= F.lit(distance_meters / 1000.0)
+    )
+
+
+def bbox_pred(
+    lat_col: Column, lon_col: Column,
+    top_left_lon: float, top_left_lat: float,
+    bottom_right_lon: float, bottom_right_lat: float,
+) -> Column:
+    """Bounding box with dateline wrap: minLon > maxLon splits into two
+    ranges (the reference splits the same way,
+    search_geoboundingbox.go)."""
+    lat_ok = (lat_col >= F.lit(bottom_right_lat)) & (
+        lat_col <= F.lit(top_left_lat)
+    )
+    if top_left_lon <= bottom_right_lon:
+        lon_ok = (lon_col >= F.lit(top_left_lon)) & (
+            lon_col <= F.lit(bottom_right_lon)
+        )
+    else:
+        lon_ok = (lon_col >= F.lit(top_left_lon)) | (
+            lon_col <= F.lit(bottom_right_lon)
+        )
+    return lat_ok & lon_ok
+
+
+def haversine_km_sql(lat_expr: str, lon_expr: str, lat: float,
+                     lon: float) -> str:
+    """The SAME formula as :func:`haversine_km_col`, as ANSI SQL — for
+    DuckDB oracles (identical IEEE-754 op order)."""
+    d2r = math.pi / 180.0
+    a2, b2 = _A * _A, _B * _B
+    x1 = f"({lat_expr} * {d2r!r})"
+    x2 = f"{lat * d2r!r}"
+    h1 = f"(1.0 - cos({x1} - {x2}))"
+    h2 = f"(1.0 - cos(({lon_expr} - {float(lon)!r}) * {d2r!r}))"
+    h = f"(({h1} + cos({x1}) * cos({x2}) * {h2}) / 2.0)"
+    avg = f"abs(({x1} + {x2}) / 2.0)"
+    num = (
+        f"(({a2!r} * cos({avg})) * ({a2!r} * cos({avg}))"
+        f" + ({b2!r} * sin({avg})) * ({b2!r} * sin({avg})))"
+    )
+    den = (
+        f"(({_A!r} * cos({avg})) * ({_A!r} * cos({avg}))"
+        f" + ({_B!r} * sin({avg})) * ({_B!r} * sin({avg})))"
+    )
+    diam = f"(2.0 * sqrt({num} / {den}) / 1000.0)"
+    return f"({diam} * asin(least(1.0, sqrt({h}))))"

@@ -174,6 +174,32 @@ class BooleanQuery(Query):
 
 
 @dataclass
+class GeoDistanceQuery(Query):
+    """Constant-scored haversine radius filter
+    (search/query/geo_distance.go:60). ``field`` names the geopoint;
+    source columns default to ``{field}_lat`` / ``{field}_lon``."""
+
+    lon: float = 0.0
+    lat: float = 0.0
+    distance: str = "1km"
+    lat_col: str | None = None
+    lon_col: str | None = None
+
+
+@dataclass
+class GeoBoundingBoxQuery(Query):
+    """Constant-scored bbox filter with dateline wrap
+    (search/query/geo_boundingbox.go:60)."""
+
+    top_left_lon: float = 0.0
+    top_left_lat: float = 0.0
+    bottom_right_lon: float = 0.0
+    bottom_right_lat: float = 0.0
+    lat_col: str | None = None
+    lon_col: str | None = None
+
+
+@dataclass
 class QueryStringQuery(Query):
     query: str = ""
 
@@ -242,6 +268,22 @@ def parse_query(d: dict) -> Query:
         return DocIDQuery(boost, fld, list(d["ids"]))
     if "bool" in d:
         return BoolFieldQuery(boost, fld, bool(d["bool"]))
+    if "distance" in d and "location" in d:
+        loc = d["location"]
+        return GeoDistanceQuery(
+            boost, fld, lon=float(loc["lon"]), lat=float(loc["lat"]),
+            distance=d["distance"],
+            lat_col=d.get("lat_col"), lon_col=d.get("lon_col"),
+        )
+    if "top_left" in d and "bottom_right" in d:
+        tl, br = d["top_left"], d["bottom_right"]
+        return GeoBoundingBoxQuery(
+            boost, fld,
+            top_left_lon=float(tl["lon"]), top_left_lat=float(tl["lat"]),
+            bottom_right_lon=float(br["lon"]),
+            bottom_right_lat=float(br["lat"]),
+            lat_col=d.get("lat_col"), lon_col=d.get("lon_col"),
+        )
     if "match_all" in d:
         return MatchAllQuery(boost, fld)
     if "match_none" in d:

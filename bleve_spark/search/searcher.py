@@ -779,6 +779,41 @@ class Compiler:
 
         return SConst(df_fn, q.boost)
 
+    def _geo_cols(self, q) -> tuple[str, str]:
+        f = self._field(q)
+        return (q.lat_col or f"{f}_lat", q.lon_col or f"{f}_lon")
+
+    def _r_GeoDistanceQuery(self, q: Q.GeoDistanceQuery) -> SNode:
+        from bleve_spark.search.geo import distance_pred, parse_distance
+
+        lat_c, lon_c = self._geo_cols(q)
+        meters = parse_distance(q.distance)
+
+        def df_fn(ctx, q=q, lat_c=lat_c, lon_c=lon_c, meters=meters):
+            return ctx.idx.source.where(
+                distance_pred(
+                    F.col(lat_c), F.col(lon_c), q.lat, q.lon, meters
+                )
+            )
+
+        return SConst(df_fn, q.boost)
+
+    def _r_GeoBoundingBoxQuery(self, q: Q.GeoBoundingBoxQuery) -> SNode:
+        from bleve_spark.search.geo import bbox_pred
+
+        lat_c, lon_c = self._geo_cols(q)
+
+        def df_fn(ctx, q=q, lat_c=lat_c, lon_c=lon_c):
+            return ctx.idx.source.where(
+                bbox_pred(
+                    F.col(lat_c), F.col(lon_c),
+                    q.top_left_lon, q.top_left_lat,
+                    q.bottom_right_lon, q.bottom_right_lat,
+                )
+            )
+
+        return SConst(df_fn, q.boost)
+
     def _r_DateRangeQuery(self, q: Q.DateRangeQuery) -> SNode:
         f = self._field(q)
         start = _parse_dt(q.start)

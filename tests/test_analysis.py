@@ -180,3 +180,12 @@ def test_highlight_formatters():
     assert frags and "\x1b[43mquick\x1b[0m" in frags[0]
     frags = highlight_text("the quick brown fox", {"quick"})
     assert "<mark>quick</mark>" in frags[0]
+
+
+def test_geo_distance_parse():
+    from bleve_spark.search.geo import parse_distance
+
+    assert parse_distance("5km") == 5000.0
+    assert parse_distance("1mi") == 1609.344
+    assert parse_distance("100") == 100.0
+    assert parse_distance(250) == 250.0

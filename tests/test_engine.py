@@ -391,3 +391,35 @@ def test_tfidf_scoring_mode(spark, transcripts, transcripts_pd):
     res = search(idx, {"field": "text", "term": "quick"}, size=10)
     expected = orc.search(O.term("text", "quick"), size=10)
     assert_rank_identical(res["hits"], expected)
+
+
+def test_geo_bbox_dateline_wrap(spark, tindex):
+    """minLon > maxLon wraps the dateline — two lon ranges OR'd
+    (reference search_geoboundingbox.go split)."""
+    from pyspark.sql import functions as F
+
+    from bleve_spark.search.searcher import compile_query
+
+    import dataclasses
+
+    src = tindex.source.withColumn(
+        "geo_lat", (F.crc32(F.col("conv_id")) % 181 - 90).cast("double")
+    ).withColumn(
+        "geo_lon",
+        ((F.crc32(F.col("conv_id")) * 7) % 361 - 180).cast("double"),
+    )
+    idx = dataclasses.replace(tindex, source=src)
+    q = {"field": "geo",
+         "top_left": {"lon": 150.0, "lat": 90.0},
+         "bottom_right": {"lon": -150.0, "lat": -90.0}}
+    got = {
+        (r["conv_id"], r["turn_idx"])
+        for r in compile_query(idx, q).collect()
+    }
+    want = {
+        (r["conv_id"], r["turn_idx"])
+        for r in src.where(
+            (F.col("geo_lon") >= 150.0) | (F.col("geo_lon") <= -150.0)
+        ).select("conv_id", "turn_idx").collect()
+    }
+    assert got == want and len(want) > 0
