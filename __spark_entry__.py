@@ -44,6 +44,16 @@ def _docs_index(spark: SparkSession, sf_dir: str, scoring: str = "bm25"):
                 "geo_lon",
                 ((F.col("doc_id") * 13) % 361 - 180).cast("double"),
             )
+            .withColumn(
+                "ip",
+                F.concat_ws(
+                    ".",
+                    F.lit("10"),
+                    (F.col("doc_id") % 256).cast("string"),
+                    ((F.col("doc_id") * 3) % 256).cast("string"),
+                    ((F.col("doc_id") * 7) % 256).cast("string"),
+                ),
+            )
         )
         _INDEX_CACHE[key] = index_table(
             df,
@@ -681,6 +691,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=10_000_000,
         )
 
+    def q_ip_range(spark, sf):
+        return _topk(
+            _docs_index(spark, sf),
+            {"field": "ip", "cidr": "10.32.0.0/12"},
+            k=10_000_000,
+        )
+
     def q_facet_dates(spark, sf):
         from bleve_spark.search.facets import datetime_range_facet
 
@@ -968,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_facet_dates": q_facet_dates,
             "q_geo_distance": q_geo_distance,
             "q_geo_bbox": q_geo_bbox,
+            "q_ip_range": q_ip_range,
             "q_multi_phrase": q_multi_phrase,
             "q_phrase_slop": q_phrase_slop,
             "q_bool_field": q_bool_field,
@@ -1055,6 +1073,11 @@ def oracle_sql() -> dict[str, str]:
             "(b.bucket='mid' AND d.n_chars >= 200 AND d.n_chars < 400) OR "
             "(b.bucket='large' AND d.n_chars >= 400) "
             "GROUP BY b.bucket"
+        ),
+        # 10.32.0.0/12 → second octet in [32, 47]
+        "q_ip_range": (
+            "SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM documents "
+            "WHERE (doc_id % 256) >= 32 AND (doc_id % 256) <= 47"
         ),
         "q_geo_distance": _sql_geo_distance(),
         "q_geo_bbox": (

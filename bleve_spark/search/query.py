@@ -200,6 +200,14 @@ class GeoBoundingBoxQuery(Query):
 
 
 @dataclass
+class IpRangeQuery(Query):
+    """CIDR containment over an IPv4 string column
+    (search/query/ip_range.go:57); constant-scored."""
+
+    cidr: str = ""
+
+
+@dataclass
 class QueryStringQuery(Query):
     query: str = ""
 
@@ -268,6 +276,8 @@ def parse_query(d: dict) -> Query:
         return DocIDQuery(boost, fld, list(d["ids"]))
     if "bool" in d:
         return BoolFieldQuery(boost, fld, bool(d["bool"]))
+    if "cidr" in d:
+        return IpRangeQuery(boost, fld, cidr=d["cidr"])
     if "distance" in d and "location" in d:
         loc = d["location"]
         return GeoDistanceQuery(

@@ -814,6 +814,29 @@ class Compiler:
 
         return SConst(df_fn, q.boost)
 
+    def _r_IpRangeQuery(self, q: Q.IpRangeQuery) -> SNode:
+        """CIDR containment (search/query/ip_range.go:57, search/
+        searcher/search_ip_range.go:43): the reference expands the CIDR
+        over byte terms; with a native column the containment is just
+        an integer range predicate (constant-scored)."""
+        import ipaddress
+
+        f = self._field(q)
+        net = ipaddress.ip_network(q.cidr, strict=False)
+        lo, hi = int(net.network_address), int(net.broadcast_address)
+
+        def df_fn(ctx, f=f, lo=lo, hi=hi):
+            o = F.split(F.col(f), r"\.")
+            as_int = (
+                o.getItem(0).cast("long") * 16777216
+                + o.getItem(1).cast("long") * 65536
+                + o.getItem(2).cast("long") * 256
+                + o.getItem(3).cast("long")
+            )
+            return ctx.idx.source.where(as_int.between(lo, hi))
+
+        return SConst(df_fn, q.boost)
+
     def _r_DateRangeQuery(self, q: Q.DateRangeQuery) -> SNode:
         f = self._field(q)
         start = _parse_dt(q.start)
