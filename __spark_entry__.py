@@ -472,6 +472,47 @@ JOIN sizes sb ON sb.key = key_b
 WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.5"""
 
 
+# hybrid: RRF of the BM25 match-disjunction top-20 and the cosine
+# top-20 (fusion/rrf.go:34 + search_knn.go hybrid request shape)
+def _sql_hybrid_rrf() -> str:
+    exp = _values(["spark", "data"])
+    return f"""{_PRELUDE},
+expq AS ({exp}),
+qnorm AS (SELECT 1.0/sqrt(sum((mult*idf)*(mult*idf))) AS v FROM expq),
+total AS (SELECT count(*) AS t FROM expq),
+fts_scored AS (
+  SELECT p.doc_id,
+         {_BASE} * (q.mult * q.idf * (SELECT v FROM qnorm)) AS s
+  FROM post p JOIN expq q USING (term)),
+l1 AS (
+  SELECT doc_id, round(sum(s) * count(*)
+         / (SELECT CAST(t AS DOUBLE) FROM total), 6) AS score
+  FROM fts_scored GROUP BY doc_id
+  ORDER BY score DESC, doc_id LIMIT 20),
+qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+vpairs AS (
+  SELECT vec_id, unnest(embedding) AS x, unnest((SELECT v FROM qv)) AS y
+  FROM embeddings
+), vsums AS (
+  SELECT vec_id,
+         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
+         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
+  FROM vpairs GROUP BY vec_id
+), l2 AS (
+  SELECT vec_id AS doc_id,
+         round(dot / (sqrt(nx) * sqrt(ny)), 6) AS score
+  FROM vsums ORDER BY score DESC, doc_id LIMIT 20),
+r AS (
+  SELECT doc_id, 1.0/(60 + row_number()
+         OVER (ORDER BY score DESC, doc_id)) AS c FROM l1
+  UNION ALL
+  SELECT doc_id, 1.0/(60 + row_number()
+         OVER (ORDER BY score DESC, doc_id)) AS c FROM l2)
+SELECT doc_id, round(sum(c), 6) AS score FROM r GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 10"""
+
+
 _SQL_COSINE_TOPK = """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 pairs AS (
@@ -689,6 +730,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              "top_left": {"lon": -30.0, "lat": 40.0},
              "bottom_right": {"lon": 50.0, "lat": -10.0}},
             k=10_000_000,
+        )
+
+    def q_hybrid_rrf(spark, sf):
+        """FTS match leg + brute-force cosine KNN leg, RRF-fused —
+        the reference's SearchRequest Query+KNN hybrid."""
+        from bleve_spark.search.hybrid import hybrid_search_df
+
+        idx = _docs_index(spark, sf)
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qv = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+        return hybrid_search_df(
+            idx, {"field": "text", "match": "spark data"},
+            emb, "embedding", "vec_id", qv, size=10, leg_k=20,
         )
 
     def q_ip_range(spark, sf):
@@ -986,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_geo_distance": q_geo_distance,
             "q_geo_bbox": q_geo_bbox,
             "q_ip_range": q_ip_range,
+            "q_hybrid_rrf": q_hybrid_rrf,
             "q_multi_phrase": q_multi_phrase,
             "q_phrase_slop": q_phrase_slop,
             "q_bool_field": q_bool_field,
@@ -1074,6 +1129,7 @@ def oracle_sql() -> dict[str, str]:
             "(b.bucket='large' AND d.n_chars >= 400) "
             "GROUP BY b.bucket"
         ),
+        "q_hybrid_rrf": _sql_hybrid_rrf(),
         # 10.32.0.0/12 → second octet in [32, 47]
         "q_ip_range": (
             "SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM documents "
