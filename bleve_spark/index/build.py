@@ -72,6 +72,8 @@ class IndexedTable:
     # (/root/reference/search/searcher/search_term.go:154-196)
     synonyms: dict = None
     _persisted: list = dc_field(default_factory=list)
+    # driver-side dictionary cache: None = not tried, False = too big
+    _dict_map: object = dc_field(default=None, repr=False)
 
     @property
     def spark(self):
@@ -83,14 +85,41 @@ class IndexedTable:
             ":", *[F.col(k).cast("string") for k in self.key_cols]
         )
 
+    # dictionaries up to this many terms are cached driver-side (one
+    # collect, then every compile is a dict lookup — no per-query job);
+    # beyond it, lookups stay distributed dictionary scans
+    DICT_CACHE_MAX = 200_000
+
+    def _cached_dict(self):
+        if self._dict_map is None:
+            rows = (
+                self.dictionary.select("field", "term", "doc_freq")
+                .limit(self.DICT_CACHE_MAX + 1)
+                .collect()
+            )
+            if len(rows) > self.DICT_CACHE_MAX:
+                self._dict_map = False
+            else:
+                d: dict = {}
+                for r in rows:
+                    d.setdefault(r["field"], {})[r["term"]] = int(
+                        r["doc_freq"]
+                    )
+                self._dict_map = d
+        return self._dict_map or None
+
     def doc_freq(self, field_name: str, terms: list[str]) -> dict[str, int]:
         """Dictionary lookup: #docs containing each term (bleve
         TermFieldReader.Count, /root/reference/search/searcher/
-        search_term.go:146). Tiny collect — mirrors the FST dictionary
-        probe; at cluster scale this is a broadcast-friendly scan of the
-        dictionary dataset, pruned by term."""
+        search_term.go:146). Served from the driver-side dictionary
+        cache when the dictionary is small; otherwise a term-pruned
+        distributed scan (the FST dictionary probe)."""
         if not terms:
             return {}
+        cache = self._cached_dict()
+        if cache is not None:
+            fm = cache.get(field_name, {})
+            return {t: int(fm.get(t, 0)) for t in terms}
         rows = (
             self.dictionary.where(
                 (F.col("field") == field_name) & F.col("term").isin(terms)
@@ -107,11 +136,24 @@ class IndexedTable:
         field_name: str,
         predicate,
         with_freq: bool = False,
+        py_pred=None,
     ) -> list:
         """Dictionary expansion for prefix/regexp/fuzzy/term-range — the
         DataFrame analogue of bleve's FST automaton intersection
         (/root/reference/index/scorch/snapshot_index.go:242-246).
-        ``predicate`` is a Column over ``term``."""
+        ``predicate`` is a Column over ``term``; when ``py_pred`` (an
+        equivalent Python callable) is given and the dictionary cache
+        is resident, the expansion is a driver-side scan (no job)."""
+        if py_pred is not None:
+            cache = self._cached_dict()
+            if cache is not None:
+                items = sorted(
+                    (t, df) for t, df in cache.get(field_name, {}).items()
+                    if py_pred(t)
+                )
+                if with_freq:
+                    return items
+                return [t for t, _ in items]
         df = self.dictionary.where(
             (F.col("field") == field_name) & predicate
         ).select("term", "doc_freq")

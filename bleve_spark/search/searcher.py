@@ -694,7 +694,16 @@ class Compiler:
         pred = F.levenshtein(F.col("term"), F.lit(term)) <= d
         if prefix_len > 0:
             pred = pred & F.col("term").startswith(term[:prefix_len])
-        cands = self.idx.expand_terms(field, pred, with_freq=True)
+        px = term[:prefix_len]
+
+        def py_pred(t, term=term, d=d, px=px):
+            if px and not t.startswith(px):
+                return False
+            return _levenshtein(term, t) <= d
+
+        cands = self.idx.expand_terms(
+            field, pred, with_freq=True, py_pred=py_pred
+        )
         children = []
         for t, df_ in cands:
             dist = _levenshtein(term, t)
@@ -723,7 +732,8 @@ class Compiler:
     def _r_PrefixQuery(self, q: Q.PrefixQuery) -> SNode:
         f = self._field(q)
         tf = self.idx.expand_terms(
-            f, F.col("term").startswith(q.prefix), with_freq=True
+            f, F.col("term").startswith(q.prefix), with_freq=True,
+            py_pred=lambda t, p=q.prefix: t.startswith(p),
         )
         return self._multi_term(f, tf, q.boost)
 
@@ -738,8 +748,14 @@ class Compiler:
     def _r_WildcardQuery(self, q: Q.WildcardQuery) -> SNode:
         f = self._field(q)
         rx = _wildcard_to_regexp(q.wildcard)
+        # wildcard-translated patterns use only `.`/`.*`/escaped
+        # literals — identical in Java and Python regex dialects, so
+        # the cached-dictionary path is safe (user regexps are NOT:
+        # they stay on the JVM rlike path)
+        crx = re.compile(rx)
         tf = self.idx.expand_terms(
-            f, F.col("term").rlike(f"^(?:{rx})$"), with_freq=True
+            f, F.col("term").rlike(f"^(?:{rx})$"), with_freq=True,
+            py_pred=lambda t, crx=crx: crx.fullmatch(t) is not None,
         )
         return self._multi_term(f, tf, q.boost)
 
@@ -758,7 +774,18 @@ class Compiler:
                 if q.inclusive_max
                 else F.col("term") < q.max
             )
-        tf = self.idx.expand_terms(f, pred, with_freq=True)
+
+        def py_pred(t, q=q):
+            if q.min is not None:
+                if t < q.min if q.inclusive_min else t <= q.min:
+                    return False
+            if q.max is not None:
+                if t > q.max if q.inclusive_max else t >= q.max:
+                    return False
+            return True
+
+        tf = self.idx.expand_terms(f, pred, with_freq=True,
+                                   py_pred=py_pred)
         return self._multi_term(f, tf, q.boost)
 
     def _r_NumericRangeQuery(self, q: Q.NumericRangeQuery) -> SNode:
