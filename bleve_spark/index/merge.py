@@ -50,8 +50,14 @@ def merge_level(
     fanin: int = 10,
     chunk_docs: int = DEFAULT_CHUNK_DOCS,
     band_chunks: int | None = None,
+    rosters: list[list[int]] | None = None,
 ) -> list[dict]:
-    """One merge round: segments grouped in id order, ≤fanin per group."""
+    """One merge round. Default grouping: segments in id order, ≤fanin
+    per group (the offline-builder shape, builder.go:169-236). Pass
+    ``rosters`` (lists of segment ids, e.g. from
+    :func:`bleve_spark.index.mergeplan.plan_from_manifests`) to merge
+    planner-chosen groups instead; unplanned segments carry over as
+    singleton groups (copied forward)."""
     t_start = time.time()
     mdir = os.path.join(src_root, "manifest")
     manifests = []
@@ -61,9 +67,18 @@ def merge_level(
                 manifests.append(json.load(f))
     manifests.sort(key=lambda m: m["segment_id"])
 
-    groups: list[list[dict]] = [
-        manifests[i : i + fanin] for i in range(0, len(manifests), fanin)
-    ]
+    if rosters is None:
+        groups: list[list[dict]] = [
+            manifests[i: i + fanin]
+            for i in range(0, len(manifests), fanin)
+        ]
+    else:
+        by_id = {m["segment_id"]: m for m in manifests}
+        planned = {i for r in rosters for i in r}
+        groups = [[by_id[i] for i in r] for r in rosters if r]
+        groups += [
+            [m] for m in manifests if m["segment_id"] not in planned
+        ]
     # per-old-segment: (new_seg, doc offset within new seg, member idx)
     remap: dict[int, tuple[int, int, int]] = {}
     for g, members in enumerate(groups):
@@ -226,6 +241,40 @@ def merge_level(
             json.dump(man, f)
         out_manifests.append(man)
     return out_manifests
+
+
+def tiered_merge(
+    spark: SparkSession,
+    root: str,
+    options=None,
+    chunk_docs: int = DEFAULT_CHUNK_DOCS,
+    band_chunks: int | None = None,
+    max_rounds: int = 20,
+) -> str:
+    """Policy-driven background-merge analogue: plan with the
+    reference's tiered policy (mergeplan.py) and execute rounds until
+    the plan is empty — the batch statement of scorch's merger loop
+    (/root/reference/index/scorch/merge.go:48,305)."""
+    from bleve_spark.index.mergeplan import plan_from_manifests
+
+    cur = root
+    for level in range(1, max_rounds + 1):
+        mdir = os.path.join(cur, "manifest")
+        manifests = []
+        for fn in sorted(os.listdir(mdir)):
+            if fn.endswith(".json"):
+                with open(os.path.join(mdir, fn)) as f:
+                    manifests.append(json.load(f))
+        rosters = plan_from_manifests(manifests, options)
+        if not rosters:
+            return cur
+        nxt = f"{root}_T{level}"
+        merge_level(
+            spark, cur, nxt, chunk_docs=chunk_docs,
+            band_chunks=band_chunks, rosters=rosters,
+        )
+        cur = nxt
+    return cur
 
 
 def merge_to_single(

@@ -210,3 +210,23 @@ def test_streaming_incremental(spark, tmp_path):
 
     hits = s2(idx_stream, {"field": "text", "term": "quick"}, size=5)
     assert hits["total_hits"] > 0
+
+
+def test_tiered_merge_preserves_postings(spark, transcripts, tmp_path):
+    """Policy-driven tiered merge (reference mergeplan defaults) over
+    many small segments must preserve the postings relation exactly."""
+    from bleve_spark.index.merge import tiered_merge
+
+    root = str(tmp_path / "tier")
+    build_segments(
+        transcripts, KEYS, {"text": "standard"}, root, n_segments=12
+    )
+    before = _postings_set(
+        SegmentStore(spark, root).postings_df(KEYS, ["text"]), KEYS
+    )
+    final = tiered_merge(spark, root)
+    assert final != root  # 12 tiny segments must trigger merging
+    store = SegmentStore(spark, final)
+    after = _postings_set(store.postings_df(KEYS, ["text"]), KEYS)
+    assert before == after
+    assert len(store.manifests()) < 12
