@@ -212,8 +212,33 @@ class QueryStringQuery(Query):
     query: str = ""
 
 
+@dataclass
+class CustomScoreQuery(Query):
+    """Wrap a sub-query and rescore it with a user Column function
+    (the reference's pluggable custom_score parser surface,
+    search/query/query.go:311-324). ``score_fn(score_col) -> Column``
+    runs JVM-side — a rescoring expression, not a row UDF."""
+
+    sub: Query | None = None
+    score_fn: object = None
+
+
+# user-registered parsers for the reference's custom query kinds
+# (query.go:311-324: error when unregistered)
+CUSTOM_PARSERS: dict = {}
+
+
+def register_custom_parser(kind: str, fn) -> None:
+    """``fn(dict) -> Query`` for "custom_filter"/"custom_score"/
+    "custom_payload" style dispatch keys."""
+    CUSTOM_PARSERS[kind] = fn
+
+
 def parse_query(d: dict) -> Query:
     """JSON dict → Query, following query.go:128-393 key dispatch."""
+    for kind, fn in CUSTOM_PARSERS.items():
+        if kind in d:
+            return fn(d)
     boost = float(d.get("boost", 1.0))
     fld = d.get("field")
 

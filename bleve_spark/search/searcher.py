@@ -841,6 +841,23 @@ class Compiler:
 
         return SConst(df_fn, q.boost)
 
+    def _r_CustomScoreQuery(self, q: Q.CustomScoreQuery) -> SNode:
+        sub = self.resolve(q.sub)
+        fn = q.score_fn
+
+        class SCustom(SNode):
+            def weight(self, ctx):
+                return sub.weight(ctx)
+
+            def compile(self, ctx):
+                df = sub.compile(ctx)
+                return df.withColumn("score", fn(F.col("score")))
+
+            def docs(self, ctx):
+                return sub.docs(ctx)
+
+        return SCustom()
+
     def _r_IpRangeQuery(self, q: Q.IpRangeQuery) -> SNode:
         """CIDR containment (search/query/ip_range.go:57, search/
         searcher/search_ip_range.go:43): the reference expands the CIDR
@@ -988,6 +1005,7 @@ def search_df(
     from_: int = 0,
     sort: list[str] | None = None,
     search_after: list | None = None,
+    search_before: list | None = None,
 ) -> DataFrame:
     """Top-k hits: ORDER BY ... LIMIT from+size — Catalyst's
     TakeOrderedAndProject is the reference's TopNCollector
@@ -1031,19 +1049,35 @@ def search_df(
         order.append(F.col(k).asc())
         specs.append((F.col(k), False))
 
-    if search_after is not None:
+    def _cursor_pred(cursor, flip: bool):
         # cursor semantics (topn.go:103-128): keep rows strictly AFTER
         # the cursor in sort order — lexicographic comparison over the
         # sort tuple (cursor must cover the leading sort keys; missing
-        # trailing values make the comparison prefix-based)
-        n = min(len(search_after), len(specs))
+        # trailing values make the comparison prefix-based); flip=True
+        # compares in the REVERSED order (search_before)
+        n = min(len(cursor), len(specs))
         pred = F.lit(False)
         for i in range(n - 1, -1, -1):
             col, desc = specs[i]
-            cur = F.lit(search_after[i])
+            if flip:
+                desc = not desc
+            cur = F.lit(cursor[i])
             strictly = col < cur if desc else col > cur
             pred = strictly | ((col == cur) & pred)
-        scored = scored.where(pred)
+        return pred
+
+    if search_after is not None:
+        scored = scored.where(_cursor_pred(search_after, False))
+    elif search_before is not None:
+        # the reference pages backwards by flipping sort + search_after
+        # (index_alias_impl.go:721-724,1016-1020): take the size rows
+        # preceding the cursor, then present them in the original order
+        scored = scored.where(_cursor_pred(search_before, True))
+        rev = [
+            (c.asc() if d else c.desc()) for c, d in specs
+        ]
+        page = scored.orderBy(*rev).limit(from_ + size)
+        return page.orderBy(*order)
 
     return scored.orderBy(*order).limit(from_ + size)
 

@@ -140,3 +140,53 @@ def test_search_after_continues_page(tindex):
     got = [(r["conv_id"], r["turn_idx"], r["score"]) for r in page2]
     want = [(r["conv_id"], r["turn_idx"], r["score"]) for r in full[4:10]]
     assert got == want and len(got) == 6
+
+
+def test_search_before_pages_backwards(tindex):
+    """search_before = flipped-sort search_after, results re-presented
+    in the original order (index_alias_impl.go:721-724,1016-1020)."""
+    from bleve_spark.search.searcher import search_df
+
+    q = {"field": "text", "match": "spark data"}
+    full = search_df(tindex, q, size=10).collect()
+    anchor = full[6]
+    cursor = [anchor["score"], anchor["conv_id"], anchor["turn_idx"]]
+    page = search_df(tindex, q, size=4, search_before=cursor).collect()
+    got = [(r["conv_id"], r["turn_idx"], r["score"]) for r in page]
+    want = [(r["conv_id"], r["turn_idx"], r["score"]) for r in full[2:6]]
+    assert got == want and len(got) == 4
+
+
+def test_custom_score_query(tindex):
+    """custom_score hook: registered parser + JVM-side rescoring
+    expression (query.go:311-324 surface)."""
+    from pyspark.sql import functions as F
+
+    from bleve_spark.search import query as Q
+    from bleve_spark.search.searcher import search_df
+
+    def parse_double(d):
+        return Q.CustomScoreQuery(
+            sub=Q.parse_query(d["custom_score"]),
+            score_fn=lambda s: s * F.lit(2.0),
+        )
+
+    Q.register_custom_parser("custom_score", parse_double)
+    try:
+        base = search_df(
+            tindex, {"field": "text", "term": "quick"}, size=5
+        ).collect()
+        doubled = search_df(
+            tindex,
+            {"custom_score": {"field": "text", "term": "quick"}},
+            size=5,
+        ).collect()
+        assert [
+            (r["conv_id"], r["turn_idx"], round(r["score"] * 2.0, 9))
+            for r in base
+        ] == [
+            (r["conv_id"], r["turn_idx"], round(r["score"], 9))
+            for r in doubled
+        ]
+    finally:
+        Q.CUSTOM_PARSERS.pop("custom_score", None)
