@@ -79,20 +79,43 @@ def merge_level(
         groups += [
             [m] for m in manifests if m["segment_id"] not in planned
         ]
-    # per-old-segment: (new_seg, doc offset within new seg, member idx)
+    # deletions to reclaim at this merge (scorch merger drops obsolete
+    # docs and compacts doc numbers; ReclaimDeletesWeight exists for
+    # exactly this) — deleted locals per segment, broadcast (bitmap-
+    # sized, the reference holds them in memory too)
+    src_store_for_dels = None
+    from bleve_spark.index.segments import SegmentStore
+
+    src_store_for_dels = SegmentStore(spark, src_root)
+    dels_df = src_store_for_dels.deletions()
+    deleted: dict[int, np.ndarray] = {}
+    if dels_df is not None:
+        for r in dels_df.collect():
+            seg = int(r["doc_num"]) >> SEG_SHIFT
+            deleted.setdefault(seg, []).append(
+                int(r["doc_num"]) & LOCAL_MASK
+            )
+        deleted = {
+            s: np.array(sorted(v), dtype=np.int64)
+            for s, v in deleted.items()
+        }
+    bc_deleted = spark.sparkContext.broadcast(deleted)
+
+    def _live(m):
+        return m["doc_count"] - len(deleted.get(m["segment_id"], ()))
+
+    # per-old-segment: (new_seg, LIVE doc offset within new seg, member)
     remap: dict[int, tuple[int, int, int]] = {}
     for g, members in enumerate(groups):
         off = 0
         for mi, m in enumerate(members):
             remap[m["segment_id"]] = (g, off, mi)
-            off += m["doc_count"]
+            off += _live(m)
 
     os.makedirs(dst_root, exist_ok=True)
 
-    # ---- postings: decode → renumber → re-encode, one shuffle ----
-    from bleve_spark.index.segments import SegmentStore
-
-    rows = SegmentStore(spark, src_root).chunk_rows(with_blobs=True)
+    # ---- postings: decode → drop deleted → renumber → re-encode ----
+    rows = src_store_for_dels.chunk_rows(with_blobs=True)
     remap_items = [
         (int(old), int(v[0]), int(v[1]), int(v[2]))
         for old, v in remap.items()
@@ -125,19 +148,45 @@ def merge_level(
         pdf = pdf.sort_values(["member", "chunk_id"], kind="mergesort")
         new_seg = int(pdf["new_seg"].iloc[0])
         base_new = np.uint64(new_seg) << np.uint64(SEG_SHIFT)
+        dels = bc_deleted.value
         docs_all, tfs_all, pos_all = [], [], []
         norms_max = 0.0
         for r in pdf.itertuples():
             # blobs carry segment-LOCAL doc nums (mask is belt-and-
-            # braces for legacy absolute blobs); renumber into the new
-            # segment's local space — the blob stays local at rest
+            # braces for legacy absolute blobs); drop deleted docs and
+            # renumber compactly into the new segment's local space
             docs = delta_decode_sorted(r.doc_blob)
-            local = docs & np.uint64(LOCAL_MASK)
+            local = (docs & np.uint64(LOCAL_MASK)).astype(np.int64)
+            tfs = varint_decode(r.tf_blob)
+            plists = decode_positions(r.pos_blob, len(docs))
+            del_arr = dels.get(int(r.segment_id))
+            if del_arr is not None and len(del_arr):
+                pos_in = np.searchsorted(del_arr, local)
+                hit = (pos_in < len(del_arr)) & (
+                    del_arr[np.minimum(pos_in, len(del_arr) - 1)]
+                    == local
+                )
+                keep = ~hit
+                if not keep.any():
+                    continue
+                local = local[keep]
+                tfs = tfs[keep]
+                plists = [p for p, k in zip(plists, keep) if k]
+                # compacted live rank = local − #deleted below it
+                local = local - np.searchsorted(del_arr, local)
             off = np.uint64(int(r.doc_off))
-            docs_all.append(off + local)
-            tfs_all.append(varint_decode(r.tf_blob))
-            pos_all.extend(decode_positions(r.pos_blob, len(docs)))
+            docs_all.append(off + local.astype(np.uint64))
+            tfs_all.append(tfs)
+            pos_all.extend(plists)
             norms_max = max(norms_max, float(r.max_norm))
+        if not docs_all:
+            return pd.DataFrame(
+                {k: [] for k in (
+                    "segment_id", "field", "term", "chunk_id", "n_docs",
+                    "doc_blob", "tf_blob", "pos_blob", "max_tf",
+                    "max_norm", "min_doc", "max_doc",
+                )}
+            )
         docs_a = np.concatenate(docs_all)
         tfs_a = np.concatenate(tfs_all)
         out = {
@@ -192,7 +241,7 @@ def merge_level(
     # normalize partition dir name seg=<id> matches reader glob
     # (spark writes postings/seg=K/part-*.parquet — same layout)
 
-    # ---- doc tables: renumber per group ----
+    # ---- doc tables: drop deleted + renumber compactly per group ----
     for g, members in enumerate(groups):
         parts = []
         for m in members:
@@ -200,15 +249,38 @@ def merge_level(
             d = spark.read.parquet(
                 os.path.join(src_root, "docs", f"seg={old}")
             )
-            _, off, _ = remap[old][0], remap[old][1], remap[old][2]
-            new_num = (
-                F.lit(g << SEG_SHIFT).cast("long")
-                + F.lit(int(remap[old][1])).cast("long")
-                + F.col("doc_num").cast("long").bitwiseAND(
-                    F.lit(LOCAL_MASK).cast("long")
+            base_val = (g << SEG_SHIFT) + int(remap[old][1])
+            del_arr = deleted.get(old)
+            if del_arr is None or not len(del_arr):
+                new_num = (
+                    F.lit(base_val).cast("long")
+                    + F.col("doc_num").cast("long").bitwiseAND(
+                        F.lit(LOCAL_MASK).cast("long")
+                    )
                 )
-            )
-            parts.append(d.withColumn("doc_num", new_num))
+                parts.append(d.withColumn("doc_num", new_num))
+            else:
+                def renum(batches, del_arr=del_arr, base_val=base_val):
+                    for pdf in batches:
+                        local = (
+                            pdf["doc_num"].to_numpy() & LOCAL_MASK
+                        ).astype(np.int64)
+                        pos = np.searchsorted(del_arr, local)
+                        hit = (pos < len(del_arr)) & (
+                            del_arr[
+                                np.minimum(pos, len(del_arr) - 1)
+                            ] == local
+                        )
+                        pdf = pdf[~hit].copy()
+                        l2 = local[~hit]
+                        pdf["doc_num"] = base_val + (
+                            l2 - np.searchsorted(del_arr, l2)
+                        )
+                        yield pdf
+
+                parts.append(
+                    d.mapInPandas(renum, schema=d.schema)
+                )
         u = parts[0]
         for p in parts[1:]:
             u = u.unionByName(p)
@@ -222,7 +294,7 @@ def merge_level(
     for g, members in enumerate(groups):
         man = {
             "segment_id": g,
-            "doc_count": sum(m["doc_count"] for m in members),
+            "doc_count": sum(_live(m) for m in members),
             "postings": sum(m["postings"] for m in members),
             "unique_terms": None,  # recomputed lazily by stats()
             "bytes": sum(m["bytes"] for m in members),
@@ -265,7 +337,11 @@ def tiered_merge(
             if fn.endswith(".json"):
                 with open(os.path.join(mdir, fn)) as f:
                     manifests.append(json.load(f))
-        rosters = plan_from_manifests(manifests, options)
+        from bleve_spark.index.segments import SegmentStore
+
+        deleted_counts = SegmentStore(spark, cur).deleted_counts()
+        rosters = plan_from_manifests(manifests, options,
+                                      deleted=deleted_counts)
         if not rosters:
             return cur
         nxt = f"{root}_T{level}"

@@ -160,12 +160,21 @@ def _better(roster_a, score_a, roster_b, score_b) -> bool:
 
 
 def plan_from_manifests(
-    manifests: list[dict], o: MergePlanOptions | None = None
+    manifests: list[dict],
+    o: MergePlanOptions | None = None,
+    deleted: dict[int, int] | None = None,
 ) -> list[list[int]]:
-    """Segment-id rosters to merge, from store manifests (live size =
-    doc_count; we have no delete bitmaps yet)."""
+    """Segment-id rosters to merge, from store manifests.
+    ``deleted`` maps segment_id → #deleted docs (live = full −
+    deleted), which drives the delete-reclaim scoring term."""
+    deleted = deleted or {}
     segs = [
-        Segment(id=m["segment_id"], full_size=int(m["doc_count"]))
+        Segment(
+            id=m["segment_id"],
+            full_size=int(m["doc_count"]),
+            live_size=int(m["doc_count"])
+            - int(deleted.get(m["segment_id"], 0)),
+        )
         for m in manifests
     ]
     return [[s.id for s in task] for task in plan(segs, o).tasks]

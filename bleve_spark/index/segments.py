@@ -497,14 +497,79 @@ class SegmentStore:
             )
         return df
 
-    def doc_table(self) -> DataFrame:
+    def doc_table(self, live_only: bool = True) -> DataFrame:
         df = self.spark.read.option("basePath", os.path.join(
             self.root, "docs")).parquet(
             os.path.join(self.root, "docs", "seg=*")
         )
         if "seg" in df.columns:
             df = df.drop("seg")
+        if live_only:
+            dels = self.deletions()
+            if dels is not None:
+                df = df.join(dels, "doc_num", "left_anti")
         return df
+
+    # -- deletions: scorch's per-segment obsolete bitmaps
+    # (/root/reference/index/scorch/scorch.go:659-667, README.md:113-137)
+    # as append-only parquet delete files (the Iceberg position-delete
+    # shape); postings drop deleted docs via the doc-table join and
+    # merges physically reclaim them --------------------------------
+    def _del_dir(self) -> str:
+        return os.path.join(self.root, "deletions")
+
+    def deletions(self) -> DataFrame | None:
+        """(doc_num long) of deleted docs, or None when there are none."""
+        d = self._del_dir()
+        if not os.path.isdir(d) or not any(
+            f.endswith(".parquet") for f in os.listdir(d)
+        ):
+            return None
+        return self.spark.read.parquet(d).select("doc_num").distinct()
+
+    def delete_docs(self, keys_df: DataFrame,
+                    key_cols: list[str]) -> int:
+        """Mark docs matching ``keys_df`` (rows of key columns) deleted.
+        Returns the number of newly resolved doc_nums. Idempotent —
+        readers de-duplicate."""
+        hits = (
+            self.doc_table(live_only=False)
+            .join(keys_df.select(*key_cols).distinct(), key_cols,
+                  "left_semi")
+            .select("doc_num")
+        )
+        n = hits.count()
+        if n:
+            hits.write.mode("append").parquet(self._del_dir())
+        return int(n)
+
+    def update_docs(self, df: DataFrame, key_cols: list[str],
+                    fields: dict[str, str]) -> list[dict]:
+        """bleve Batch update semantics (index.go:35-65): delete the
+        incoming keys from existing segments, then introduce the new
+        rows as a fresh segment."""
+        self.delete_docs(df, key_cols)
+        next_seg = max(
+            (m["segment_id"] for m in self.manifests()), default=-1
+        ) + 1
+        return build_segments(
+            df, key_cols, fields, self.root, n_segments=1,
+            resume=False, segment_id_offset=next_seg,
+        )
+
+    def deleted_counts(self) -> dict[int, int]:
+        """#deleted docs per segment (for merge-planner live sizes)."""
+        dels = self.deletions()
+        if dels is None:
+            return {}
+        rows = (
+            dels.groupBy(
+                F.shiftrightunsigned("doc_num", SEG_SHIFT).alias("seg")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        return {int(r["seg"]): int(r["n"]) for r in rows}
 
     def manifests(self) -> list[dict]:
         mdir = os.path.join(self.root, "manifest")
@@ -584,8 +649,11 @@ class SegmentStore:
         """Bleve-exact multi-segment stats: field cardinality = Σ
         per-segment unique-term counts
         (/root/reference/index/scorch/snapshot_index.go:151-161),
-        avg_doc_len = ceil(card / doc_count)."""
+        avg_doc_len = ceil(card / doc_count). Live doc count subtracts
+        deletions; the dictionary keeps deleted docs' terms until a
+        merge reclaims them — exactly the reference's behavior."""
         doc_count = sum(m["doc_count"] for m in self.manifests())
+        doc_count -= sum(self.deleted_counts().values())
         per_seg = (
             self.chunk_rows()
             .groupBy("segment_id", "field")
