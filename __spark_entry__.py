@@ -136,6 +136,13 @@ _PRELUDE = _mk_prelude(
 )"""
 )
 
+# delete-visibility oracle: the live index = documents minus the
+# deleted id range (deleted docs vanish from postings, ndocs, stats)
+_PRELUDE_LIVE100 = _PRELUDE.replace(
+    "FROM documents",
+    "FROM (SELECT * FROM documents WHERE doc_id >= 100)",
+)
+
 # alias over 2 shards (doc_id % 2): bleve sums PER-SHARD unique-term
 # counts (pre_search.go:96-110 + snapshot_index.go:151-161), so
 # avg_doc_len = ceil(Σ shard cards / N) — NOT the global distinct count
@@ -898,6 +905,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.round(F.col("score"), 6).alias("score")
         )
 
+    def q_term_after_delete(spark, sf):
+        """Delete-visibility: docs with doc_id < 100 deleted from the
+        store, then the same BM25 term query — deleted docs vanish and
+        scores use the LIVE doc count (idf shifts accordingly)."""
+        import math as _math
+        import tempfile
+
+        from bleve_spark.index.segments import (
+            SegmentStore,
+            build_segments,
+        )
+
+        key = (spark.sparkContext.applicationId, sf, "documents-del")
+        if key not in _INDEX_CACHE:
+            df = spark.read.parquet(f"{sf}/documents.parquet")
+            root = tempfile.mkdtemp(prefix="entry_del_") + "/idx"
+            build_segments(
+                df, ["doc_id"], {"text": "standard"}, root,
+                n_segments=4, resume=False,
+            )
+            store = SegmentStore(spark, root)
+            store.delete_docs(
+                df.where(F.col("doc_id") < 100), ["doc_id"]
+            )
+            idx = store.to_indexed_table(
+                df, ["doc_id"], {"text": "standard"}, persist=True
+            )
+            # single logical build → global-distinct cardinality of the
+            # LIVE postings, matching the oracle's live-only index
+            card = (
+                idx.dictionary.where(F.col("field") == "text")
+                .agg(F.count(F.lit(1)).alias("c")).collect()[0]["c"]
+            )
+            idx.stats.field_cardinality["text"] = int(card)
+            idx.stats.avg_doc_len["text"] = _math.ceil(
+                card / idx.stats.doc_count
+            )
+            _INDEX_CACHE[key] = idx
+        return _topk(
+            _INDEX_CACHE[key], {"field": "text", "term": "spark"}, k=20
+        )
+
     def q_synonym_term(spark, sf):
         # separate index instance: synonyms are an index-level map
         key = (spark.sparkContext.applicationId, sf, "documents-syn")
@@ -1049,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_alias_2shards": q_alias_2shards,
             "q_synonym_term": q_synonym_term,
             "q_term_store": q_term_store,
+            "q_term_after_delete": q_term_after_delete,
             "q_blockmax_topk": q_blockmax_topk,
             "q_highlight": q_highlight,
             "dedup_exact": dedup_exact,
@@ -1169,6 +1219,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         # at-rest store path: same scores as the in-memory term query
         "q_term_store": _sql_single_term("spark"),
+        "q_term_after_delete": _sql_single_term(
+            "spark", prelude=_PRELUDE_LIVE100
+        ),
         # block-max pruning is score-preserving: same oracle as the
         # plain match disjunction
         "q_blockmax_topk": _sql_multi(
