@@ -557,6 +557,60 @@ class SegmentStore:
             resume=False, segment_id_offset=next_seg,
         )
 
+    # -- snapshots & rollback: the reference retains snapshot epochs as
+    # rollback points (/root/reference/index/scorch/rollback.go:35-140,
+    # persister.go:87,630). A snapshot pins (segment ids, delete files);
+    # rollback returns a store view restricted to that epoch. ---------
+    def _snap_dir(self) -> str:
+        return os.path.join(self.root, "snapshots")
+
+    def commit_snapshot(self) -> int:
+        """Record the current (segments, delete files) as a new epoch;
+        returns the epoch id. Atomic via tmp+rename (the introducer's
+        swap)."""
+        sdir = self._snap_dir()
+        os.makedirs(sdir, exist_ok=True)
+        epoch = max(
+            (int(f[6:-5]) for f in os.listdir(sdir)
+             if f.startswith("epoch-") and f.endswith(".json")),
+            default=-1,
+        ) + 1
+        ddir = self._del_dir()
+        del_files = sorted(
+            f for f in os.listdir(ddir) if f.endswith(".parquet")
+        ) if os.path.isdir(ddir) else []
+        snap = {
+            "epoch": epoch,
+            "segments": [m["segment_id"] for m in self.manifests()],
+            "delete_files": del_files,
+        }
+        path = os.path.join(sdir, f"epoch-{epoch}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+        os.replace(tmp, path)
+        return epoch
+
+    def snapshots(self) -> list[dict]:
+        sdir = self._snap_dir()
+        if not os.path.isdir(sdir):
+            return []
+        out = []
+        for fn in sorted(os.listdir(sdir)):
+            if fn.startswith("epoch-") and fn.endswith(".json"):
+                with open(os.path.join(sdir, fn)) as f:
+                    out.append(json.load(f))
+        return sorted(out, key=lambda s: s["epoch"])
+
+    def at_epoch(self, epoch: int) -> "SegmentStore":
+        """A read view pinned to a recorded epoch (rollback point)."""
+        snap = next(
+            (s for s in self.snapshots() if s["epoch"] == epoch), None
+        )
+        if snap is None:
+            raise KeyError(f"no snapshot for epoch {epoch}")
+        return _EpochView(self.spark, self.root, snap)
+
     def deleted_counts(self) -> dict[int, int]:
         """#deleted docs per segment (for merge-planner live sizes)."""
         dels = self.deletions()
@@ -703,3 +757,47 @@ class SegmentStore:
             idx.dictionary = idx.dictionary.persist()
             idx._persisted.append(idx.dictionary)
         return idx
+
+
+class _EpochView(SegmentStore):
+    """SegmentStore restricted to one snapshot's (segments, delete
+    files) — the read side of rollback (rollback.go:35-140)."""
+
+    def __init__(self, spark: SparkSession, root: str, snap: dict):
+        super().__init__(spark, root)
+        self._snap = snap
+        self._segs = set(snap["segments"])
+
+    def chunk_rows(self, with_blobs: bool = False) -> DataFrame:
+        df = super().chunk_rows(with_blobs)
+        return df.where(F.col("segment_id").isin(sorted(self._segs)))
+
+    def doc_table(self, live_only: bool = True) -> DataFrame:
+        df = super().doc_table(live_only=False).where(
+            F.shiftrightunsigned("doc_num", SEG_SHIFT).isin(
+                sorted(self._segs)
+            )
+        )
+        if live_only:
+            dels = self.deletions()
+            if dels is not None:
+                df = df.join(dels, "doc_num", "left_anti")
+        return df
+
+    def deletions(self) -> DataFrame | None:
+        files = [
+            os.path.join(self._del_dir(), f)
+            for f in self._snap["delete_files"]
+        ]
+        if not files:
+            return None
+        return (
+            self.spark.read.parquet(*files)
+            .select("doc_num").distinct()
+        )
+
+    def manifests(self) -> list[dict]:
+        return [
+            m for m in super().manifests()
+            if m["segment_id"] in self._segs
+        ]

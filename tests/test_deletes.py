@@ -92,3 +92,36 @@ def test_tiered_merge_reclaims_deletes(spark, transcripts, store):
     assert merged.doc_table().count() == (
         transcripts.count() - victims.count()
     )
+
+
+def test_snapshot_rollback(spark, transcripts, store):
+    """Snapshot epochs are rollback points (rollback.go:35-140): an
+    epoch pinned before a delete still sees the deleted docs; one
+    pinned after does not; new segments are invisible to old epochs."""
+    total = transcripts.count()
+    e0 = store.commit_snapshot()
+
+    victims = transcripts.where(F.col("conv_id") < "conv00000003")
+    nv = victims.count()
+    store.delete_docs(victims, KEYS)
+    e1 = store.commit_snapshot()
+
+    extra = transcripts.where(F.col("conv_id") == "conv00000003")
+    store.update_docs(
+        extra.withColumn("text", F.lit("fresh zzz")), KEYS, FIELDS
+    )
+    e2 = store.commit_snapshot()
+
+    v0, v1, v2 = (store.at_epoch(e) for e in (e0, e1, e2))
+    assert v0.doc_table().count() == total
+    assert v1.doc_table().count() == total - nv
+    # e2: conv 3's old rows deleted, fresh rows in a new segment
+    assert v2.doc_table().count() == total - nv
+    assert (
+        v2.postings_df(KEYS, ["text"])
+        .where(F.col("term") == "zzz").count() > 0
+    )
+    assert (
+        v1.postings_df(KEYS, ["text"])
+        .where(F.col("term") == "zzz").count() == 0
+    )
