@@ -536,6 +536,20 @@ SELECT vec_id AS key, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cosine
 FROM sums ORDER BY cosine DESC, key LIMIT 10"""
 
 
+def _sql_geo_polygon() -> str:
+    from bleve_spark.search.geo import polygon_pred_sql
+
+    pts = [(-60.0, -20.0), (60.0, -30.0), (40.0, 50.0), (-50.0, 40.0)]
+    pred = polygon_pred_sql("glat", "glon", pts)
+    return (
+        "SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM ("
+        "SELECT doc_id, "
+        "CAST((doc_id * 7) % 181 - 90 AS DOUBLE) AS glat, "
+        "CAST((doc_id * 13) % 361 - 180 AS DOUBLE) AS glon "
+        f"FROM documents) WHERE {pred}"
+    )
+
+
 def _sql_geo_distance() -> str:
     """Haversine radius filter over the derived geopoint — the SQL
     twin of bleve_spark.search.geo (identical formula, op order)."""
@@ -750,6 +764,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hybrid_search_df(
             idx, {"field": "text", "match": "spark data"},
             emb, "embedding", "vec_id", qv, size=10, leg_k=20,
+        )
+
+    def q_geo_polygon(spark, sf):
+        return _topk(
+            _docs_index(spark, sf),
+            {"field": "geo", "polygon_points": [
+                {"lon": -60.0, "lat": -20.0},
+                {"lon": 60.0, "lat": -30.0},
+                {"lon": 40.0, "lat": 50.0},
+                {"lon": -50.0, "lat": 40.0},
+            ]},
+            k=10_000_000,
         )
 
     def q_ip_range(spark, sf):
@@ -1088,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_facet_dates": q_facet_dates,
             "q_geo_distance": q_geo_distance,
             "q_geo_bbox": q_geo_bbox,
+            "q_geo_polygon": q_geo_polygon,
             "q_ip_range": q_ip_range,
             "q_hybrid_rrf": q_hybrid_rrf,
             "q_multi_phrase": q_multi_phrase,
@@ -1186,6 +1213,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE (doc_id % 256) >= 32 AND (doc_id % 256) <= 47"
         ),
         "q_geo_distance": _sql_geo_distance(),
+        "q_geo_polygon": _sql_geo_polygon(),
         "q_geo_bbox": (
             "SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM ("
             "SELECT doc_id, "

@@ -118,6 +118,52 @@ def bbox_pred(
     return lat_ok & lon_ok
 
 
+def polygon_pred(
+    lat_col: Column, lon_col: Column, points: list[tuple[float, float]]
+) -> Column:
+    """Point-in-polygon by even-odd ray casting (the reference's
+    boundingPolygon filter, search/query/geo_boundingpolygon.go:57 →
+    geo searcher's winding test), unrolled as native column arithmetic
+    over the (lon, lat) vertex list."""
+    x, y = lon_col.cast("double"), lat_col.cast("double")
+    inside = F.lit(False)
+    n = len(points)
+    for i in range(n):
+        xi, yi = float(points[i][0]), float(points[i][1])
+        xj, yj = float(points[(i + 1) % n][0]), float(points[(i + 1) % n][1])
+        if yi == yj:
+            continue  # horizontal edge never crosses the ray
+        crosses = ((F.lit(yi) > y) != (F.lit(yj) > y)) & (
+            x
+            < (F.lit(xj - xi)) * (y - F.lit(yi)) / F.lit(yj - yi)
+            + F.lit(xi)
+        )
+        inside = inside != crosses  # boolean XOR
+    return inside
+
+
+def polygon_pred_sql(
+    lat_expr: str, lon_expr: str, points: list[tuple[float, float]]
+) -> str:
+    """The SAME even-odd test as :func:`polygon_pred`, as ANSI SQL."""
+    terms = []
+    n = len(points)
+    for i in range(n):
+        xi, yi = float(points[i][0]), float(points[i][1])
+        xj, yj = float(points[(i + 1) % n][0]), float(points[(i + 1) % n][1])
+        if yi == yj:
+            continue
+        terms.append(
+            f"((({yi!r} > {lat_expr}) <> ({yj!r} > {lat_expr})) AND "
+            f"({lon_expr} < ({xj - xi!r}) * ({lat_expr} - {yi!r}) "
+            f"/ ({yj - yi!r}) + {xi!r}))"
+        )
+    expr = "FALSE"
+    for t in terms:
+        expr = f"({expr} <> {t})"
+    return expr
+
+
 def haversine_km_sql(lat_expr: str, lon_expr: str, lat: float,
                      lon: float) -> str:
     """The SAME formula as :func:`haversine_km_col`, as ANSI SQL — for

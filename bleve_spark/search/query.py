@@ -200,6 +200,16 @@ class GeoBoundingBoxQuery(Query):
 
 
 @dataclass
+class GeoPolygonQuery(Query):
+    """Constant-scored point-in-polygon filter
+    (search/query/geo_boundingpolygon.go:57)."""
+
+    points: list = dc_field(default_factory=list)  # [(lon, lat), ...]
+    lat_col: str | None = None
+    lon_col: str | None = None
+
+
+@dataclass
 class IpRangeQuery(Query):
     """CIDR containment over an IPv4 string column
     (search/query/ip_range.go:57); constant-scored."""
@@ -308,6 +318,15 @@ def parse_query(d: dict) -> Query:
         return GeoDistanceQuery(
             boost, fld, lon=float(loc["lon"]), lat=float(loc["lat"]),
             distance=d["distance"],
+            lat_col=d.get("lat_col"), lon_col=d.get("lon_col"),
+        )
+    if "polygon_points" in d:
+        return GeoPolygonQuery(
+            boost, fld,
+            points=[
+                (float(p["lon"]), float(p["lat"]))
+                for p in d["polygon_points"]
+            ],
             lat_col=d.get("lat_col"), lon_col=d.get("lon_col"),
         )
     if "top_left" in d and "bottom_right" in d:

@@ -841,6 +841,18 @@ class Compiler:
 
         return SConst(df_fn, q.boost)
 
+    def _r_GeoPolygonQuery(self, q: Q.GeoPolygonQuery) -> SNode:
+        from bleve_spark.search.geo import polygon_pred
+
+        lat_c, lon_c = self._geo_cols(q)
+
+        def df_fn(ctx, q=q, lat_c=lat_c, lon_c=lon_c):
+            return ctx.idx.source.where(
+                polygon_pred(F.col(lat_c), F.col(lon_c), q.points)
+            )
+
+        return SConst(df_fn, q.boost)
+
     def _r_CustomScoreQuery(self, q: Q.CustomScoreQuery) -> SNode:
         sub = self.resolve(q.sub)
         fn = q.score_fn
