@@ -260,6 +260,7 @@ def index_table(
     scoring: str = "bm25",
     persist: bool = True,
     synonyms: dict | None = None,
+    composite_fields: dict[str, list[str]] | None = None,
 ) -> IndexedTable:
     """Build the index for ``df``.
 
@@ -269,18 +270,37 @@ def index_table(
     on ``df`` (Parquet min/max pruning replaces the reference's numeric
     trie, /root/reference/search/searcher/search_numeric_range.go:194).
     """
+    # composite fields (the reference's `_all`,
+    # document/field_composite.go:33-41): analyze the space-joined
+    # concatenation of member columns. Deliberate simplification vs the
+    # reference (which merges each member's own token freqs, so
+    # positions restart per member): our positions run continuously
+    # through the concatenation — same terms/freqs, phrase matches may
+    # additionally span member boundaries.
+    df2 = df
+    fields_all = dict(fields)
+    for cname, members in (composite_fields or {}).items():
+        df2 = df2.withColumn(
+            cname,
+            F.concat_ws(
+                " ", *[F.col(m).cast("string") for m in members]
+            ),
+        )
+        fields_all[cname] = fields_all.get(cname, "standard")
+
     parts = [
-        _field_postings(df, key_cols, f, a) for f, a in fields.items()
+        _field_postings(df2, key_cols, f, a)
+        for f, a in fields_all.items()
     ]
     postings = parts[0]
     for p in parts[1:]:
         postings = postings.unionByName(p)
 
     idx = IndexedTable(
-        source=df,
+        source=df2,
         postings=postings,
         key_cols=list(key_cols),
-        field_analyzers=dict(fields),
+        field_analyzers=fields_all,
         stats=None,
         dictionary=None,
         synonyms=synonyms,

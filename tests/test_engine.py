@@ -423,3 +423,42 @@ def test_geo_bbox_dateline_wrap(spark, tindex):
         ).select("conv_id", "turn_idx").collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_composite_all_field(spark, transcripts):
+    """_all composite (document/field_composite.go:33-41): terms from
+    every member column are searchable under one field."""
+    from bleve_spark.index.build import index_table
+    from bleve_spark.search.searcher import compile_query
+
+    idx = index_table(
+        transcripts,
+        key_cols=["conv_id", "turn_idx"],
+        fields={"text": "standard"},
+        composite_fields={"_all": ["text", "role", "tool"]},
+    )
+    # union semantics: docs where ANY member column carries the term
+    hits_all = {
+        (r["conv_id"], r["turn_idx"])
+        for r in compile_query(
+            idx, {"field": "_all", "term": "assistant"}
+        ).collect()
+    }
+    in_role = {
+        (r["conv_id"], r["turn_idx"])
+        for r in transcripts.where(
+            transcripts.role == "assistant"
+        ).select("conv_id", "turn_idx").collect()
+    }
+    in_text = {
+        (r["conv_id"], r["turn_idx"])
+        for r in compile_query(
+            idx, {"field": "text", "term": "assistant"}
+        ).collect()
+    }
+    assert hits_all == in_role | in_text
+    assert in_role <= hits_all
+    # text terms also reachable via _all
+    assert compile_query(
+        idx, {"field": "_all", "term": "quick"}
+    ).count() > 0
