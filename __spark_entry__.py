@@ -65,6 +65,21 @@ def _docs_index(spark: SparkSession, sf_dir: str, scoring: str = "bm25"):
     return _INDEX_CACHE[key]
 
 
+def _docs_index_nodict(spark: SparkSession, sf_dir: str):
+    """Same documents index with the driver-side dictionary cache
+    DISABLED (dict_cache_max=0): every dictionary expansion runs the
+    fully distributed SDictDisj join path. Pins the 100 TB plan under
+    the same oracles as the cached path."""
+    import dataclasses
+
+    key = (spark.sparkContext.applicationId, sf_dir, "documents-nodict")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = dataclasses.replace(
+            _docs_index(spark, sf_dir), dict_cache_max=0, _dict_map=None
+        )
+    return _INDEX_CACHE[key]
+
+
 def _events_index(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir, "events")
     if key not in _INDEX_CACHE:
@@ -665,6 +680,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              "inclusive_min": True, "inclusive_max": False},
         )
 
+    # distributed-expansion twins: identical queries forced onto the
+    # SDictDisj dictionary→postings join (dict cache disabled); the
+    # driver compares them against the SAME oracles as the cached path
+    def q_prefix_dist(spark, sf):
+        return _topk(
+            _docs_index_nodict(spark, sf), {"field": "text", "prefix": "sc"}
+        )
+
+    def q_regexp_dist(spark, sf):
+        return _topk(
+            _docs_index_nodict(spark, sf),
+            {"field": "text", "regexp": "sc.n"},
+        )
+
+    def q_wildcard_dist(spark, sf):
+        return _topk(
+            _docs_index_nodict(spark, sf),
+            {"field": "text", "wildcard": "s?an"},
+        )
+
+    def q_fuzzy_dist(spark, sf):
+        return _topk(
+            _docs_index_nodict(spark, sf),
+            {"field": "text", "term": "spak", "fuzziness": 1},
+        )
+
+    def q_term_range_dist(spark, sf):
+        return _topk(
+            _docs_index_nodict(spark, sf),
+            {"field": "text", "min": "scan", "max": "sort",
+             "inclusive_min": True, "inclusive_max": False},
+        )
+
     def q_numeric_range(spark, sf):
         return _topk(
             _docs_index(spark, sf),
@@ -1102,6 +1150,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_wildcard": q_wildcard,
             "q_fuzzy": q_fuzzy,
             "q_term_range": q_term_range,
+            "q_prefix_dist": q_prefix_dist,
+            "q_regexp_dist": q_regexp_dist,
+            "q_wildcard_dist": q_wildcard_dist,
+            "q_fuzzy_dist": q_fuzzy_dist,
+            "q_term_range_dist": q_term_range_dist,
             "q_numeric_range": q_numeric_range,
             "q_date_range": q_date_range,
             "q_ids": q_ids,
@@ -1170,6 +1223,23 @@ def oracle_sql() -> dict[str, str]:
             )
         ),
         "q_term_range": _sql_multi(
+            _expansion("d.term >= 'scan' AND d.term < 'sort'")
+        ),
+        # distributed-path twins share the cached-path oracles verbatim
+        "q_prefix_dist": _sql_multi(_expansion("d.term LIKE 'sc%'")),
+        "q_regexp_dist": _sql_multi(
+            _expansion("regexp_full_match(d.term, 'sc.n')")
+        ),
+        "q_wildcard_dist": _sql_multi(
+            _expansion("regexp_full_match(d.term, 's.an')")
+        ),
+        "q_fuzzy_dist": _sql_multi(
+            _expansion(
+                "levenshtein(d.term, 'spak') <= 1",
+                mult="1.0 / (levenshtein(d.term, 'spak') + 1.0)",
+            )
+        ),
+        "q_term_range_dist": _sql_multi(
             _expansion("d.term >= 'scan' AND d.term < 'sort'")
         ),
         "q_numeric_range": (

@@ -33,6 +33,7 @@ Design notes for 100 TB scale:
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field as dc_field
 
 from pyspark.sql import DataFrame, functions as F
@@ -74,6 +75,9 @@ class IndexedTable:
     _persisted: list = dc_field(default_factory=list)
     # driver-side dictionary cache: None = not tried, False = too big
     _dict_map: object = dc_field(default=None, repr=False)
+    # per-index override of DICT_CACHE_MAX (0 forces every dictionary
+    # expansion onto the fully distributed join path)
+    dict_cache_max: int | None = None
 
     @property
     def spark(self):
@@ -87,17 +91,29 @@ class IndexedTable:
 
     # dictionaries up to this many terms are cached driver-side (one
     # collect, then every compile is a dict lookup — no per-query job);
-    # beyond it, lookups stay distributed dictionary scans
+    # beyond it, lookups stay distributed dictionary scans. Override
+    # per-index via ``dict_cache_max`` or globally via the
+    # BLEVE_SPARK_DICT_CACHE_MAX env var (0 = always distributed).
     DICT_CACHE_MAX = 200_000
+
+    def _cache_max(self) -> int:
+        if self.dict_cache_max is not None:
+            return int(self.dict_cache_max)
+        env = os.environ.get("BLEVE_SPARK_DICT_CACHE_MAX")
+        return int(env) if env else self.DICT_CACHE_MAX
 
     def _cached_dict(self):
         if self._dict_map is None:
+            cmax = self._cache_max()
+            if cmax <= 0:
+                self._dict_map = False
+                return None
             rows = (
                 self.dictionary.select("field", "term", "doc_freq")
-                .limit(self.DICT_CACHE_MAX + 1)
+                .limit(cmax + 1)
                 .collect()
             )
-            if len(rows) > self.DICT_CACHE_MAX:
+            if len(rows) > cmax:
                 self._dict_map = False
             else:
                 d: dict = {}
@@ -137,31 +153,39 @@ class IndexedTable:
         predicate,
         with_freq: bool = False,
         py_pred=None,
-    ) -> list:
-        """Dictionary expansion for prefix/regexp/fuzzy/term-range — the
-        DataFrame analogue of bleve's FST automaton intersection
-        (/root/reference/index/scorch/snapshot_index.go:242-246).
-        ``predicate`` is a Column over ``term``; when ``py_pred`` (an
-        equivalent Python callable) is given and the dictionary cache
-        is resident, the expansion is a driver-side scan (no job)."""
-        if py_pred is not None:
-            cache = self._cached_dict()
-            if cache is not None:
-                items = sorted(
-                    (t, df) for t, df in cache.get(field_name, {}).items()
-                    if py_pred(t)
-                )
-                if with_freq:
-                    return items
-                return [t for t, _ in items]
-        df = self.dictionary.where(
+    ) -> list | None:
+        """Driver-side dictionary expansion for prefix/regexp/fuzzy/
+        term-range — the analogue of bleve's FST automaton intersection
+        (/root/reference/index/scorch/snapshot_index.go:242-246), served
+        from the resident dictionary cache (no job). Returns ``None``
+        when the cache is not resident (dictionary too big, or cache
+        disabled): callers MUST then stay on the fully distributed
+        :meth:`expand_terms_df` path — a 100 TB dictionary is never
+        collected to the driver. ``py_pred`` is the Python equivalent
+        of the Column ``predicate``; without it (JVM-only predicates
+        like user regexps) the cached path is skipped too."""
+        if py_pred is None:
+            return None
+        cache = self._cached_dict()
+        if cache is None:
+            return None
+        items = sorted(
+            (t, df) for t, df in cache.get(field_name, {}).items()
+            if py_pred(t)
+        )
+        if with_freq:
+            return items
+        return [t for t, _ in items]
+
+    def expand_terms_df(self, field_name: str, predicate) -> DataFrame:
+        """Distributed dictionary expansion: (term, doc_freq) rows whose
+        term matches ``predicate`` — stays a DataFrame end-to-end so a
+        broad prefix/regexp over a 100 TB dictionary never leaves the
+        cluster; the scoring join consumes it directly
+        (searcher.SDictDisj)."""
+        return self.dictionary.where(
             (F.col("field") == field_name) & predicate
         ).select("term", "doc_freq")
-        rows = df.collect()
-        rows.sort(key=lambda r: r["term"])  # dictionary iteration order
-        if with_freq:
-            return [(r["term"], int(r["doc_freq"])) for r in rows]
-        return [r["term"] for r in rows]
 
     def persist(self):
         self.postings = self.postings.persist()

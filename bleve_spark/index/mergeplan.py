@@ -7,10 +7,10 @@ while over budget, pick the lowest-scoring contiguous roster (by
 live-size-descending order) of ≤ segments_per_merge_task segments and
 emit it as a merge task.
 
-Our segments are immutable and append-only in this engine (no delete
-bitmaps yet), so live_size == full_size and the delete-reclaim term is
-1.0 — but the knob (reclaim_deletes_weight) is kept so delete support
-slots in without replanning.
+Deletes are live: plan_from_manifests subtracts per-segment deleted
+counts (parquet delete files, segments.py deleted_counts) so
+live_size = doc_count − deleted, and the reclaim_deletes_weight term
+actively prioritizes delete-heavy rosters, as in the reference.
 """
 
 from __future__ import annotations

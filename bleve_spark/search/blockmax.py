@@ -166,7 +166,7 @@ def pruned_disjunction_topk(
     # candidate segments
     cand_segs = [
         int(r["seg"]) for r in candidates.select(
-            (F.col("doc_num") / F.lit(1 << 40)).cast("long").alias("seg")
+            F.shiftrightunsigned(F.col("doc_num"), 40).alias("seg")
         ).distinct().collect()
     ]
     rescore_rows = blob_rows.where(F.col("segment_id").isin(cand_segs))

@@ -24,29 +24,67 @@ def _matched_source(idx: IndexedTable, scored: DataFrame) -> DataFrame:
     )
 
 
+def _term_filter_pred(field: str, prefix: str | None, regex: str | None):
+    """Prefix/regex term filter (facet_builder_terms.go:79-105). The
+    reference's regex is an UNANCHORED match (regexp.Match), unlike the
+    dictionary automaton in regexp queries."""
+    pred = F.lit(True)
+    if prefix:
+        pred = pred & F.col(field).startswith(prefix)
+    if regex:
+        # rlike is unanchored, matching Go's regexp.Match semantics
+        pred = pred & F.col(field).rlike(regex)
+    return pred
+
+
 def terms_facet(
-    idx: IndexedTable, scored: DataFrame, field: str, size: int = 10
+    idx: IndexedTable,
+    scored: DataFrame,
+    field: str,
+    size: int = 10,
+    prefix: str | None = None,
+    regex: str | None = None,
 ) -> dict:
-    src = _matched_source(idx, scored)
-    counts = (
-        src.groupBy(F.col(field).alias("term"))
-        .agg(F.count(F.lit(1)).alias("count"))
-        .collect()
-    )
-    missing = sum(int(r["count"]) for r in counts if r["term"] is None)
-    present = [
-        (r["term"], int(r["count"])) for r in counts if r["term"] is not None
-    ]
-    present.sort(key=lambda x: (-x[1], x[0]))
-    top = present[:size]
-    total = sum(c for _, c in present)
-    other = total - sum(c for _, c in top)
+    """Fully distributed: the only driver collects are one stats row
+    (total/missing) and the ``size`` result buckets — a high-cardinality
+    facet field never floods the driver (the reference's per-hit hash
+    map is bounded the same way by its own size truncation,
+    facet_builder_terms.go:118-134).
+
+    Filter semantics (facet_builder_terms.go:92-121): ``total`` counts
+    every visited term (filtered or not); a doc whose terms all FAIL
+    the filter counts as ``missing`` (sawValue stays false); buckets
+    count only filter-passing terms; other = total − Σ top counts."""
+    src = _matched_source(idx, scored).persist()
+    match = _term_filter_pred(field, prefix, regex)
+    try:
+        stats = src.agg(
+            F.sum(
+                F.when(F.col(field).isNotNull(), 1).otherwise(0)
+            ).alias("total"),
+            F.sum(
+                F.when(
+                    F.col(field).isNull()
+                    | (F.col(field).isNotNull() & ~match),
+                    1,
+                ).otherwise(0)
+            ).alias("missing"),
+        ).collect()[0]
+        top = terms_facet_df(
+            idx, src.select(*idx.key_cols), field, size,
+            prefix=prefix, regex=regex,
+        ).collect()
+    finally:
+        src.unpersist()
+    total = int(stats["total"] or 0)
+    buckets = [(r["term"], int(r["count"])) for r in top]
+    other = total - sum(c for _, c in buckets)
     return {
         "field": field,
         "total": total,
-        "missing": missing,
+        "missing": int(stats["missing"] or 0),
         "other": other,
-        "terms": [{"term": t, "count": c} for t, c in top],
+        "terms": [{"term": t, "count": c} for t, c in buckets],
     }
 
 
@@ -134,14 +172,23 @@ def datetime_range_facet(
 
 
 def terms_facet_df(
-    idx: IndexedTable, scored: DataFrame, field: str, size: int = 10
+    idx: IndexedTable,
+    scored: DataFrame,
+    field: str,
+    size: int = 10,
+    prefix: str | None = None,
+    regex: str | None = None,
 ) -> DataFrame:
     """DataFrame variant of :func:`terms_facet` (term, count), ordered
     count desc / term asc, limited to ``size`` — the distributed facet
-    path (merge-across-shards is the groupBy shuffle)."""
+    path (merge-across-shards is the groupBy shuffle). ``prefix`` /
+    ``regex`` filter terms before counting (facet_builder_terms.go)."""
     src = _matched_source(idx, scored)
     return (
-        src.where(F.col(field).isNotNull())
+        src.where(
+            F.col(field).isNotNull()
+            & _term_filter_pred(field, prefix, regex)
+        )
         .groupBy(F.col(field).alias("term"))
         .agg(F.count(F.lit(1)).alias("count"))
         .orderBy(F.col("count").desc(), F.col("term").asc())
@@ -167,6 +214,7 @@ def compute_facets(
             )
         else:
             out[name] = terms_facet(
-                idx, scored, req["field"], int(req.get("size", 10))
+                idx, scored, req["field"], int(req.get("size", 10)),
+                prefix=req.get("prefix"), regex=req.get("regex"),
             )
     return out

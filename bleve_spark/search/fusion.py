@@ -19,14 +19,24 @@ def rrf_fuse(
     key_cols: list[str],
     k: int = RRF_K,
     weights: list[float] | None = None,
+    input_k: int | None = None,
 ) -> DataFrame:
     """results: scored DataFrames (keys..., score) → fused
     (keys..., score) where score = Σ w_i/(rank_i + k); rank is 1-based
-    by (score desc, keys asc) within each list."""
+    by (score desc, keys asc) within each list.
+
+    Each input MUST be a bounded top-k hit list (the reference fuses
+    collector outputs, never full scans): the global rank is a
+    single-partition window, fine for k rows, a bottleneck for a full
+    corpus. Pass ``input_k`` to have each list truncated here
+    (orderBy+limit = TakeOrderedAndProject, distributed) when the
+    caller can't guarantee pre-truncation."""
     weights = weights or [1.0] * len(results)
     parts = []
     order = [F.col("score").desc()] + [F.col(c).asc() for c in key_cols]
     for df, w in zip(results, weights):
+        if input_k is not None:
+            df = df.orderBy(*order).limit(int(input_k))
         rank = F.row_number().over(Window.orderBy(*order))
         parts.append(
             df.select(

@@ -28,11 +28,15 @@ from pyspark.sql import Column, functions as F
 _A = 6378137.0
 _B = 6356752.31420
 
-# distance units → meters (/root/reference/geo/geo_dist.go:25-45)
+# distance units → meters — the reference's full distanceUnit table
+# (/root/reference/geo/geo_dist.go:29-41): short and long suffixes
 _UNITS = {
     "mm": 0.001, "cm": 0.01, "m": 1.0, "km": 1000.0,
     "mi": 1609.344, "yd": 0.9144, "ft": 0.3048, "in": 0.0254,
-    "nm": 1852.0, "kilometers": 1000.0, "meters": 1.0, "miles": 1609.344,
+    "nm": 1852.0,
+    "millimeters": 0.001, "centimeters": 0.01, "meters": 1.0,
+    "kilometers": 1000.0, "miles": 1609.344, "yards": 0.9144,
+    "feet": 0.3048, "inch": 0.0254, "nauticalmiles": 1852.0,
 }
 
 _DIST_RE = re.compile(r"^\s*([0-9.+-eE]+)\s*([a-zA-Z]*)\s*$")

@@ -43,6 +43,28 @@ BULK_DISJUNCTION_THRESHOLD = 8
 
 MAX_FUZZINESS = 2  # search/searcher/search_fuzzy.go:27
 
+# the reference's DisjunctionMaxClauseCount
+# (search/searcher/search_disjunction.go:25-28): 0 = unlimited; when
+# set, any dictionary expansion / disjunction exceeding it errors
+# instead of executing (tooManyClauses, search_disjunction.go:127-137).
+DisjunctionMaxClauseCount = 0
+
+
+class TooManyClausesError(Exception):
+    """search_disjunction.go:134-137."""
+
+    def __init__(self, field: str, count: int):
+        super().__init__(
+            f"TooManyClauses over field: `{field}` "
+            f"[{count} > maxClauseCount, configured at "
+            f"{DisjunctionMaxClauseCount}]"
+        )
+
+
+def _check_clauses(field: str, count: int) -> None:
+    if 0 < DisjunctionMaxClauseCount < count:
+        raise TooManyClausesError(field, count)
+
 
 @dataclass
 class _Ctx:
@@ -277,58 +299,17 @@ class SDisj(SNode):
     def _compile_bulk(self, ctx, terms: list[STerm], total, min_req):
         spark = ctx.idx.spark
         fld = terms[0].field
-        avg = ctx.idx.stats.avg_len(fld) if ctx.scoring == "bm25" else 0.0
         meta = []
         for t in terms:
             idf = t._idf(ctx)
             qw = t._boost() * idf * ctx.qn if ctx.qn != 1.0 else 1.0
             meta.append((t.term, float(idf), float(qw)))
-        mdf = spark.createDataFrame(meta, "term string, _idf double, _qw double")
-        rows = ctx.idx.postings.where(F.col("field") == fld).join(
-            F.broadcast(mdf), "term"
-        )
-        # same formula as term_score_col but idf/qw come in as columns
-        if ctx.scoring == "bm25" and avg > 0:
-            per = F.col("_idf") * (
-                F.sqrt(F.col("tf").cast("double")) * F.lit(1.2)
-            ) / (
-                F.sqrt(F.col("tf").cast("double"))
-                + F.lit(1.2)
-                * (
-                    F.lit(0.25)
-                    + (
-                        F.lit(0.75)
-                        * (
-                            F.lit(1.0)
-                            / (
-                                F.col("norm").cast("double")
-                                * F.col("norm").cast("double")
-                            )
-                        )
-                    )
-                    / F.lit(avg)
-                )
+        mdf = F.broadcast(
+            spark.createDataFrame(
+                meta, "term string, _idf double, _qw double"
             )
-        else:
-            per = (
-                F.sqrt(F.col("tf").cast("double"))
-                * F.col("norm").cast("double")
-                * F.col("_idf")
-            )
-        per = F.when(F.col("_qw") != 1.0, per * F.col("_qw")).otherwise(per)
-        rows = rows.select(*ctx.keys, per.alias("score"))
-        agg = rows.groupBy(*ctx.keys).agg(
-            F.sum("score").alias("_sum"),
-            F.count(F.lit(1)).alias("_cnt"),
         )
-        if min_req > 1:
-            agg = agg.where(F.col("_cnt") >= min_req)
-        return agg.select(
-            *ctx.keys,
-            (
-                F.col("_sum") * F.col("_cnt").cast("double") / F.lit(float(total))
-            ).alias("score"),
-        )
+        return _bulk_join_score(ctx, fld, mdf, total, min_req)
 
     def docs(self, ctx):
         kids = [c for c in self.children if not isinstance(c, SNone)]
@@ -344,6 +325,135 @@ class SDisj(SNode):
             .where(F.col("_cnt") >= min_req)
             .drop("_cnt")
         )
+
+
+def _bulk_join_score(ctx, fld: str, mdf, total, min_req) -> DataFrame:
+    """Score a whole term set in ONE postings join + ONE groupBy: the
+    scale path shared by big in-memory disjunctions (_compile_bulk) and
+    distributed dictionary expansions (SDictDisj). ``mdf`` carries
+    (term, _idf double, _qw double); per-posting math is the exact
+    term_score_col formula with idf/queryWeight as columns."""
+    avg = ctx.idx.stats.avg_len(fld) if ctx.scoring == "bm25" else 0.0
+    rows = ctx.idx.postings.where(F.col("field") == fld).join(mdf, "term")
+    if ctx.scoring == "bm25" and avg > 0:
+        per = F.col("_idf") * (
+            F.sqrt(F.col("tf").cast("double")) * F.lit(1.2)
+        ) / (
+            F.sqrt(F.col("tf").cast("double"))
+            + F.lit(1.2)
+            * (
+                F.lit(0.25)
+                + (
+                    F.lit(0.75)
+                    * (
+                        F.lit(1.0)
+                        / (
+                            F.col("norm").cast("double")
+                            * F.col("norm").cast("double")
+                        )
+                    )
+                )
+                / F.lit(avg)
+            )
+        )
+    else:
+        per = (
+            F.sqrt(F.col("tf").cast("double"))
+            * F.col("norm").cast("double")
+            * F.col("_idf")
+        )
+    per = F.when(F.col("_qw") != 1.0, per * F.col("_qw")).otherwise(per)
+    rows = rows.select(*ctx.keys, per.alias("score"))
+    agg = rows.groupBy(*ctx.keys).agg(
+        F.sum("score").alias("_sum"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    if min_req > 1:
+        agg = agg.where(F.col("_cnt") >= min_req)
+    return agg.select(
+        *ctx.keys,
+        (
+            F.col("_sum") * F.col("_cnt").cast("double")
+            / F.lit(float(total))
+        ).alias("score"),
+    )
+
+
+def _idf_col(ctx, field: str, df_col: Column) -> Column:
+    """idf as a column over dictionary doc_freq — the distributed twin
+    of scorer.idf_value (computeIDF, scorer_term.go:65-77)."""
+    n = float(ctx.idx.stats.doc_count)
+    d = df_col.cast("double")
+    avg = ctx.idx.stats.avg_len(field) if ctx.scoring == "bm25" else 0.0
+    if ctx.scoring == "bm25" and avg > 0:
+        return F.log(
+            F.lit(1.0) + (F.lit(n) - d + F.lit(0.5)) / (d + F.lit(0.5))
+        )
+    return F.lit(1.0) + F.log(F.lit(n) / (d + F.lit(1.0)))
+
+
+@dataclass
+class SDictDisj(SNode):
+    """Disjunction over a DISTRIBUTED dictionary expansion — the scale
+    path for prefix/regexp/wildcard/fuzzy/term-range when the term
+    dictionary is too big to cache driver-side. The expansion stays a
+    DataFrame end-to-end (bleve's FST automaton walk,
+    snapshot_index.go:242-246, never leaves the cluster): per-term idf
+    and queryWeight are computed as columns, the scoring is one
+    postings join + one groupBy (shared with _compile_bulk), and the
+    only driver-side value is a 1-row aggregate (clause count + weight
+    sum — the same tiny pre-search stats job every query already runs).
+
+    ``expansion``: (term, doc_freq, mult) — mult is the per-term boost
+    multiplier (fuzzy's 1/(1+distance), search_fuzzy.go:45-48; 1.0
+    otherwise). Coord and min semantics are SDisj's exactly.
+    """
+
+    field: str
+    expansion: DataFrame
+    boost: float = 1.0
+    _stats: object = dc_field(default=None, repr=False)
+
+    def _agg(self, ctx) -> tuple[int, float]:
+        if self._stats is None:
+            w = (
+                F.lit(float(self.boost))
+                * F.col("mult")
+                * _idf_col(ctx, self.field, F.col("doc_freq"))
+            )
+            row = self.expansion.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(w * w).alias("wsum"),
+            ).collect()[0]
+            n = int(row["n"])
+            _check_clauses(self.field, n)
+            self._stats = (n, float(row["wsum"] or 0.0))
+        return self._stats
+
+    def weight(self, ctx):
+        return self._agg(ctx)[1]
+
+    def compile(self, ctx):
+        n, _ = self._agg(ctx)
+        if n == 0:
+            return ctx.empty()
+        idf = _idf_col(ctx, self.field, F.col("doc_freq"))
+        if ctx.qn != 1.0:
+            qw = F.lit(float(self.boost)) * F.col("mult") * idf * F.lit(
+                float(ctx.qn)
+            )
+        else:
+            qw = F.lit(1.0)
+        mdf = self.expansion.select(
+            "term", idf.alias("_idf"), qw.alias("_qw")
+        )
+        return _bulk_join_score(ctx, self.field, mdf, total=n, min_req=1)
+
+    def docs(self, ctx):
+        rows = ctx.idx.postings.where(F.col("field") == self.field).join(
+            self.expansion.select("term"), "term", "left_semi"
+        )
+        return rows.select(*ctx.keys).distinct()
 
 
 @dataclass
@@ -680,6 +790,45 @@ class Compiler:
             )
         return SPhrase(slots, slop=q.slop)
 
+    def _expansion_node(
+        self,
+        field: str,
+        pred,
+        py_pred,
+        boost: float,
+        mult_col=None,
+        py_mult=None,
+    ) -> SNode:
+        """Dictionary-expansion disjunction with two physical paths:
+
+        * cached dictionary resident → driver-side expansion to STerm
+          children (zero extra jobs; the r01-verified plan);
+        * otherwise → :class:`SDictDisj`, a fully distributed
+          dictionary→postings join with the tooManyClauses guard on a
+          1-row count (never collects the expansion).
+        Both paths produce identical scores (min=0 disjunction, coord,
+        per-term mult)."""
+        tf = self.idx.expand_terms(
+            field, pred, with_freq=True, py_pred=py_pred
+        )
+        if tf is not None:
+            _check_clauses(field, len(tf))
+            if not tf:
+                return SNone()
+            children = [
+                STerm(
+                    field, t, boost, n,
+                    boost_multiplier=(py_mult(t) if py_mult else 1.0),
+                )
+                for t, n in tf
+            ]
+            return SDisj(children, min=0)
+        exp = self.idx.expand_terms_df(field, pred).withColumn(
+            "mult",
+            mult_col if mult_col is not None else F.lit(1.0),
+        )
+        return SDictDisj(field, exp, boost)
+
     def _fuzzy_node(self, field: str, term: str, fuzziness,
                     prefix_len: int, boost: float) -> SNode:
         d = (
@@ -701,49 +850,35 @@ class Compiler:
                 return False
             return _levenshtein(term, t) <= d
 
-        cands = self.idx.expand_terms(
-            field, pred, with_freq=True, py_pred=py_pred
+        # edit-distance boost 1/(1+d) (search_fuzzy.go:45-48)
+        return self._expansion_node(
+            field, pred, py_pred, boost,
+            mult_col=F.lit(1.0)
+            / (F.levenshtein(F.col("term"), F.lit(term)).cast("double")
+               + F.lit(1.0)),
+            py_mult=lambda t, term=term: 1.0 / (_levenshtein(term, t) + 1.0),
         )
-        children = []
-        for t, df_ in cands:
-            dist = _levenshtein(term, t)
-            if dist > d:
-                continue  # levenshtein() in SQL is exact; belt+braces
-            children.append(
-                STerm(field, t, boost, df_,
-                      boost_multiplier=1.0 / (dist + 1.0))
-            )
-        if not children:
-            return SNone()
-        return SDisj(children, min=0)
 
     def _r_FuzzyQuery(self, q: Q.FuzzyQuery) -> SNode:
         return self._fuzzy_node(
             self._field(q), q.term, q.fuzziness, q.prefix_length, q.boost
         )
 
-    def _multi_term(self, field: str, terms_freqs, boost: float) -> SNode:
-        if not terms_freqs:
-            return SNone()
-        return SDisj(
-            [STerm(field, t, boost, n) for t, n in terms_freqs], min=0
-        )
-
     def _r_PrefixQuery(self, q: Q.PrefixQuery) -> SNode:
         f = self._field(q)
-        tf = self.idx.expand_terms(
-            f, F.col("term").startswith(q.prefix), with_freq=True,
-            py_pred=lambda t, p=q.prefix: t.startswith(p),
+        return self._expansion_node(
+            f, F.col("term").startswith(q.prefix),
+            lambda t, p=q.prefix: t.startswith(p), q.boost,
         )
-        return self._multi_term(f, tf, q.boost)
 
     def _r_RegexpQuery(self, q: Q.RegexpQuery) -> SNode:
         f = self._field(q)
-        # dictionary automaton matches the WHOLE term — anchor it
-        tf = self.idx.expand_terms(
-            f, F.col("term").rlike(f"^(?:{q.regexp})$"), with_freq=True
+        # dictionary automaton matches the WHOLE term — anchor it.
+        # No py_pred: user regexps are Java-dialect, so this always
+        # stays on the JVM rlike path (distributed when uncached).
+        return self._expansion_node(
+            f, F.col("term").rlike(f"^(?:{q.regexp})$"), None, q.boost
         )
-        return self._multi_term(f, tf, q.boost)
 
     def _r_WildcardQuery(self, q: Q.WildcardQuery) -> SNode:
         f = self._field(q)
@@ -753,11 +888,10 @@ class Compiler:
         # the cached-dictionary path is safe (user regexps are NOT:
         # they stay on the JVM rlike path)
         crx = re.compile(rx)
-        tf = self.idx.expand_terms(
-            f, F.col("term").rlike(f"^(?:{rx})$"), with_freq=True,
-            py_pred=lambda t, crx=crx: crx.fullmatch(t) is not None,
+        return self._expansion_node(
+            f, F.col("term").rlike(f"^(?:{rx})$"),
+            lambda t, crx=crx: crx.fullmatch(t) is not None, q.boost,
         )
-        return self._multi_term(f, tf, q.boost)
 
     def _r_TermRangeQuery(self, q: Q.TermRangeQuery) -> SNode:
         f = self._field(q)
@@ -784,9 +918,7 @@ class Compiler:
                     return False
             return True
 
-        tf = self.idx.expand_terms(f, pred, with_freq=True,
-                                   py_pred=py_pred)
-        return self._multi_term(f, tf, q.boost)
+        return self._expansion_node(f, pred, py_pred, q.boost)
 
     def _r_NumericRangeQuery(self, q: Q.NumericRangeQuery) -> SNode:
         f = self._field(q)
@@ -995,7 +1127,7 @@ def _levenshtein(a: str, b: str) -> int:
     return prev[lb]
 
 
-_COMPOSITE = (SConj, SDisj, SBool, SPhrase)
+_COMPOSITE = (SConj, SDisj, SDictDisj, SBool, SPhrase)
 
 
 def compile_query(idx: IndexedTable, q: Q.Query | dict) -> DataFrame:
