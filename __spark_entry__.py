@@ -360,6 +360,33 @@ WHERE len(list_filter(p1.positions,
            b -> b - a >= 1 AND b - a <= 2)) > 0)) > 0
 ORDER BY score DESC, doc_id LIMIT 20"""
 
+# 3-slot phrase "table part hash" with slop=2 — the shared-budget DFS
+# over three position lists (findPhrasePaths): ∃ a<b<c with
+# |b-(a+1)| + |c-(b+1)| ≤ 2, per-level prefix bound included
+_SQL_PHRASE_SLOP3 = f"""{_PRELUDE},
+expq AS (SELECT qt.term, {_IDF.format(df='coalesce(d.df,0)')} AS idf
+         FROM (VALUES ('table'),('part'),('hash')) qt(term)
+         LEFT JOIN dict d USING (term)),
+qnorm AS (SELECT 1.0/sqrt(sum(idf*idf)) AS v FROM expq),
+p1 AS (SELECT p.doc_id, p.positions,
+              {_BASE} * (q.idf * (SELECT v FROM qnorm)) AS s
+       FROM post p JOIN expq q USING (term) WHERE p.term = 'table'),
+p2 AS (SELECT p.doc_id, p.positions,
+              {_BASE} * (q.idf * (SELECT v FROM qnorm)) AS s
+       FROM post p JOIN expq q USING (term) WHERE p.term = 'part'),
+p3 AS (SELECT p.doc_id, p.positions,
+              {_BASE} * (q.idf * (SELECT v FROM qnorm)) AS s
+       FROM post p JOIN expq q USING (term) WHERE p.term = 'hash')
+SELECT p1.doc_id, round(p1.s + p2.s + p3.s, 6) AS score
+FROM p1 JOIN p2 USING (doc_id) JOIN p3 USING (doc_id)
+WHERE len(list_filter(p1.positions, a ->
+      len(list_filter(p2.positions, b ->
+          b > a AND abs(b - (a+1)) <= 2 AND
+          len(list_filter(p3.positions, c ->
+              c > b AND abs(b - (a+1)) + abs(c - (b+1)) <= 2)) > 0
+      )) > 0)) > 0
+ORDER BY score DESC, doc_id LIMIT 20"""
+
 # bool_field compiles to a term searcher on the single "T" token
 # (bool_field.go:56): fieldLength=1 → norm=1.0, tf=1;
 # avg_doc_len = ceil(#distinct bool values / N)
@@ -864,6 +891,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             {"field": "text", "terms": ["table", "hash"], "slop": 1},
         )
 
+    def q_phrase_slop3(spark, sf):
+        """3-slot shared-budget slop phrase — exercises the nested
+        native `exists` chain (one budget across two steps)."""
+        return _topk(
+            _docs_index(spark, sf),
+            {"field": "text", "terms": ["table", "part", "hash"],
+             "slop": 2},
+        )
+
     def q_bool_field(spark, sf):
         return _topk(
             _docs_index(spark, sf), {"field": "long_doc", "bool": True}
@@ -1172,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_hybrid_rrf": q_hybrid_rrf,
             "q_multi_phrase": q_multi_phrase,
             "q_phrase_slop": q_phrase_slop,
+            "q_phrase_slop3": q_phrase_slop3,
             "q_bool_field": q_bool_field,
             "q_search_after": q_search_after,
             "q_rrf_fusion": q_rrf_fusion,
@@ -1304,6 +1341,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_multi_phrase": _SQL_MULTI_PHRASE,
         "q_phrase_slop": _SQL_PHRASE_SLOP,
+        "q_phrase_slop3": _SQL_PHRASE_SLOP3,
         "q_bool_field": _SQL_BOOL_FIELD,
         "q_search_after": _SQL_SEARCH_AFTER,
         "q_rrf_fusion": _SQL_RRF,

@@ -30,6 +30,7 @@ import re
 from dataclasses import dataclass, field as dc_field
 from datetime import datetime, timezone
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import Column, DataFrame, functions as F
 
 from bleve_spark.analysis.analyzers import get_analyzer
@@ -520,9 +521,14 @@ class SPhrase(SNode):
 
     slop=0 compiles to pure native array ops: chained
     array_intersect(transform(prev, x→x+gap), next) — no Python.
-    slop>0 falls back to a vectorized pandas UDF implementing the
-    reference's position-path DFS (search_phrase.go:439 findPhrasePaths)
-    over the (already conjunction-filtered) candidate docs only.
+    slop>0 compiles to NESTED NATIVE `exists` over the position arrays
+    — the exact statement of the reference's position-path DFS
+    (search_phrase.go:439 findPhrasePaths): ∃ p₀…p_{n-1}, pᵢ > pᵢ₋₁
+    and Σᵢ |pᵢ − (pᵢ₋₁+gapᵢ)| ≤ slop, with the cumulative-cost bound
+    checked at every level (same pruning as the DFS budget). All JVM,
+    whole-stage codegen. Phrases with more than _SLOP_NATIVE_MAX_SLOTS
+    slots fall back to an Arrow-batched pandas UDF running the same
+    DFS (codegen expression-depth guard, not a semantics change).
     """
 
     slots: list[tuple[int, list[STerm]]] = dc_field(default_factory=list)
@@ -608,28 +614,85 @@ class SPhrase(SNode):
                 .select(*keys, total_score.alias("score"))
             )
 
-        # slop path: python check over candidates only
+        # slop path over the conjunction-filtered candidates only
         gaps = [
             self.slots[i][0] - self.slots[i - 1][0]
             for i in range(1, len(self.slots))
         ]
         slop = self.slop
-        from pyspark.sql.types import BooleanType
-
-        @F.udf(BooleanType())
-        def _paths_ok(*pos_arrays):
-            return _find_phrase_path(list(pos_arrays), gaps, slop)
-
-        return (
-            joined.where(_paths_ok(*[F.col(f"_pos{i}") for i in
-                                     range(len(slot_dfs))]))
-            .select(*keys, total_score.alias("score"))
+        n = len(slot_dfs)
+        if n <= _SLOP_NATIVE_MAX_SLOTS:
+            pred = _slop_exists_pred(
+                [f"_pos{i}" for i in range(n)], gaps, slop
+            )
+        else:
+            pred = _slop_pandas_pred(
+                [F.col(f"_pos{i}") for i in range(n)], gaps, slop
+            )
+        return joined.where(pred).select(
+            *keys, total_score.alias("score")
         )
 
 
 def _shift_positions(col, gap: int):
     """positions + gap (single-arg lambda keeps F.transform unary)."""
     return F.transform(col, lambda x: x + F.lit(int(gap)))
+
+
+# above this many phrase slots the nested-exists codegen expression gets
+# deep; fall back to the Arrow-batched DFS (same semantics)
+_SLOP_NATIVE_MAX_SLOTS = 8
+
+
+def _slop_exists_pred(pos_cols: list[str], gaps: list[int],
+                      slop: int) -> Column:
+    """Nested native `exists` statement of findPhrasePaths
+    (search_phrase.go:439): each level binds the next slot's position,
+    requires strict increase, and carries the cumulative slop cost
+    forward — identical acceptance set to the recursive DFS because
+    costs are non-negative (prefix bound ⇔ final bound + pruning)."""
+    n = len(pos_cols)
+
+    def level(i: int, prev: Column, cost: Column) -> Column:
+        gap = int(gaps[i - 1])
+
+        def make_inner(i, prev, cost, gap):
+            # unary lambda: Spark passes the element INDEX as a 2nd
+            # param to multi-arg functions (see skill gotchas)
+            def inner(p):
+                c = cost + F.abs(p - (prev + F.lit(gap)))
+                ok = (p > prev) & (c <= F.lit(int(slop)))
+                if i == n - 1:
+                    return ok
+                return ok & level(i + 1, p, c)
+
+            return inner
+
+        return F.exists(F.col(pos_cols[i]), make_inner(i, prev, cost, gap))
+
+    if n == 1:
+        return F.size(F.col(pos_cols[0])) > 0
+    return F.exists(
+        F.col(pos_cols[0]), lambda p: level(1, p, F.lit(0))
+    )
+
+
+def _slop_pandas_pred(pos_cols: list[Column], gaps: list[int],
+                      slop: int) -> Column:
+    """Arrow-batched DFS fallback for very long slop phrases: the slot
+    position arrays are packed into one array<array<int>> column so the
+    UDF stays unary."""
+    from pyspark.sql.types import BooleanType
+
+    @F.pandas_udf(BooleanType())
+    def _ok(col: pd.Series) -> pd.Series:
+        return col.apply(
+            lambda arrays: _find_phrase_path(
+                [list(a) for a in arrays], gaps, slop
+            )
+        )
+
+    return _ok(F.array(*pos_cols))
 
 
 def _find_phrase_path(pos_arrays, gaps, slop) -> bool:
