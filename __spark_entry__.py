@@ -15,6 +15,7 @@ IEEE-754 double arithmetic in the same operation order).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -54,6 +55,38 @@ def _docs_index(spark: SparkSession, sf_dir: str, scoring: str = "bm25"):
                     ((F.col("doc_id") * 7) % 256).cast("string"),
                 ),
             )
+        )
+        # deterministic doc shapes for geoshape queries (all integer
+        # arithmetic → byte-identical in the SQL oracle): point /
+        # 3-vertex linestring / closed rectangle ring per doc_id % 3
+        bx = ((F.col("doc_id") * 13) % 141 - 70).cast("double")
+        by = ((F.col("doc_id") * 7) % 121 - 60).cast("double")
+        dx = (F.col("doc_id") % 4 + 1).cast("double")
+        dy = (F.col("doc_id") % 3 + 1).cast("double")
+        w = (F.col("doc_id") % 5 + 2).cast("double")
+        h = (F.col("doc_id") % 7 + 2).cast("double")
+        pt = F.array(F.array(bx, by))
+        ls = F.array(
+            F.array(bx, by),
+            F.array(bx + dx, by + dy),
+            F.array(bx + dx * 2, by - dy),
+        )
+        pg = F.array(
+            F.array(bx, by),
+            F.array(bx + w, by),
+            F.array(bx + w, by + h),
+            F.array(bx, by + h),
+            F.array(bx, by),
+        )
+        m3 = F.col("doc_id") % 3
+        df = df.withColumn(
+            "shape_kind",
+            F.when(m3 == 0, F.lit("point"))
+            .when(m3 == 1, F.lit("linestring"))
+            .otherwise(F.lit("polygon")),
+        ).withColumn(
+            "shape_coords",
+            F.when(m3 == 0, pt).when(m3 == 1, ls).otherwise(pg),
         )
         _INDEX_CACHE[key] = index_table(
             df,
@@ -522,8 +555,10 @@ WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.5"""
 
 
 # hybrid: RRF of the BM25 match-disjunction top-20 and the cosine
-# top-20 (fusion/rrf.go:34 + search_knn.go hybrid request shape)
-def _sql_hybrid_rrf() -> str:
+# top-20 (fusion/rrf.go:34 + search_knn.go hybrid request shape).
+# ``knn_eligible`` restricts the KNN leg to an eligible-doc set
+# BEFORE scoring (filtered KNN, collector/eligible.go)
+def _sql_hybrid_rrf(knn_eligible: str = "") -> str:
     exp = _values(["spark", "data"])
     return f"""{_PRELUDE},
 expq AS ({exp}),
@@ -541,7 +576,7 @@ l1 AS (
 qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
 vpairs AS (
   SELECT vec_id, unnest(embedding) AS x, unnest((SELECT v FROM qv)) AS y
-  FROM embeddings
+  FROM embeddings{knn_eligible}
 ), vsums AS (
   SELECT vec_id,
          sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
@@ -578,11 +613,139 @@ SELECT vec_id AS key, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cosine
 FROM sums ORDER BY cosine DESC, key LIMIT 10"""
 
 
-def _sql_geo_polygon() -> str:
-    from bleve_spark.search.geo import polygon_pred_sql
+# ---- geo oracles: INDEPENDENT hand-written SQL (deliberately NOT
+# imported from bleve_spark.search.geo, and using a different but
+# equivalent formulation — crossing COUNT parity instead of an XOR
+# chain, restructured ellipsoid algebra — so an engine formula bug
+# cannot pass its own oracle) --------------------------------------
 
+
+def _pip_count_sql(x: str, y: str,
+                   pts: list[tuple[float, float]]) -> str:
+    """Point-in-polygon as crossing-count parity over the FIXED query
+    polygon (independent restatement of the even-odd rule)."""
+    n = len(pts)
+    terms = []
+    for i in range(n):
+        xi, yi = float(pts[i][0]), float(pts[i][1])
+        xj, yj = float(pts[(i + 1) % n][0]), float(pts[(i + 1) % n][1])
+        if yi == yj:
+            continue
+        terms.append(
+            f"(CASE WHEN (({yi!r} > {y}) <> ({yj!r} > {y})) AND "
+            f"({x} < ({xj!r} - {xi!r}) * ({y} - {yi!r}) / "
+            f"({yj!r} - {yi!r}) + {xi!r}) THEN 1 ELSE 0 END)"
+        )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+def _pip_doc_sql(px: float, py: float, c: str = "c") -> str:
+    """Fixed point inside the doc's variable-length CLOSED ring —
+    crossing count via list_filter over edge indexes."""
+    return (
+        f"(len(list_filter(range(1, len({c})), i -> "
+        f"CASE WHEN (({c}[i][2] > {py!r}) <> ({c}[i+1][2] > {py!r})) "
+        f"THEN {px!r} < ({c}[i+1][1] - {c}[i][1]) * "
+        f"({py!r} - {c}[i][2]) / ({c}[i+1][2] - {c}[i][2]) + {c}[i][1] "
+        f"ELSE FALSE END)) % 2 = 1)"
+    )
+
+
+def _edges_cross_sql(pts: list[tuple[float, float]], c: str = "c") -> str:
+    """Any doc edge (c[i], c[i+1]) properly crosses any query edge —
+    strict orientation (ccw) sign tests."""
+    n = len(pts)
+    qedges = [(pts[i], pts[(i + 1) % n]) for i in range(n)]
+
+    def ccw(ax, ay, bx, by, cx, cy):
+        return f"(({bx} - {ax}) * ({cy} - {ay}) - ({by} - {ay}) * ({cx} - {ax}))"
+
+    ax, ay = f"{c}[i][1]", f"{c}[i][2]"
+    bx, by = f"{c}[i+1][1]", f"{c}[i+1][2]"
+    alts = []
+    for (q1, q2) in qedges:
+        c1x, c1y, c2x, c2y = (
+            repr(float(q1[0])), repr(float(q1[1])),
+            repr(float(q2[0])), repr(float(q2[1])),
+        )
+        d1 = ccw(ax, ay, bx, by, c1x, c1y)
+        d2 = ccw(ax, ay, bx, by, c2x, c2y)
+        d3 = ccw(c1x, c1y, c2x, c2y, ax, ay)
+        d4 = ccw(c1x, c1y, c2x, c2y, bx, by)
+        alts.append(f"({d1} * {d2} < 0 AND {d3} * {d4} < 0)")
+    body = " OR ".join(alts)
+    return f"(len(list_filter(range(1, len({c})), i -> {body})) > 0)"
+
+
+_SQL_SHAPES_CTE = """
+WITH s AS (
+  SELECT doc_id,
+    CASE doc_id % 3 WHEN 0 THEN 'point'
+         WHEN 1 THEN 'linestring' ELSE 'polygon' END AS kind,
+    CAST((doc_id*13) % 141 - 70 AS DOUBLE) AS bx,
+    CAST((doc_id*7) % 121 - 60 AS DOUBLE) AS by,
+    CAST(doc_id % 4 + 1 AS DOUBLE) AS dx,
+    CAST(doc_id % 3 + 1 AS DOUBLE) AS dy,
+    CAST(doc_id % 5 + 2 AS DOUBLE) AS w,
+    CAST(doc_id % 7 + 2 AS DOUBLE) AS h
+  FROM documents
+), shp AS (
+  SELECT doc_id, kind,
+    CASE kind
+      WHEN 'point' THEN [[bx, by]]
+      WHEN 'linestring' THEN [[bx, by], [bx+dx, by+dy], [bx+2*dx, by-dy]]
+      ELSE [[bx, by], [bx+w, by], [bx+w, by+h], [bx, by+h], [bx, by]]
+    END AS c
+  FROM s
+)
+"""
+
+# query polygon for the geoshape driver queries (fractional vertices:
+# no vertex/edge degeneracy against the integer doc lattice)
+_QSHAPE_PTS = [(-20.5, -25.25), (30.5, -20.25), (25.5, 30.75),
+               (-15.5, 28.25)]
+
+
+def _sql_geo_shape(relation: str) -> str:
+    pts = _QSHAPE_PTS
+    pip_v = _pip_count_sql("v[1]", "v[2]", pts)
+    any_in = f"(len(list_filter(c, v -> {pip_v})) > 0)"
+    all_in = f"(len(list_filter(c, v -> {pip_v})) = len(c))"
+    cross = _edges_cross_sql(pts)
+    q_in_doc = " OR ".join(
+        _pip_doc_sql(float(qx), float(qy)) for qx, qy in pts
+    )
+    if relation == "within":
+        pred = (
+            f"CASE WHEN kind = 'point' THEN {any_in} "
+            f"ELSE {all_in} AND NOT {cross} END"
+        )
+    elif relation == "intersects":
+        pred = (
+            f"CASE WHEN kind = 'point' THEN {any_in} "
+            f"ELSE {any_in} OR {cross} "
+            f"OR (kind = 'polygon' AND ({q_in_doc})) END"
+        )
+    else:
+        raise ValueError(relation)
+    return (
+        _SQL_SHAPES_CTE
+        + f"SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM shp "
+        f"WHERE {pred}"
+    )
+
+
+def _sql_geo_shape_contains_point(px: float, py: float) -> str:
+    return (
+        _SQL_SHAPES_CTE
+        + "SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM shp "
+        f"WHERE kind = 'polygon' AND {_pip_doc_sql(px, py)}"
+    )
+
+
+def _sql_geo_polygon() -> str:
     pts = [(-60.0, -20.0), (60.0, -30.0), (40.0, 50.0), (-50.0, 40.0)]
-    pred = polygon_pred_sql("glat", "glon", pts)
+    pred = _pip_count_sql("glon", "glat", pts)
     return (
         "SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM ("
         "SELECT doc_id, "
@@ -592,12 +755,36 @@ def _sql_geo_polygon() -> str:
     )
 
 
-def _sql_geo_distance() -> str:
-    """Haversine radius filter over the derived geopoint — the SQL
-    twin of bleve_spark.search.geo (identical formula, op order)."""
-    from bleve_spark.search.geo import haversine_km_sql
+def _hav_km_sql_ind(lat_e: str, lon_e: str, lat: float,
+                    lon: float) -> str:
+    """Independent hand-written ellipsoidal haversine (WGS84 lat-
+    dependent diameter): textbook h-formula with pow()-restructured
+    radius algebra — same math as the engine, different code path."""
+    a, b = 6378137.0, 6356752.31420
+    la1 = f"radians({lat_e})"
+    la2 = repr(math.radians(lat))
+    dlon = f"radians({lon_e} - {float(lon)!r})"
+    h = (
+        f"((1.0 - cos({la1} - {la2})) / 2.0"
+        f" + cos({la1}) * cos({la2}) * (1.0 - cos({dlon})) / 2.0)"
+    )
+    phi = f"abs(({la1} + {la2}) / 2.0)"
+    num = (
+        f"(pow({a!r}, 4) * pow(cos({phi}), 2)"
+        f" + pow({b!r}, 4) * pow(sin({phi}), 2))"
+    )
+    den = (
+        f"(pow({a!r}, 2) * pow(cos({phi}), 2)"
+        f" + pow({b!r}, 2) * pow(sin({phi}), 2))"
+    )
+    return (
+        f"(2.0 * sqrt({num} / {den}) / 1000.0"
+        f" * asin(least(1.0, sqrt({h}))))"
+    )
 
-    hav = haversine_km_sql("glat", "glon", 10.0, 20.0)
+
+def _sql_geo_distance() -> str:
+    hav = _hav_km_sql_ind("glat", "glon", 10.0, 20.0)
     return (
         "SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM ("
         "SELECT doc_id, "
@@ -773,6 +960,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             idx, {"match_all": {}}, size=10, sort=["-n_chars"]
         ).select("doc_id", "n_chars")
 
+    def q_sort_geo_distance(spark, sf):
+        """match_all sorted by haversine distance from a point
+        (SortGeoDistance, sort.go:625-700), nearest first."""
+        from bleve_spark.search.searcher import search_df
+
+        idx = _docs_index(spark, sf)
+        out = search_df(
+            idx, {"match_all": {}}, size=10,
+            sort=[{"by": "geo_distance", "field": "geo",
+                   "location": {"lon": 20.0, "lat": 10.0},
+                   "unit": "km"}],
+        )
+        return out.select(
+            "doc_id", F.round(F.col("geo_distance"), 6).alias("dist_km")
+        )
+
     def q_pagination(spark, sf):
         return _topk(
             _docs_index(spark, sf), {"field": "text", "term": "spark"},
@@ -791,6 +994,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _docs_index(spark, sf)
         scored = compile_query(idx, {"match_all": {}})
         return terms_facet_df(idx, scored, "lang", size=10)
+
+    def q_facet_lang_prefix(spark, sf):
+        """Terms facet with a term PREFIX filter
+        (facet_builder_terms.go:79-105)."""
+        from bleve_spark.search.facets import terms_facet_df
+
+        idx = _docs_index(spark, sf)
+        scored = compile_query(idx, {"match_all": {}})
+        return terms_facet_df(idx, scored, "lang", size=10, prefix="e")
 
     def q_facet_nchars(spark, sf):
         from bleve_spark.search.facets import numeric_range_facet
@@ -841,6 +1053,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, "embedding", "vec_id", qv, size=10, leg_k=20,
         )
 
+    def q_hybrid_filtered(spark, sf):
+        """Filtered KNN hybrid: the vector leg scores ONLY docs whose
+        lang='en' (eligible pre-selection BEFORE cosine —
+        collector/eligible.go + search_knn.go:389), RRF-fused with the
+        unfiltered FTS leg."""
+        from bleve_spark.search.hybrid import hybrid_search_df
+
+        idx = _docs_index(spark, sf)
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qv = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+        return hybrid_search_df(
+            idx, {"field": "text", "match": "spark data"},
+            emb, "embedding", "vec_id", qv, size=10, leg_k=20,
+            knn_filter={"field": "lang", "term": "en"},
+        )
+
     def q_geo_polygon(spark, sf):
         return _topk(
             _docs_index(spark, sf),
@@ -851,6 +1079,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 {"lon": -50.0, "lat": 40.0},
             ]},
             k=10_000_000,
+        )
+
+    def _geo_shape_q(spark, sf, relation, shape=None):
+        return _topk(
+            _docs_index(spark, sf),
+            {"field": "shape",
+             "geometry": {
+                 "shape": shape or {
+                     "type": "polygon",
+                     "coordinates": [list(p) for p in _QSHAPE_PTS],
+                 },
+                 "relation": relation,
+             }},
+            k=10_000_000,
+        )
+
+    def q_geo_shape_within(spark, sf):
+        """Doc shapes (point/linestring/closed polygon) fully within
+        the query polygon — geo_shape.go relation=within."""
+        return _geo_shape_q(spark, sf, "within")
+
+    def q_geo_shape_intersects(spark, sf):
+        return _geo_shape_q(spark, sf, "intersects")
+
+    def q_geo_shape_contains(spark, sf):
+        """Doc polygons containing a query point —
+        geo_shape.go relation=contains."""
+        return _geo_shape_q(
+            spark, sf, "contains",
+            shape={"type": "point", "coordinates": [-35.5, -37.75]},
         )
 
     def q_ip_range(spark, sf):
@@ -1196,16 +1454,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_ids": q_ids,
             "q_match_all_count": q_match_all_count,
             "q_sort_by_field": q_sort_by_field,
+            "q_sort_geo_distance": q_sort_geo_distance,
             "q_pagination": q_pagination,
             "q_query_string": q_query_string,
             "q_facet_lang": q_facet_lang,
+            "q_facet_lang_prefix": q_facet_lang_prefix,
             "q_facet_nchars": q_facet_nchars,
             "q_facet_dates": q_facet_dates,
             "q_geo_distance": q_geo_distance,
             "q_geo_bbox": q_geo_bbox,
             "q_geo_polygon": q_geo_polygon,
+            "q_geo_shape_within": q_geo_shape_within,
+            "q_geo_shape_intersects": q_geo_shape_intersects,
+            "q_geo_shape_contains": q_geo_shape_contains,
             "q_ip_range": q_ip_range,
             "q_hybrid_rrf": q_hybrid_rrf,
+            "q_hybrid_filtered": q_hybrid_filtered,
             "q_multi_phrase": q_multi_phrase,
             "q_phrase_slop": q_phrase_slop,
             "q_phrase_slop3": q_phrase_slop3,
@@ -1297,11 +1561,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_chars FROM documents "
             "ORDER BY n_chars DESC, doc_id LIMIT 10"
         ),
+        "q_sort_geo_distance": (
+            "SELECT doc_id, round("
+            + _hav_km_sql_ind("glat", "glon", 10.0, 20.0)
+            + ", 6) AS dist_km FROM ("
+            "SELECT doc_id, "
+            "CAST((doc_id * 7) % 181 - 90 AS DOUBLE) AS glat, "
+            "CAST((doc_id * 13) % 361 - 180 AS DOUBLE) AS glon "
+            "FROM documents) ORDER BY "
+            + _hav_km_sql_ind("glat", "glon", 10.0, 20.0)
+            + " ASC, doc_id ASC LIMIT 10"
+        ),
         "q_pagination": _sql_single_term("spark", k=5) + " OFFSET 5",
         "q_query_string": _SQL_QSTRING,
         "q_facet_lang": (
             "SELECT lang AS term, count(*) AS count FROM documents "
             "WHERE lang IS NOT NULL GROUP BY lang "
+            "ORDER BY count DESC, term LIMIT 10"
+        ),
+        "q_facet_lang_prefix": (
+            "SELECT lang AS term, count(*) AS count FROM documents "
+            "WHERE lang IS NOT NULL AND lang LIKE 'e%' GROUP BY lang "
             "ORDER BY count DESC, term LIMIT 10"
         ),
         "q_facet_nchars": (
@@ -1314,6 +1594,12 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY b.bucket"
         ),
         "q_hybrid_rrf": _sql_hybrid_rrf(),
+        "q_hybrid_filtered": _sql_hybrid_rrf(
+            knn_eligible=(
+                " WHERE vec_id IN "
+                "(SELECT doc_id FROM documents WHERE lang = 'en')"
+            )
+        ),
         # 10.32.0.0/12 → second octet in [32, 47]
         "q_ip_range": (
             "SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM documents "
@@ -1321,6 +1607,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_geo_distance": _sql_geo_distance(),
         "q_geo_polygon": _sql_geo_polygon(),
+        "q_geo_shape_within": _sql_geo_shape("within"),
+        "q_geo_shape_intersects": _sql_geo_shape("intersects"),
+        "q_geo_shape_contains": _sql_geo_shape_contains_point(-35.5, -37.75),
         "q_geo_bbox": (
             "SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM ("
             "SELECT doc_id, "

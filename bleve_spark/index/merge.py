@@ -241,52 +241,70 @@ def merge_level(
     # normalize partition dir name seg=<id> matches reader glob
     # (spark writes postings/seg=K/part-*.parquet — same layout)
 
-    # ---- doc tables: drop deleted + renumber compactly per group ----
-    for g, members in enumerate(groups):
-        parts = []
-        for m in members:
-            old = m["segment_id"]
-            d = spark.read.parquet(
-                os.path.join(src_root, "docs", f"seg={old}")
-            )
-            base_val = (g << SEG_SHIFT) + int(remap[old][1])
-            del_arr = deleted.get(old)
-            if del_arr is None or not len(del_arr):
-                new_num = (
-                    F.lit(base_val).cast("long")
-                    + F.col("doc_num").cast("long").bitwiseAND(
-                        F.lit(LOCAL_MASK).cast("long")
-                    )
-                )
-                parts.append(d.withColumn("doc_num", new_num))
-            else:
-                def renum(batches, del_arr=del_arr, base_val=base_val):
-                    for pdf in batches:
-                        local = (
-                            pdf["doc_num"].to_numpy() & LOCAL_MASK
-                        ).astype(np.int64)
-                        pos = np.searchsorted(del_arr, local)
-                        hit = (pos < len(del_arr)) & (
-                            del_arr[
-                                np.minimum(pos, len(del_arr) - 1)
-                            ] == local
-                        )
-                        pdf = pdf[~hit].copy()
-                        l2 = local[~hit]
-                        pdf["doc_num"] = base_val + (
-                            l2 - np.searchsorted(del_arr, l2)
-                        )
-                        yield pdf
-
-                parts.append(
-                    d.mapInPandas(renum, schema=d.schema)
-                )
-        u = parts[0]
-        for p in parts[1:]:
-            u = u.unionByName(p)
-        u.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(dst_root, "docs", f"seg={g}")
+    # ---- doc tables: ONE job for ALL groups — read every segment's
+    # table with the partition column, join the broadcast remap, drop
+    # deleted + renumber compactly in a vectorized Arrow stage, and
+    # write partitioned by the new segment id. (The previous shape —
+    # one sequential Spark job + coalesce(1) per group — serializes
+    # 20k jobs at the SURVEY's 200k-segment scale argument; this is a
+    # single scan → narrow map → partitioned write.)
+    docs_all = (
+        spark.read.option(
+            "basePath", os.path.join(src_root, "docs")
         )
+        .parquet(os.path.join(src_root, "docs", "seg=*"))
+        .withColumnRenamed("seg", "segment_id")
+        .join(F.broadcast(rm_df), "segment_id")
+    )
+    helper = {"segment_id", "new_seg", "doc_off", "member"}
+    doc_cols = [c for c in docs_all.columns if c not in helper]
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in docs_all.schema.fields
+        if f.name in doc_cols
+    )
+    out_schema = f"{out_fields}, seg int"
+
+    def renum_all(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            dels = bc_deleted.value
+            segs = pdf["segment_id"].to_numpy()
+            local = (
+                pdf["doc_num"].to_numpy().astype(np.int64) & LOCAL_MASK
+            )
+            keep = np.ones(len(pdf), dtype=bool)
+            compacted = local.copy()
+            for s in np.unique(segs):
+                m = segs == s
+                del_arr = dels.get(int(s))
+                if del_arr is None or not len(del_arr):
+                    continue
+                loc = local[m]
+                pos = np.searchsorted(del_arr, loc)
+                hit = (pos < len(del_arr)) & (
+                    del_arr[np.minimum(pos, len(del_arr) - 1)] == loc
+                )
+                keep[m] &= ~hit
+                # compacted live rank = local − #deleted below it
+                compacted[m] = loc - np.searchsorted(del_arr, loc)
+            new_num = (
+                (pdf["new_seg"].to_numpy().astype(np.int64) << SEG_SHIFT)
+                + pdf["doc_off"].to_numpy().astype(np.int64)
+                + compacted
+            )
+            out = pdf.loc[keep, doc_cols].copy()
+            out["doc_num"] = new_num[keep]
+            out["seg"] = pdf["new_seg"].to_numpy()[keep]
+            yield out
+
+    (
+        docs_all.mapInPandas(renum_all, schema=out_schema)
+        .write.partitionBy("seg")
+        .mode("overwrite")
+        .parquet(os.path.join(dst_root, "docs"))
+    )
 
     # ---- manifests ----
     out_manifests = []

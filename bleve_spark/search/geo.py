@@ -57,6 +57,15 @@ def parse_distance(s) -> float:
     return val * _UNITS[unit]
 
 
+def distance_unit_mult(unit: str) -> float:
+    """Meters per ``unit`` (geo.ParseDistanceUnit) — for geo_distance
+    sort value conversion (search/sort.go:625-646 unitMult)."""
+    u = (unit or "m").lower()
+    if u not in _UNITS:
+        raise ValueError(f"unknown distance unit: {unit!r}")
+    return _UNITS[u]
+
+
 def earth_diameter_km_col(avg_lat_rad: Column) -> Column:
     """2·R(φ) in km for the WGS84 ellipsoid — closed form of
     sloppy.go's table entries."""
@@ -144,6 +153,214 @@ def polygon_pred(
         )
         inside = inside != crosses  # boolean XOR
     return inside
+
+
+# --------------------------------------------------------------- shapes --
+# GeoShape queries (/root/reference/search/query/geo_shape.go:104 →
+# searcher.NewGeoShapeSearcher; shape model geo/README.md:1-32).
+# Document shapes live in two native columns: `<field>_kind` (string:
+# point | linestring | polygon) and `<field>_coords`
+# (array<array<double>>, inner [lon, lat]; polygon rings CLOSED,
+# first == last, per GeoJSON). Relations are evaluated as
+# "doc shape RELATION query shape" with PLANAR lon/lat geometry — the
+# reference uses s2 geodesic edges; at the city-park scale of its
+# golden suite the two agree, and the divergence is documented here
+# rather than hidden. Polygon holes / multi* are out of scope v1.
+
+
+def _pip_expr(x: Column, y: Column, qpts: list[tuple[float, float]]):
+    """Point (x, y exprs) in FIXED query polygon — even-odd ray cast
+    unrolled over the query vertex list (same as polygon_pred)."""
+    inside = F.lit(False)
+    n = len(qpts)
+    for i in range(n):
+        xi, yi = float(qpts[i][0]), float(qpts[i][1])
+        xj, yj = float(qpts[(i + 1) % n][0]), float(qpts[(i + 1) % n][1])
+        if yi == yj:
+            continue
+        crosses = ((F.lit(yi) > y) != (F.lit(yj) > y)) & (
+            x < (F.lit(xj - xi)) * (y - F.lit(yi)) / F.lit(yj - yi)
+            + F.lit(xi)
+        )
+        inside = inside != crosses
+    return inside
+
+
+def point_in_doc_polygon(px: float, py: float, coords: Column) -> Column:
+    """FIXED query point inside the doc's polygon ring (closed,
+    variable length) — even-odd parity accumulated with a native
+    aggregate over the edge index sequence."""
+    n = F.size(coords)
+
+    def edge_crosses(i):
+        a = F.element_at(coords, i + 1)
+        b = F.element_at(coords, i + 2)
+        ax, ay = F.element_at(a, 1), F.element_at(a, 2)
+        bx, by = F.element_at(b, 1), F.element_at(b, 2)
+        # CASE WHEN is lazily evaluated: the straddle guard implies
+        # ay != by, so the division never sees zero (Spark ANSI mode
+        # THROWS on double division by zero — horizontal doc edges
+        # would kill the query otherwise)
+        return F.when(
+            (ay > F.lit(py)) != (by > F.lit(py)),
+            F.lit(px)
+            < (bx - ax) * (F.lit(py) - ay) / (by - ay) + ax,
+        ).otherwise(F.lit(False))
+
+    return F.aggregate(
+        F.sequence(F.lit(0), n - 2),
+        F.lit(False),
+        lambda acc, i: acc != edge_crosses(i),
+    )
+
+
+def _ccw(ax, ay, bx, by, cx, cy):
+    """Orientation sign of (A→B→C): >0 counter-clockwise."""
+    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+
+def doc_edges_intersect_query(
+    coords: Column, qpts: list[tuple[float, float]],
+    closed_query: bool = True,
+) -> Column:
+    """Any doc edge properly crosses any query edge (strict
+    orientation test; degenerate touching/collinear cases are outside
+    the synthetic-data contract and the planar model)."""
+    nq = len(qpts)
+    q_edges = [
+        (qpts[i], qpts[(i + 1) % nq])
+        for i in range(nq if closed_query else nq - 1)
+    ]
+
+    def edge_hits(i):
+        a = F.element_at(coords, i + 1)
+        b = F.element_at(coords, i + 2)
+        ax, ay = F.element_at(a, 1), F.element_at(a, 2)
+        bx, by = F.element_at(b, 1), F.element_at(b, 2)
+        hit = F.lit(False)
+        for (cx, cy), (dx, dy) in q_edges:
+            cxl, cyl = F.lit(float(cx)), F.lit(float(cy))
+            dxl, dyl = F.lit(float(dx)), F.lit(float(dy))
+            d1 = _ccw(ax, ay, bx, by, cxl, cyl)
+            d2 = _ccw(ax, ay, bx, by, dxl, dyl)
+            d3 = _ccw(cxl, cyl, dxl, dyl, ax, ay)
+            d4 = _ccw(cxl, cyl, dxl, dyl, bx, by)
+            hit = hit | ((d1 * d2 < 0) & (d3 * d4 < 0))
+        return hit
+
+    return F.exists(
+        F.sequence(F.lit(0), F.size(coords) - 2),
+        lambda i: edge_hits(i),
+    )
+
+
+def _verts(coords: Column, pred_fn) -> tuple[Column, Column]:
+    """(any vertex matches, all vertices match) for a unary predicate
+    over [lon, lat] elements."""
+    return (
+        F.exists(coords, pred_fn),
+        F.forall(coords, pred_fn),
+    )
+
+
+def shape_relation_pred(
+    kind_col: Column,
+    coords_col: Column,
+    query_shape: dict,
+    relation: str,
+) -> Column:
+    """Compile (doc shape RELATION query shape) to one native column
+    predicate. Query shapes: polygon {type, coordinates:[[lon,lat]...]}
+    (closed or open — closed internally), envelope {type,
+    coordinates:[[minlon,maxlat],[maxlon,minlat]]} (GeoJSON envelope
+    order, geojson.go), circle {type, coordinates:[lon,lat], radius},
+    point {type, coordinates:[lon,lat]}."""
+    qtype = query_shape["type"].lower()
+    relation = relation.lower()
+
+    if qtype == "envelope":
+        (tl_lon, tl_lat), (br_lon, br_lat) = query_shape["coordinates"]
+        qpts = [
+            (tl_lon, br_lat), (br_lon, br_lat),
+            (br_lon, tl_lat), (tl_lon, tl_lat),
+        ]
+        qtype = "polygon"
+    elif qtype == "polygon":
+        qpts = [tuple(map(float, p)) for p in query_shape["coordinates"]]
+        if qpts[0] == qpts[-1]:
+            qpts = qpts[:-1]
+    elif qtype in ("circle", "point"):
+        qpts = None
+    else:
+        raise ValueError(f"unsupported query shape type: {qtype!r}")
+
+    is_point = kind_col == "point"
+    is_line = kind_col == "linestring"
+    is_poly = kind_col == "polygon"
+    first = F.element_at(coords_col, 1)
+    fx, fy = F.element_at(first, 1), F.element_at(first, 2)
+
+    if qtype == "circle":
+        lon, lat = map(float, query_shape["coordinates"])
+        radius_km = parse_distance(query_shape["radius"]) / 1000.0
+
+        def within_r(v):
+            return haversine_km_col(
+                F.element_at(v, 2), F.element_at(v, 1), lat, lon
+            ) <= F.lit(radius_km)
+
+        any_in, all_in = _verts(coords_col, within_r)
+        if relation == "within":
+            # vertex test is exact for points; for lines/polygons it
+            # is the documented planar/vertex approximation
+            return all_in
+        if relation == "intersects":
+            return any_in
+        if relation == "contains":
+            # only a polygon can contain the circle's CENTER (vertex
+            # approximation of circle containment)
+            return is_poly & point_in_doc_polygon(lon, lat, coords_col)
+        raise ValueError(f"unsupported relation: {relation!r}")
+
+    if qtype == "point":
+        px, py = map(float, query_shape["coordinates"])
+        if relation == "contains":
+            return is_poly & point_in_doc_polygon(px, py, coords_col)
+        if relation in ("intersects", "within"):
+            # a doc point intersects/lies-within a query point iff equal
+            return is_point & (fx == F.lit(px)) & (fy == F.lit(py))
+        raise ValueError(f"unsupported relation: {relation!r}")
+
+    # ---- polygon / envelope query ----
+    def v_in_q(v):
+        return _pip_expr(F.element_at(v, 1), F.element_at(v, 2), qpts)
+
+    any_in, all_in = _verts(coords_col, v_in_q)
+    edges_cross = doc_edges_intersect_query(coords_col, qpts)
+    q_vertex_in_doc = F.lit(False)
+    for qx, qy in qpts:
+        q_vertex_in_doc = q_vertex_in_doc | point_in_doc_polygon(
+            qx, qy, coords_col
+        )
+
+    if relation == "within":
+        # all vertices inside and no boundary crossing (exact for the
+        # planar model; single-ring query polygons)
+        return F.when(is_point, any_in).otherwise(
+            all_in & ~edges_cross
+        )
+    if relation == "intersects":
+        return F.when(is_point, any_in).otherwise(
+            any_in | edges_cross | (is_poly & q_vertex_in_doc)
+        )
+    if relation == "contains":
+        all_q_in_doc = F.lit(True)
+        for qx, qy in qpts:
+            all_q_in_doc = all_q_in_doc & point_in_doc_polygon(
+                qx, qy, coords_col
+            )
+        return is_poly & all_q_in_doc & ~edges_cross
+    raise ValueError(f"unsupported relation: {relation!r}")
 
 
 def polygon_pred_sql(

@@ -31,6 +31,7 @@ def hybrid_search_df(
     method: str = "rrf",
     weights: list[float] | None = None,
     rrf_k: int = 60,
+    knn_filter: dict | None = None,
 ) -> DataFrame:
     """Fused top-``size`` (keys..., score).
 
@@ -38,7 +39,15 @@ def hybrid_search_df(
     deterministic (score desc, key asc) order) before fusion — the
     reference fuses the FTS hit list with each KNN hit list the same
     way. Requires a single-column key that matches ``emb_df``'s
-    ``key_col`` ids."""
+    ``key_col`` ids.
+
+    ``knn_filter`` (a Query dict) implements the reference's
+    FILTERED-KNN eligible-doc pre-selection
+    (/root/reference/search/collector/eligible.go +
+    search_knn.go:389): the filter compiles to an unscored doc-key
+    set and prunes the embedding table with a semi-join BEFORE any
+    vector scoring — "KNN among docs matching X", not post-filtering
+    of the top-k."""
     if len(idx.key_cols) != 1:
         raise ValueError("hybrid fusion needs a single-column key")
     key = idx.key_cols[0]
@@ -52,6 +61,14 @@ def hybrid_search_df(
     )
 
     from bleve_spark.functions.similarity import cosine_topk
+
+    if knn_filter is not None:
+        eligible = (
+            compile_query(idx, knn_filter)
+            .select(F.col(key).cast(dict(emb_df.dtypes)[key_col])
+                    .alias(key_col))
+        )
+        emb_df = emb_df.join(eligible, key_col, "left_semi")
 
     knn = cosine_topk(emb_df, vec_col, key_col, query_vec, k=leg_k)
     knn = knn.select(

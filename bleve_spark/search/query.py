@@ -210,6 +210,21 @@ class GeoPolygonQuery(Query):
 
 
 @dataclass
+class GeoShapeQuery(Query):
+    """GeoJSON shape query (/root/reference/search/query/
+    geo_shape.go:27-108): a query Geometry {shape, relation} evaluated
+    against a document shape field as "doc RELATION query". Shape:
+    {"type": polygon|envelope|circle|point, "coordinates": ...,
+    "radius": ...}; relation: intersects | within | contains.
+    Constant-scored filter."""
+
+    shape: dict = dc_field(default_factory=dict)
+    relation: str = "intersects"
+    kind_col: str | None = None    # default <field>_kind
+    coords_col: str | None = None  # default <field>_coords
+
+
+@dataclass
 class IpRangeQuery(Query):
     """CIDR containment over an IPv4 string column
     (search/query/ip_range.go:57); constant-scored."""
@@ -313,6 +328,13 @@ def parse_query(d: dict) -> Query:
         return BoolFieldQuery(boost, fld, bool(d["bool"]))
     if "cidr" in d:
         return IpRangeQuery(boost, fld, cidr=d["cidr"])
+    if "geometry" in d:
+        g = d["geometry"]
+        return GeoShapeQuery(
+            boost, fld, shape=dict(g["shape"]),
+            relation=g.get("relation", "intersects"),
+            kind_col=d.get("kind_col"), coords_col=d.get("coords_col"),
+        )
     if "distance" in d and "location" in d:
         loc = d["location"]
         return GeoDistanceQuery(

@@ -1048,6 +1048,22 @@ class Compiler:
 
         return SConst(df_fn, q.boost)
 
+    def _r_GeoShapeQuery(self, q: Q.GeoShapeQuery) -> SNode:
+        from bleve_spark.search.geo import shape_relation_pred
+
+        f = self._field(q)
+        kind_c = q.kind_col or f"{f}_kind"
+        coords_c = q.coords_col or f"{f}_coords"
+
+        def df_fn(ctx, q=q, kind_c=kind_c, coords_c=coords_c):
+            return ctx.idx.source.where(
+                shape_relation_pred(
+                    F.col(kind_c), F.col(coords_c), q.shape, q.relation
+                )
+            )
+
+        return SConst(df_fn, q.boost)
+
     def _r_CustomScoreQuery(self, q: Q.CustomScoreQuery) -> SNode:
         sub = self.resolve(q.sub)
         fn = q.score_fn
@@ -1221,18 +1237,42 @@ def search_df(
     ``sort`` entries mirror the reference's sort-order strings
     (/root/reference/search/sort.go:52-120): ``"field"``, ``"-field"``
     (descending), ``"_score"`` / ``"-_score"``, ``"_id"`` / ``"-_id"``.
+    A dict entry ``{"by": "geo_distance", "field": f, "location":
+    {"lon", "lat"}, "unit": "km", "desc": False}`` sorts by haversine
+    distance from the location (SortGeoDistance, sort.go:625-700); the
+    computed distance is exposed as a ``geo_distance`` output column.
     Default ["-_score"] with the implicit HitNumber tie-break =
     ascending key order (/root/reference/search/sort.go:269-275).
     Field sorts read native columns — Spark's columnar source IS the
     reference's docvalues, no uninverting needed."""
     scored = compile_query(idx, q)
     sort = sort or ["-_score"]
-    need_fields = [
-        s.lstrip("-")
-        for s in sort
-        if s.lstrip("-") not in ("_score", "_id") and
-        s.lstrip("-") not in idx.key_cols
-    ]
+    need_fields: list[str] = []
+    geo_cols: dict[int, Column] = {}
+    for i, s in enumerate(sort):
+        if isinstance(s, dict):
+            if s.get("by") != "geo_distance":
+                raise ValueError(f"unsupported sort spec: {s!r}")
+            from bleve_spark.search.geo import (
+                distance_unit_mult,
+                haversine_km_col,
+            )
+
+            fld = s["field"]
+            lat_c = s.get("lat_col") or f"{fld}_lat"
+            lon_c = s.get("lon_col") or f"{fld}_lon"
+            need_fields += [c for c in (lat_c, lon_c)
+                            if c not in need_fields]
+            mult = 1000.0 / distance_unit_mult(s.get("unit", "m"))
+            geo_cols[i] = haversine_km_col(
+                F.col(lat_c), F.col(lon_c),
+                float(s["location"]["lat"]), float(s["location"]["lon"]),
+            ) * F.lit(mult)
+        else:
+            name = s.lstrip("-")
+            if name not in ("_score", "_id") and name not in idx.key_cols:
+                if name not in need_fields:
+                    need_fields.append(name)
     if need_fields:
         scored = scored.join(
             idx.source.select(*idx.key_cols, *need_fields),
@@ -1241,15 +1281,20 @@ def search_df(
         )
     order = []
     specs = []  # (Column, descending) incl. implicit key tie-break
-    for s in sort:
-        desc = s.startswith("-")
-        name = s.lstrip("-")
-        if name == "_score":
-            col = F.col("score")
-        elif name == "_id":
-            col = idx.doc_id_col()
+    for i, s in enumerate(sort):
+        if isinstance(s, dict):
+            scored = scored.withColumn("geo_distance", geo_cols[i])
+            col = F.col("geo_distance")
+            desc = bool(s.get("desc", False))
         else:
-            col = F.col(name)
+            desc = s.startswith("-")
+            name = s.lstrip("-")
+            if name == "_score":
+                col = F.col("score")
+            elif name == "_id":
+                col = idx.doc_id_col()
+            else:
+                col = F.col(name)
         order.append(col.desc() if desc else col.asc())
         specs.append((col, desc))
     for k in idx.key_cols:

@@ -143,6 +143,31 @@ def test_merge_banded_equals_plain(spark, transcripts, seg_root,
     assert plain == banded and len(plain) > 0
 
 
+def test_merge_round_issues_constant_jobs(spark, transcripts, tmp_path):
+    """One merge round must be O(1) Spark jobs regardless of how many
+    segments/groups it rewrites (the doc-table rewrite used to issue
+    one sequential job + coalesce(1) PER GROUP — 20k serial jobs at
+    the 200k-segment scale argument)."""
+    from bleve_spark.index.merge import merge_level
+
+    counts = {}
+    for n in (4, 8):
+        root = str(tmp_path / f"s{n}" / "idx")
+        build_segments(transcripts, KEYS, FIELDS, root, n_segments=n)
+        grp = f"merge-jobs-{n}"
+        spark.sparkContext.setJobGroup(grp, "merge job count")
+        try:
+            # fanin=2 → n/2 merge groups: job count must not grow with it
+            merge_level(spark, root, str(tmp_path / f"m{n}"), fanin=2)
+        finally:
+            spark.sparkContext.setJobGroup("idle", "")
+        counts[n] = len(
+            spark.sparkContext.statusTracker().getJobIdsForGroup(grp)
+        )
+    assert counts[4] == counts[8], counts
+    assert counts[8] <= 8, counts
+
+
 def test_blockmax_pruned_equals_naive(spark, transcripts, seg_root):
     from bleve_spark.search.blockmax import pruned_disjunction_topk
     from bleve_spark.search.searcher import compile_query
