@@ -597,6 +597,153 @@ SELECT doc_id, round(sum(c), 6) AS score FROM r GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT 10"""
 
 
+# ---- seeded-hash op oracles: the engine's hashes are md5-derived
+# (functions/dedup.md5_hash60) precisely so these have exact SQL
+# twins; minhash a/b params and LSH planes are regenerated here from
+# the same public numpy seeds (parameters, not engine code) ---------
+
+_M31 = 2147483647
+
+
+def _minhash_pairs_sql(num_hashes=64, bands=16, thresh=0.5) -> str:
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    a = rng.randint(1, _M31 - 1, size=num_hashes, dtype=np.int64)
+    b = rng.randint(0, _M31 - 1, size=num_hashes, dtype=np.int64)
+    mins = ",\n    ".join(
+        f"min(({int(a[i])} * h + {int(b[i])}) % {_M31}) AS h{i}"
+        for i in range(num_hashes)
+    )
+    sig_list = "[" + ", ".join(f"h{i}" for i in range(num_hashes)) + "]"
+    rpb = num_hashes // bands
+    band_conds = " OR ".join(
+        "("
+        + " AND ".join(
+            f"a.sig[{bd * rpb + j + 1}] = b.sig[{bd * rpb + j + 1}]"
+            for j in range(rpb)
+        )
+        + ")"
+        for bd in range(bands)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id AS key, string_split(lower(text), ' ') AS ws
+  FROM documents
+), sh AS (
+  SELECT key, unnest(list_distinct(
+    [array_to_string(ws[i:least(i+2, len(ws))], ' ')
+     for i in range(1, greatest(len(ws)-2, 1) + 1)])) AS shingle
+  FROM words
+), hashed AS (
+  SELECT key,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {_M31} AS h
+  FROM sh WHERE len(shingle) > 0
+), sigs AS (
+  SELECT key, {mins}
+  FROM hashed GROUP BY key
+), sig AS (SELECT key, {sig_list} AS sig FROM sigs),
+pairs AS (
+  SELECT a.key AS key_a, b.key AS key_b,
+         CAST(len(list_filter(range(1, {num_hashes + 1}),
+              i -> a.sig[i] = b.sig[i])) AS DOUBLE)
+           / {float(num_hashes)!r} AS est_jaccard,
+         ({band_conds}) AS banded
+  FROM sig a JOIN sig b ON a.key < b.key
+)
+SELECT key_a, key_b, est_jaccard FROM pairs
+WHERE banded AND est_jaccard >= {thresh!r}"""
+
+
+def _simhash_pairs_sql(bits=60, max_hamming=3) -> str:
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    acc = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+        for i in range(bits)
+    )
+    chunk_conds = " OR ".join(
+        f"(((a.s >> {i * 15}) & 32767) = ((b.s >> {i * 15}) & 32767))"
+        for i in range(4)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS key, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+), hashed AS (
+  SELECT key, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+  FROM toks WHERE len(tok) > 0
+), bitsums AS (
+  SELECT key, {sums}
+  FROM hashed GROUP BY key
+), sh AS (SELECT key, ({acc}) AS s FROM bitsums),
+pairs AS (
+  SELECT a.key AS key_a, b.key AS key_b,
+         bit_count(xor(a.s, b.s)) AS hamming,
+         ({chunk_conds}) AS banded
+  FROM sh a JOIN sh b ON a.key < b.key
+)
+SELECT key_a, key_b, CAST(hamming AS INT) AS hamming FROM pairs
+WHERE banded AND hamming <= {max_hamming}"""
+
+
+def _sig_sql(e_expr: str, mat) -> str:
+    """Hyperplane sign signature of a 64-dim embedding expression —
+    the SQL twin of similarity.signature_col (double-precision dots)."""
+    terms = []
+    for i, row in enumerate(mat):
+        lst = "[" + ", ".join(repr(float(x)) for x in row) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, 65), j -> "
+            f"CAST({e_expr}[j] AS DOUBLE) * ({lst})[j]))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    return "CAST((" + " + ".join(terms) + ") AS BIGINT)"
+
+
+def _ann_pruned_topk_sql(mode: str) -> str:
+    import numpy as np
+
+    if mode == "lsh":  # planes=12, probe_hamming=3, seed=7
+        mat = np.random.RandomState(7).standard_normal((12, 64))
+        elig = (
+            "SELECT vec_id, embedding FROM sigs, qsig "
+            "WHERE bit_count(xor(sigs.s, qsig.s)) <= 3"
+        )
+        extra = ""
+    else:  # ivf: cell_bits=6, n_probe_cells=16, seed=11
+        mat = np.random.RandomState(11).standard_normal((6, 64))
+        extra = (
+            ", cells AS (SELECT c FROM (SELECT unnest(range(0, 64)) "
+            "AS c) t, qsig ORDER BY bit_count(xor(CAST(c AS BIGINT), "
+            "qsig.s)), c LIMIT 16)"
+        )
+        elig = (
+            "SELECT vec_id, embedding FROM sigs "
+            "WHERE sigs.s IN (SELECT c FROM cells)"
+        )
+    return f"""
+WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+qsig AS (SELECT {_sig_sql('q', mat)} AS s FROM qv),
+sigs AS (SELECT vec_id, embedding, {_sig_sql('embedding', mat)} AS s
+         FROM embeddings){extra},
+elig AS ({elig}),
+pairs AS (
+  SELECT vec_id, unnest(embedding) AS x, unnest((SELECT q FROM qv)) AS y
+  FROM elig
+), sums AS (
+  SELECT vec_id,
+         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
+         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
+  FROM pairs GROUP BY vec_id
+)
+SELECT vec_id AS key, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cosine
+FROM sums ORDER BY cosine DESC, key LIMIT 10"""
+
+
 _SQL_COSINE_TOPK = """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 pairs AS (
@@ -1659,11 +1806,15 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS dup_count FROM documents GROUP BY md5(text)"
         ),
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
+        "dedup_minhash_pairs": _minhash_pairs_sql(),
+        "dedup_simhash_pairs": _simhash_pairs_sql(),
         "ann_cosine_topk": _SQL_COSINE_TOPK,
+        "ann_lsh_topk": _ann_pruned_topk_sql("lsh"),
+        "ann_ivf_topk": _ann_pruned_topk_sql("ivf"),
         "text_profile": _SQL_TEXT_PROFILE,
-        # dedup_minhash_pairs / dedup_simhash_pairs / ann_lsh_topk /
-        # ann_ivf_topk / multimodal_features: xxhash64/seeded-plane
-        # dependent — deterministic but not ANSI-SQL-expressible; the
-        # driver records the rows-only check for these.
+        # multimodal_features: synthetic binary payloads — the content
+        # hashes are reproducible but the payload synthesis is not
+        # ANSI-SQL; the driver records the rows-only check for it.
+        # q_highlight likewise (fragment extraction).
     }
     return out

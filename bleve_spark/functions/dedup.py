@@ -17,12 +17,26 @@ from pyspark.sql import DataFrame, functions as F
 # 2^31-1: keeps a·x + b < 2^62, safe under ANSI long arithmetic
 _MERSENNE = (1 << 31) - 1
 
+# SimHash width: 60 bits = 15 hex chars of md5 (fits a signed long
+# with headroom; 4 banded chunks of 15 bits keep the pigeonhole
+# argument for hamming ≤ 3)
+SIMHASH_BITS = 60
+
 
 def _seeded_params(num: int, seed: int = 42):
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE - 1, size=num, dtype=np.int64)
     b = rng.randint(0, _MERSENNE - 1, size=num, dtype=np.int64)
     return a, b
+
+
+def md5_hash60(col) -> F.Column:
+    """Deterministic 60-bit hash: first 15 hex chars of md5, parsed as
+    an integer. Chosen over xxhash64 so every hash-dependent operator
+    here has an exact ANSI-SQL twin (DuckDB:
+    ('0x' || substr(md5(x),1,15))::BIGINT) — the correctness gate can
+    hash-compare minhash/simhash instead of rows-only checks."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def exact_dedup(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
@@ -60,11 +74,12 @@ def minhash_signatures(
 ) -> DataFrame:
     """(key, sig array<long>) MinHash signatures.
 
-    h_i(x) = (a_i·x + b_i) mod M over a 64-bit base hash of the shingle;
-    computed as ``num_hashes`` parallel min-aggregations — map-side
-    combinable, one shuffle, no UDF."""
+    h_i(x) = (a_i·x + b_i) mod M over a 60-bit base hash of the
+    shingle (md5_hash60 — SQL-twin-able); computed as ``num_hashes``
+    parallel min-aggregations — map-side combinable, one shuffle, no
+    UDF."""
     a, b = _seeded_params(num_hashes, seed)
-    base = F.abs(F.xxhash64("shingle")) % F.lit(_MERSENNE)
+    base = md5_hash60(F.col("shingle")) % F.lit(_MERSENNE)
     aggs = [
         F.min(
             (F.lit(int(a[i])) * base + F.lit(int(b[i]))) % F.lit(_MERSENNE)
@@ -156,16 +171,17 @@ def minhash_lsh_pairs(
 
 
 def simhash(df: DataFrame, text_col: str, key_col: str,
-            bits: int = 64) -> DataFrame:
-    """(key, simhash long) 64-bit SimHash over whitespace tokens.
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    """(key, simhash long) ``bits``-wide SimHash over whitespace
+    tokens (60-bit md5-derived token hash — SQL-twin-able).
 
-    Per-bit weighted sums as native aggregations (explode → 64 SUMs,
-    map-side combinable)."""
+    Per-bit weighted sums as native aggregations (explode → ``bits``
+    SUMs, map-side combinable)."""
     toks = df.select(
         F.col(key_col).alias("key"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
     ).where(F.length("tok") > 0)
-    h = F.xxhash64("tok")
+    h = md5_hash60(F.col("tok"))
     aggs = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
@@ -176,8 +192,6 @@ def simhash(df: DataFrame, text_col: str, key_col: str,
     per_doc = toks.groupBy("key").agg(*aggs)
     acc = F.lit(0).cast("long")
     for i in range(bits):
-        # shiftleft wraps at bit 63 to the sign bit — the desired
-        # two's-complement bit pattern for a 64-bit hash in a long
         acc = acc + F.when(
             F.col(f"b{i}") > 0,
             F.shiftleft(F.lit(1).cast("long"), i),
@@ -192,8 +206,8 @@ def simhash_pairs(
     max_hamming: int = 3,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming, candidates
-    via 4×16-bit chunk banding (a pair within hamming ≤3 must agree on
-    ≥1 of 4 chunks — pigeonhole)."""
+    via 4×15-bit chunk banding (a pair within hamming ≤3 must agree on
+    ≥1 of 4 chunks — pigeonhole over the 60-bit hash)."""
     sh = simhash(df, text_col, key_col).persist()
     chunks = sh.select(
         "key",
@@ -203,8 +217,8 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftrightunsigned("simhash", i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned("simhash", i * 15)
+                        .bitwiseAND(F.lit(0x7FFF))
                         .alias("val"),
                     )
                     for i in range(4)
