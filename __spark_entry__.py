@@ -597,6 +597,108 @@ SELECT doc_id, round(sum(c), 6) AS score FROM r GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT 10"""
 
 
+# ---- language-analyzer correctness: tiny deterministic multilingual
+# corpora indexed with the es/fr/de/cjk analyzers; the oracles carry
+# FROZEN hand-checked analyzed-token goldens (stemmers additionally
+# pinned to the reference's own test vectors in
+# tests/test_lang_analyzers.py) — a pipeline regression breaks the
+# hash gate because the frozen tokens won't move with the code -------
+
+LANG_CORPORA = {
+    "es": ["los arcos de la casa blanca",
+           "una chicana y un chicano cantaron",
+           "los jaeces y los caballos", "el parecer de los vecinos",
+           "casas blancas en la montaña", "yeses arcos chicana",
+           "el caos de la ciudad", "cantando canciones españolas"],
+    "fr": ["le chien et le chat", "les chevaux du baron",
+           "l'avion des barons", "une personne personnelle",
+           "chiens noirs et chats", "la faiblesse des éléments",
+           "j'aime les anneaux", "cheval blanc"],
+    "de": ["der Tisch und die Tische", "die Schaltflächen der Bücher",
+           "ein Buch über Tische", "weißbier und brot",
+           "die bücher der kinder", "kleine tische",
+           "das blech und der kleck", "mindestens baldige bücher"],
+    "cjk": ["数据处理系统", "分布式 数据 引擎", "系统处理", "spark 引擎",
+            "数据库系统", "处理 引擎 数据", "大数据", "引擎系统处理"],
+}
+
+# frozen goldens: analyzer output at freeze time, hand-spot-checked
+# against the reference's light-stemmer/elision/bigram rules
+LANG_GOLD_TOKENS = {
+    "es": [["arc", "casa", "blanc"], ["chican", "chican", "cantaron"],
+           ["jaez", "caball"], ["parecer", "vecin"],
+           ["cas", "blanc", "montañ"], ["yes", "arc", "chican"],
+           ["caos", "ciudad"], ["cantand", "cancion", "español"]],
+    "fr": [["chien", "chat"], ["cheval", "baron"], ["avion", "baron"],
+           ["person", "person"], ["chien", "noir", "chat"],
+           ["faibl", "element"], ["aime", "aneau"],
+           ["cheval", "blanc"]],
+    "de": [["tisch", "tisch"], ["schaltflach", "buch"],
+           ["buch", "tisch"], ["weissbi", "brot"], ["buch", "kind"],
+           ["klein", "tisch"], ["blech", "kleck"],
+           ["mindest", "baldig", "buch"]],
+    "cjk": [["数据", "据处", "处理", "理系", "系统"],
+            ["分布", "布式", "式数", "数据", "据引", "引擎"],
+            ["系统", "统处", "处理"], ["spark", "引擎"],
+            ["数据", "据库", "库系", "系统"],
+            ["处理", "理引", "引擎", "擎数", "数据"],
+            ["大数", "数据"],
+            ["引擎", "擎系", "系统", "统处", "处理"]],
+}
+
+# frozen analyzed QUERY tokens per language (same freeze contract)
+LANG_QUERIES = {
+    "es": ("los arcos blancos", ["arc", "blanc"]),
+    "fr": ("les chevaux du chat", ["cheval", "chat"]),
+    "de": ("die Bücher und Tische", ["buch", "tisch"]),
+    "cjk": ("数据系统", ["数据", "据系", "系统"]),
+}
+
+
+def _sql_lang_match(lang: str) -> str:
+    """BM25 match-disjunction over the frozen analyzed tokens — the
+    same composite scoring shape as _sql_multi, grounded in VALUES."""
+    rows = ", ".join(
+        "(" + str(i) + ", ["
+        + ", ".join("'" + t.replace("'", "''") + "'" for t in toks)
+        + "])"
+        for i, toks in enumerate(LANG_GOLD_TOKENS[lang])
+    )
+    qvals = ", ".join(
+        "('" + t.replace("'", "''") + "')"
+        for t in LANG_QUERIES[lang][1]
+    )
+    idf = _IDF.format(df="coalesce(d.df, 0)")
+    return f"""
+WITH docs AS (SELECT * FROM (VALUES {rows}) AS v(doc_id, toks)),
+tok2 AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+doclen AS (SELECT doc_id, count(*) AS flen FROM tok2 GROUP BY doc_id),
+post AS (
+  SELECT t.doc_id, t.term, count(*) AS tf,
+         CAST(CAST(1.0/sqrt(d.flen) AS REAL) AS DOUBLE) AS norm
+  FROM tok2 t JOIN doclen d USING (doc_id)
+  GROUP BY t.doc_id, t.term, d.flen
+), ndocs AS (SELECT count(*) AS n FROM docs),
+avgl AS (
+  SELECT ceil(CAST(count(DISTINCT term) AS DOUBLE)
+              / (SELECT n FROM ndocs)) AS v FROM post
+), dict AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+expq AS (
+  SELECT qt.term, coalesce(d.df, 0) AS df, {idf} AS idf, 1.0 AS mult
+  FROM (VALUES {qvals}) qt(term) LEFT JOIN dict d USING (term)
+),
+qnorm AS (SELECT 1.0/sqrt(sum((mult*idf)*(mult*idf))) AS v FROM expq),
+total AS (SELECT count(*) AS t FROM expq),
+scored AS (
+  SELECT p.doc_id,
+         {_BASE} * (q.mult * q.idf * (SELECT v FROM qnorm)) AS s
+  FROM post p JOIN expq q USING (term))
+SELECT doc_id, round(sum(s) * count(*)
+       / (SELECT CAST(t AS DOUBLE) FROM total), 6) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 20"""
+
+
 # ---- seeded-hash op oracles: the engine's hashes are md5-derived
 # (functions/dedup.md5_hash60) precisely so these have exact SQL
 # twins; minhash a/b params and LSH planes are regenerated here from
@@ -1491,6 +1593,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rows, "doc_id string, fragment string"
         )
 
+    def _lang_q(spark, sf, lang):
+        key = (spark.sparkContext.applicationId, "lang-" + lang)
+        if key not in _INDEX_CACHE:
+            df = spark.createDataFrame(
+                list(enumerate(LANG_CORPORA[lang])),
+                "doc_id int, text string",
+            )
+            _INDEX_CACHE[key] = index_table(
+                df, key_cols=["doc_id"], fields={"text": lang}
+            )
+        return _topk(
+            _INDEX_CACHE[key],
+            {"field": "text", "match": LANG_QUERIES[lang][0]},
+        )
+
+    def q_lang_es(spark, sf):
+        """Spanish analyzer (stop_es + normalize + light stemmer,
+        analyzer_es.go) scored end-to-end vs frozen token goldens."""
+        return _lang_q(spark, sf, "es")
+
+    def q_lang_fr(spark, sf):
+        """French analyzer (elision + stop_fr + light stemmer)."""
+        return _lang_q(spark, sf, "fr")
+
+    def q_lang_de(spark, sf):
+        """German analyzer (stop_de + umlaut normalize + light
+        stemmer)."""
+        return _lang_q(spark, sf, "de")
+
+    def q_lang_cjk(spark, sf):
+        """CJK analyzer (width fold + ideograph bigrams)."""
+        return _lang_q(spark, sf, "cjk")
+
     # ---- training-data pipeline ops ----
     def dedup_exact(spark, sf):
         from bleve_spark.functions.dedup import exact_dedup
@@ -1629,6 +1764,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_term_after_delete": q_term_after_delete,
             "q_blockmax_topk": q_blockmax_topk,
             "q_highlight": q_highlight,
+            "q_lang_es": q_lang_es,
+            "q_lang_fr": q_lang_fr,
+            "q_lang_de": q_lang_de,
+            "q_lang_cjk": q_lang_cjk,
             "dedup_exact": dedup_exact,
             "dedup_ngram_jaccard": dedup_ngram_jaccard,
             "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -1801,6 +1940,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         # q_highlight: fragment extraction (200-byte windows, best-
         # fragment scoring) is not ANSI-SQL-expressible — rows-only.
+        "q_lang_es": _sql_lang_match("es"),
+        "q_lang_fr": _sql_lang_match("fr"),
+        "q_lang_de": _sql_lang_match("de"),
+        "q_lang_cjk": _sql_lang_match("cjk"),
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, "
             "count(*) AS dup_count FROM documents GROUP BY md5(text)"

@@ -245,3 +245,7 @@ def get_analyzer(name_or_analyzer) -> Analyzer:
 
 def register_analyzer(analyzer: Analyzer) -> None:
     REGISTRY[analyzer.name] = analyzer
+
+
+# language analyzers (es/fr/de/cjk) self-register on import
+from bleve_spark.analysis import lang as _lang  # noqa: E402,F401

@@ -1,0 +1,132 @@
+"""Language analyzer goldens — vectors lifted from the reference's own
+test suites (light_stemmer_fr_test.go, stemmer_de_test.go,
+german_normalize_test.go, analyzer_es_test.go, analyzer_fr_test.go) so
+the es/fr/de ports are pinned to the reference's observable behavior."""
+
+import pytest
+
+from bleve_spark.analysis.analyzers import get_analyzer
+from bleve_spark.analysis.lang import (
+    _de_normalize,
+    stem_de_light,
+    stem_fr_light,
+)
+
+FR_STEM = [
+    ("chevaux", "cheval"), ("cheval", "cheval"), ("hiboux", "hibou"),
+    ("chantés", "chant"), ("chanter", "chant"), ("chante", "chant"),
+    ("baronnes", "baron"), ("barons", "baron"), ("peaux", "peau"),
+    ("anneaux", "aneau"), ("neveux", "neveu"), ("affreux", "afreu"),
+    ("affreuse", "afreu"), ("investissement", "investi"),
+    ("investir", "investi"), ("assourdissant", "asourdi"),
+    ("pratiquement", "pratiqu"), ("pratique", "pratiqu"),
+    ("administrativement", "administratif"),
+    ("justificatrice", "justifi"), ("justificateur", "justifi"),
+    ("educatrice", "eduqu"), ("eduquer", "eduqu"),
+    ("communicateur", "comuniqu"), ("accompagnatrice", "acompagn"),
+    ("administrateur", "administr"), ("productrice", "product"),
+    ("acheteuse", "achet"), ("planteur", "plant"),
+    ("poreuse", "poreu"), ("poreux", "poreu"), ("plieuse", "plieu"),
+    ("bijoutière", "bijouti"), ("caissière", "caisi"),
+    ("abrasive", "abrasif"), ("folle", "fou"),
+    ("personnelle", "person"), ("personne", "person"),
+    ("complète", "complet"), ("aromatique", "aromat"),
+    ("faiblesse", "faibl"), ("patinage", "patin"),
+    ("sonorisation", "sono"), ("ritualisation", "rituel"),
+    ("nomination", "nomin"), ("disposition", "dispos"),
+    ("1234555", "1234555"), ("12333345", "12333345"),
+    ("1234", "1234"), ("abcdeff", "abcdef"),
+    ("abcccddeef", "abcdef"), ("créées", "cre"),
+    ("22hh00", "22h00"), ("propriétaire", "proprietair"),
+]
+
+# vectors where the LIGHT stemmer (what analyzer_de uses) agrees; the
+# reference's stemmer_de_test.go targets its separate snowball filter
+DE_STEM = [
+    ("abzuschrecken", "abzuschreck"), ("abzuwarten", "abzuwart"),
+    ("zyniker", "zynik"), ("tische", "tisch"), ("tisches", "tisch"),
+]
+
+DE_NORM = [
+    ("Schaltflächen", "Schaltflachen"),
+    ("Schaltflaechen", "Schaltflachen"),
+    ("dauer", "dauer"),
+    ("weißbier", "weissbier"),
+]
+
+ES_ANALYZER = [
+    ("chicana", ["chican"]), ("chicano", ["chican"]),
+    ("yeses", ["yes"]), ("jaeces", ["jaez"]), ("arcos", ["arc"]),
+    ("caos", ["caos"]), ("parecer", ["parecer"]),
+]
+
+FR_ANALYZER = [
+    ("chien chat cheval", ["chien", "chat", "cheval"]),
+    ("chien CHAT CHEVAL", ["chien", "chat", "cheval"]),
+    ("Jean-François", ["jean", "francoi"]),
+    ("le la chien les aux chat du des à cheval",
+     ["chien", "chat", "cheval"]),
+    ("lances chismes habitable chiste éléments captifs",
+     ["lanc", "chism", "habitabl", "chist", "element", "captif"]),
+    ("finissions souffrirent rugissante",
+     ["finision", "soufrirent", "rugisant"]),
+    ("L'avion", ["avion"]),
+]
+
+
+@pytest.mark.parametrize("inp,out", FR_STEM)
+def test_fr_light_stemmer(inp, out):
+    assert stem_fr_light(inp) == out
+
+
+@pytest.mark.parametrize("inp,out", DE_STEM)
+def test_de_light_stemmer(inp, out):
+    assert stem_de_light(inp) == out
+
+
+@pytest.mark.parametrize("inp,out", DE_NORM)
+def test_de_normalize(inp, out):
+    assert _de_normalize(inp) == out
+
+
+@pytest.mark.parametrize("inp,out", ES_ANALYZER)
+def test_es_analyzer(inp, out):
+    an = get_analyzer("es")
+    assert [t for t, _ in an.analyze_terms(inp)] == out
+
+
+@pytest.mark.parametrize("inp,out", FR_ANALYZER)
+def test_fr_analyzer(inp, out):
+    an = get_analyzer("fr")
+    assert [t for t, _ in an.analyze_terms(inp)] == out
+
+
+def test_de_analyzer_pipeline():
+    an = get_analyzer("de")
+    # stop 'und' dropped; umlaut folded + stemmed
+    assert [t for t, _ in an.analyze_terms("Schaltflächen und Bücher")] \
+        == ["schaltflach", "buch"]
+
+
+def test_cjk_bigrams():
+    an = get_analyzer("cjk")
+    terms = [t for t, _ in an.analyze_terms("一二三 spark 四")]
+    assert terms == ["一二", "二三", "spark", "四"]
+
+
+def test_batch_path_matches_scalar_for_languages():
+    """The vectorized analyze_batch must agree with analyze_terms for
+    every language analyzer (1:1 map-filter contract)."""
+    texts = [
+        "chicana yeses jaeces arcos",
+        "L'avion chanté des éléments",
+        "Schaltflächen weißbier bücher",
+    ]
+    for name in ("es", "fr", "de"):
+        an = get_analyzer(name)
+        flens, doc_idx, codes, vocab, pos = an.analyze_batch(texts)
+        got = [[] for _ in texts]
+        for d, c in zip(doc_idx, codes):
+            got[d].append(vocab[c])
+        want = [sorted(t for t, _ in an.analyze_terms(x)) for x in texts]
+        assert [sorted(g) for g in got] == want
