@@ -699,6 +699,121 @@ FROM scored GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT 20"""
 
 
+# ---- raw punctuated text through the hash gate: unlike `documents`
+# (pre-normalized space-joined tokens), this corpus exercises UAX#29
+# segmentation (hyphen splits, MidLetter apostrophes, MidNum commas,
+# domain-joining dots), stopword position gaps, and phrase adjacency
+# over those gaps. Oracle tokens+positions are FROZEN goldens --------
+
+RAW_TEXTS = [
+    "The quick-brown fox jumps over the lazy dog's back.",
+    "Don't split don't: apostrophes stay, right?",
+    "Visit https://spark.apache.org/docs for 3.14 details!",
+    "state-of-the-art systems cost $1,000 (or more).",
+    "email me at dev@example.com; I reply fast.",
+    "C'est l'ete -- but this is English text.",
+    "The FOX and the fox are the same token.",
+    "numbers: 1,000 3.14 42 and v2.0 mixed-case CamelCase",
+    'quotes "inside" and (parens) [brackets] {braces}',
+    "trailing punctuation!!! multiple... dots.. and, commas,",
+]
+
+RAW_GOLD = [
+    [("quick", 2), ("brown", 3), ("fox", 4), ("jumps", 5),
+     ("lazy", 8), ("dog's", 9), ("back", 10)],
+    [("split", 2), ("apostrophes", 4), ("stay", 5), ("right", 6)],
+    [("visit", 1), ("https", 2), ("spark.apache.org", 3),
+     ("docs", 4), ("3.14", 6), ("details", 7)],
+    [("state", 1), ("art", 4), ("systems", 5), ("cost", 6),
+     ("1,000", 7)],
+    [("email", 1), ("dev", 4), ("example.com", 5), ("reply", 7),
+     ("fast", 8)],
+    [("c'est", 1), ("l'ete", 2), ("english", 6), ("text", 7)],
+    [("fox", 2), ("fox", 5), ("token", 9)],
+    [("numbers", 1), ("1,000", 2), ("3.14", 3), ("42", 4),
+     ("v2.0", 6), ("mixed", 7), ("case", 8), ("camelcase", 9)],
+    [("quotes", 1), ("inside", 2), ("parens", 4), ("brackets", 5),
+     ("braces", 6)],
+    [("trailing", 1), ("punctuation", 2), ("multiple", 3),
+     ("dots", 4), ("commas", 6)],
+]
+
+
+def _sql_raw_prelude() -> str:
+    rows = ", ".join(
+        "(" + str(i) + ", ["
+        + ", ".join("'" + t.replace("'", "''") + "'" for t, _ in toks)
+        + "], ["
+        + ", ".join(str(p) for _, p in toks)
+        + "])"
+        for i, toks in enumerate(RAW_GOLD)
+    )
+    return f"""
+WITH docs AS (SELECT * FROM (VALUES {rows}) AS v(doc_id, terms, poss)),
+tok2 AS (SELECT doc_id, unnest(terms) AS term, unnest(poss) AS pos
+         FROM docs),
+doclen AS (SELECT doc_id, len(terms) AS flen FROM docs),
+post AS (
+  SELECT t.doc_id, t.term, count(*) AS tf,
+         CAST(CAST(1.0/sqrt(d.flen) AS REAL) AS DOUBLE) AS norm,
+         list(t.pos ORDER BY t.pos) AS positions
+  FROM tok2 t JOIN doclen d USING (doc_id)
+  GROUP BY t.doc_id, t.term, d.flen
+), ndocs AS (SELECT count(*) AS n FROM docs),
+avgl AS (
+  SELECT ceil(CAST(count(DISTINCT term) AS DOUBLE)
+              / (SELECT n FROM ndocs)) AS v FROM post
+), dict AS (SELECT term, count(*) AS df FROM post GROUP BY term)
+"""
+
+
+def _sql_raw_match() -> str:
+    idf = _IDF.format(df="coalesce(d.df, 0)")
+    return f"""{_sql_raw_prelude()},
+expq AS (
+  SELECT qt.term, coalesce(d.df, 0) AS df, {idf} AS idf, 1.0 AS mult
+  FROM (VALUES ('fox'), ('jumps')) qt(term) LEFT JOIN dict d USING (term)
+),
+qnorm AS (SELECT 1.0/sqrt(sum((mult*idf)*(mult*idf))) AS v FROM expq),
+total AS (SELECT count(*) AS t FROM expq),
+scored AS (
+  SELECT p.doc_id,
+         {_BASE} * (q.mult * q.idf * (SELECT v FROM qnorm)) AS s
+  FROM post p JOIN expq q USING (term))
+SELECT doc_id, round(sum(s) * count(*)
+       / (SELECT CAST(t AS DOUBLE) FROM total), 6) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 20"""
+
+
+def _sql_raw_phrase() -> str:
+    idf = _IDF.format(df="coalesce(d.df, 0)")
+    return f"""{_sql_raw_prelude()},
+expq AS (
+  SELECT qt.term, {idf} AS idf
+  FROM (VALUES ('lazy'), ('dog''s'), ('back')) qt(term)
+  LEFT JOIN dict d USING (term)
+),
+qnorm AS (SELECT 1.0/sqrt(sum(idf*idf)) AS v FROM expq),
+p1 AS (SELECT p.doc_id, p.positions,
+              {_BASE} * (q.idf * (SELECT v FROM qnorm)) AS s
+       FROM post p JOIN expq q USING (term) WHERE p.term = 'lazy'),
+p2 AS (SELECT p.doc_id, p.positions,
+              {_BASE} * (q.idf * (SELECT v FROM qnorm)) AS s
+       FROM post p JOIN expq q USING (term) WHERE p.term = 'dog''s'),
+p3 AS (SELECT p.doc_id, p.positions,
+              {_BASE} * (q.idf * (SELECT v FROM qnorm)) AS s
+       FROM post p JOIN expq q USING (term) WHERE p.term = 'back')
+SELECT p1.doc_id, round(p1.s + p2.s + p3.s, 6) AS score
+FROM p1 JOIN p2 USING (doc_id) JOIN p3 USING (doc_id)
+WHERE len(list_intersect(
+        list_transform(list_intersect(
+          list_transform(p1.positions, x -> x + 1), p2.positions),
+          x -> x + 1),
+        p3.positions)) > 0
+ORDER BY score DESC, doc_id LIMIT 20"""
+
+
 # ---- seeded-hash op oracles: the engine's hashes are md5-derived
 # (functions/dedup.md5_hash60) precisely so these have exact SQL
 # twins; minhash a/b params and LSH planes are regenerated here from
@@ -1626,6 +1741,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """CJK analyzer (width fold + ideograph bigrams)."""
         return _lang_q(spark, sf, "cjk")
 
+    def _raw_idx(spark):
+        key = (spark.sparkContext.applicationId, "raw-text")
+        if key not in _INDEX_CACHE:
+            df = spark.createDataFrame(
+                list(enumerate(RAW_TEXTS)), "doc_id int, text string"
+            )
+            _INDEX_CACHE[key] = index_table(
+                df, key_cols=["doc_id"], fields={"text": "standard"}
+            )
+        return _INDEX_CACHE[key]
+
+    def q_raw_text_match(spark, sf):
+        """UAX#29 over RAW punctuated text through the hash gate (the
+        documents corpus is pre-normalized, so string_split == the
+        tokenizer there; this corpus isn't)."""
+        return _topk(
+            _raw_idx(spark), {"field": "text", "match": "Fox jumps!"}
+        )
+
+    def q_raw_text_phrase(spark, sf):
+        """Phrase adjacency over raw text incl. a MidLetter-apostrophe
+        token (dog's) and stopword position gaps."""
+        return _topk(
+            _raw_idx(spark),
+            {"field": "text", "match_phrase": "lazy dog's back"},
+        )
+
     # ---- training-data pipeline ops ----
     def dedup_exact(spark, sf):
         from bleve_spark.functions.dedup import exact_dedup
@@ -1768,6 +1910,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_lang_fr": q_lang_fr,
             "q_lang_de": q_lang_de,
             "q_lang_cjk": q_lang_cjk,
+            "q_raw_text_match": q_raw_text_match,
+            "q_raw_text_phrase": q_raw_text_phrase,
             "dedup_exact": dedup_exact,
             "dedup_ngram_jaccard": dedup_ngram_jaccard,
             "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -1944,6 +2088,8 @@ def oracle_sql() -> dict[str, str]:
         "q_lang_fr": _sql_lang_match("fr"),
         "q_lang_de": _sql_lang_match("de"),
         "q_lang_cjk": _sql_lang_match("cjk"),
+        "q_raw_text_match": _sql_raw_match(),
+        "q_raw_text_phrase": _sql_raw_phrase(),
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, "
             "count(*) AS dup_count FROM documents GROUP BY md5(text)"

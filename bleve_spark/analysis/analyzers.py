@@ -88,6 +88,9 @@ class Analyzer:
             if isinstance(f, StopFilter):
                 ss = f.stopset
                 pairs = [(t, p) for (t, p) in pairs if t not in ss]
+            elif getattr(f, "WHOLE_STREAM", False):
+                terms2 = f.apply_terms([t for t, _ in pairs])
+                pairs = list(zip(terms2, range(1, len(terms2) + 1)))
             else:
                 # positional metadata is preserved 1:1 for map-style filters
                 new_pairs = []

@@ -27,6 +27,10 @@ from bleve_spark.analysis.tokenizers import Token
 
 
 class TokenFilter:
+    # True → apply_terms consumes the WHOLE token stream (e.g.
+    # hierarchy); positions are reassigned 1..n by the analyzer
+    WHOLE_STREAM = False
+
     def apply_terms(self, terms: list[str]) -> list[str]:
         raise NotImplementedError
 
