@@ -1578,6 +1578,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _INDEX_CACHE[key], {"field": "text", "term": "spark"}, k=20
         )
 
+    def q_alias_strict(spark, sf):
+        """STRICT bleve alias parity: per-shard doc frequency (the
+        reference's search_term.go:146 local reader count) with merged
+        pre-search doc_count/avg_doc_len — scores are shard-layout-
+        dependent exactly like bleve's."""
+        from bleve_spark.search.alias import alias_search_df
+
+        key = (spark.sparkContext.applicationId, sf, "documents-alias2")
+        if key not in _INDEX_CACHE:
+            q_alias_2shards(spark, sf)  # builds + caches the shards
+        shards = _INDEX_CACHE[key].shards
+        out = alias_search_df(
+            shards, {"field": "text", "term": "spark"}, size=20,
+            strict_parity=True,
+        )
+        return out.select(
+            "doc_id", F.round(F.col("score"), 6).alias("score")
+        )
+
     def _docs_store(spark, sf):
         """At-rest compressed segment store over `documents` (cached):
         returns (SegmentStore, IndexedTable). Stats use the global
@@ -1901,6 +1920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_search_after": q_search_after,
             "q_rrf_fusion": q_rrf_fusion,
             "q_alias_2shards": q_alias_2shards,
+            "q_alias_strict": q_alias_strict,
             "q_synonym_term": q_synonym_term,
             "q_term_store": q_term_store,
             "q_term_after_delete": q_term_after_delete,
@@ -2067,6 +2087,21 @@ def oracle_sql() -> dict[str, str]:
         "q_alias_2shards": _sql_single_term(
             "spark", prelude=_PRELUDE_ALIAS2
         ),
+        # strict mode: per-shard df (doc_id % 2), merged ndocs/avgl
+        "q_alias_strict": f"""{_PRELUDE_ALIAS2},
+sharddf AS (
+  SELECT doc_id % 2 AS shard, count(*) AS df
+  FROM post WHERE term = 'spark' GROUP BY doc_id % 2)
+SELECT p.doc_id,
+       round(ln(1 + ((SELECT n FROM ndocs) - s.df + 0.5)
+                    / (s.df + 0.5))
+             * (sqrt(p.tf)*1.2)
+             / (sqrt(p.tf) + 1.2*(0.25 +
+                (0.75 * (1.0/(p.norm*p.norm))) / (SELECT v FROM avgl))),
+             6) AS score
+FROM post p JOIN sharddf s ON s.shard = p.doc_id % 2
+WHERE p.term = 'spark'
+ORDER BY score DESC, p.doc_id LIMIT 20""",
         # synonym expansion = disjunction(term@1, synonym@1/2) with coord
         # (search_term.go:154-196)
         "q_synonym_term": _sql_multi(

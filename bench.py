@@ -131,6 +131,9 @@ def main():
         "q_numeric_range", "q_query_string", "q_facet_lang",
         "dedup_exact", "dedup_minhash_pairs", "ann_cosine_topk",
         "text_profile",
+        # r2 additions: distributed dictionary expansion, geoshape
+        # relation predicate, filtered-KNN hybrid
+        "q_prefix_dist", "q_geo_shape_intersects", "q_hybrid_filtered",
     ]
     qs = E.queries()
     # warm the index caches once (build cost isn't a per-query cost;

@@ -6,12 +6,18 @@ phase 1 merges global stats (doc count + per-field cardinality summed
 across shards — exactly bleve's BM25Stats accumulation), phase 2 runs
 the query on every shard with the merged stats and concatenates.
 
-Deliberate improvement over the reference: we also globalize per-term
-doc frequency (summed via a unioned dictionary), so alias scores are
-EXACTLY the single-index scores. The reference leaves docTerm
-per-shard (search_term.go:146 uses the local reader count even under
-GlobalScoring), which makes alias scores shard-layout-dependent; our
-stronger invariant is asserted in tests (alias(2 shards) ≡ one index).
+Two scoring modes (a documented semantic switch):
+* default — we ALSO globalize per-term doc frequency (summed via a
+  unioned dictionary), so alias scores are EXACTLY the single-index
+  scores: a stronger invariant than the reference (alias ≡ one
+  index, asserted in tests), at the cost of not being bit-identical
+  to bleve multi-shard deployments.
+* strict_parity — bleve rank identity: global doc_count/avg_doc_len
+  from the merged pre-search stats but PER-SHARD doc frequency and
+  per-shard queryNorm, exactly like the reference (search_term.go:146
+  keeps the local reader count even under GlobalScoring; each shard
+  runs its own searcher tree). Use :func:`alias_search_df` with
+  ``strict_parity=True``.
 
 In Spark a distributed query already IS the alias case (partitions =
 shards); this module exists for API parity and for federating indexes
@@ -81,14 +87,41 @@ class AliasIndex(IndexedTable):
             stats=merged_stats(indexes),
             dictionary=dictionary,
         )
+        self.shards = list(indexes)
+
+
+def compile_query_strict(
+    indexes: list[IndexedTable], q: Q.Query | dict
+) -> DataFrame:
+    """Strict bleve parity: each shard compiles the query against its
+    OWN dictionary (per-shard doc frequency + per-shard queryNorm,
+    search_term.go:146) while doc_count/avg_doc_len come from the
+    merged pre-search stats (pre_search.go:96-110). Returns the
+    unioned scored rows."""
+    import dataclasses
+
+    merged = merged_stats(indexes)
+    parts = [
+        compile_query(dataclasses.replace(i, stats=merged), q)
+        for i in indexes
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def alias_search_df(
     indexes: list[IndexedTable], q: Q.Query | dict, size: int = 10,
-    from_: int = 0,
+    from_: int = 0, strict_parity: bool = False,
 ) -> DataFrame:
     from bleve_spark.search.searcher import search_df
 
+    if strict_parity:
+        keys = indexes[0].key_cols
+        scored = compile_query_strict(indexes, q)
+        order = [F.col("score").desc()] + [F.col(k).asc() for k in keys]
+        return scored.orderBy(*order).limit(from_ + size)
     return search_df(AliasIndex(indexes), q, size=size, from_=from_)
 
 

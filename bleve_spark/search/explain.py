@@ -32,6 +32,7 @@ from bleve_spark.search.searcher import (
     SBool,
     SConj,
     SConst,
+    SDictDisj,
     SDisj,
     SNone,
     SPhrase,
@@ -132,7 +133,62 @@ class _Explainer:
             return self._bool(node, key)
         if isinstance(node, SPhrase):
             return self._phrase(node, key)
+        if isinstance(node, SDictDisj):
+            return self._dictdisj(node, key)
         raise NotImplementedError(type(node).__name__)
+
+    def _dict_rows(self, node: "SDictDisj") -> dict:
+        """Per explained doc: the dictionary-expanded terms it matches
+        (one bounded join: explained-doc postings × expansion)."""
+        cached = self._docsets.get(("dict", id(node)))
+        if cached is not None:
+            return cached
+        kc = self.idx.key_cols
+        kpred = reduce(or_, [
+            reduce(and_, [F.col(k) == v for k, v in zip(kc, key)])
+            for key in self.keys
+        ])
+        rows = (
+            self.idx.postings
+            .where((F.col("field") == node.field) & kpred)
+            .join(node.expansion, "term")
+            .select("term", "doc_freq", "mult", *kc, "tf", "norm")
+            .collect()
+        )
+        out: dict = {}
+        for r in rows:
+            key = tuple(r[k] for k in kc)
+            out.setdefault(key, []).append(
+                (r["term"], int(r["doc_freq"]), float(r["mult"]),
+                 int(r["tf"]), float(r["norm"]))
+            )
+        self._docsets[("dict", id(node))] = out
+        return out
+
+    def _dictdisj(self, node: "SDictDisj", key):
+        hits = self._dict_rows(node).get(key)
+        if not hits:
+            return None
+        total, _ = node._agg(self.ctx)
+        kids = []
+        for term, dfq, mult, tf, norm in sorted(hits):
+            t = STerm(node.field, term, node.boost, dfq,
+                      boost_multiplier=mult)
+            self._lookup[(node.field, term, key)] = (tf, norm, [])
+            kids.append(self._term(t, key))
+        s = sum(k["value"] for k in kids)
+        coord = len(hits) / float(total)
+        return {
+            "value": s * coord,
+            "message": "product of:",
+            "children": [
+                {"value": s, "message": "sum of:", "children": kids},
+                {
+                    "value": coord,
+                    "message": f"coord({len(hits)}/{total})",
+                },
+            ],
+        }
 
     def _term(self, node: STerm, key):
         hit = self._lookup.get((node.field, node.term, key))

@@ -75,3 +75,22 @@ def test_too_many_clauses_both_paths(tindex, tindex_nodict):
 def test_empty_distributed_expansion_is_none(tindex_nodict):
     assert _rows(tindex_nodict,
                  {"field": "text", "prefix": "zzzznope"}) == []
+
+
+def test_explain_distributed_expansion(tindex_nodict):
+    """Explanation root value must equal the engine score on the
+    SDictDisj path too."""
+    from bleve_spark.search.explain import explain_hits
+
+    q = {"field": "text", "prefix": "err"}
+    top = (
+        compile_query(tindex_nodict, q)
+        .orderBy(F.col("score").desc(), "conv_id", "turn_idx")
+        .limit(3)
+        .collect()
+    )
+    keys = [(r["conv_id"], r["turn_idx"]) for r in top]
+    expls = explain_hits(tindex_nodict, q, keys)
+    for r, e in zip(top, expls):
+        assert e is not None
+        assert abs(e["value"] - r["score"]) < 1e-9
