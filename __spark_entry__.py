@@ -539,7 +539,11 @@ WITH sh AS (
          )) AS shingle
   FROM (SELECT doc_id, string_split(lower(text), ' ') AS words
         FROM documents)
-), sh2 AS (SELECT * FROM sh WHERE len(shingle) > 0),
+), sh1 AS (SELECT * FROM sh WHERE len(shingle) > 0),
+sh2 AS (
+  SELECT * FROM sh1 WHERE shingle NOT IN (
+    SELECT shingle FROM sh1 GROUP BY shingle HAVING count(*) > 100)
+),
 sizes AS (SELECT key, count(*) AS n_sh FROM sh2 GROUP BY key),
 inter AS (
   SELECT l.key AS key_a, r.key AS key_b, count(*) AS i
@@ -1798,8 +1802,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from bleve_spark.functions.dedup import ngram_jaccard_pairs
 
         df = spark.read.parquet(f"{sf}/documents.parquet")
+        # max_shingle_df=100 exercises the hot-shingle guard (the 100
+        # TB boilerplate cap) on the verified path
         pairs = ngram_jaccard_pairs(
-            df, "text", "doc_id", n=3, threshold=0.5
+            df, "text", "doc_id", n=3, threshold=0.5,
+            max_shingle_df=100,
         )
         return pairs.select(
             "key_a", "key_b", F.round("jaccard", 6).alias("jaccard")

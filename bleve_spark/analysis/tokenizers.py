@@ -18,9 +18,11 @@ which wraps blevesearch/segment, a UAX#29 implementation):
   stay together (verified against
   /root/reference/analysis/tokenizer/unicode/unicode_test.go:60-110).
 
-Known deliberate divergences (documented, exercised nowhere in our
-corpora): ZWNJ/Extend format chars are not skipped mid-word; the exotic
-MidLetter set is trimmed to {: · ' '}.
+Known deliberate divergence (documented): ZWNJ/Extend format chars are
+not transparent mid-word; Persian/Indic pipelines should apply the
+ZeroWidthNonJoinerCharFilter (analysis/extras.py) — the reference
+ships the same char filter for the same reason. The MidLetter /
+MidNum / MidNumLet sets carry the full UAX#29 tables.
 """
 
 from __future__ import annotations
@@ -40,10 +42,13 @@ class Token(NamedTuple):
 _AL = r"[^\W\d_]"  # unicode letter
 _NU = r"\d"
 _ALNUM = r"[\w]"  # letters + digits + underscore (ExtendNumLet)
-# MidLetter ∪ MidNumLet ∪ single-quote, valid when followed by a letter
-_MID_L = r"[:.·'’]"
-# MidNum ∪ MidNumLet, valid when followed by a digit
-_MID_N = r"[.,;'’]"
+# MidLetter ∪ MidNumLet ∪ single-quote, valid when followed by a
+# letter — full UAX#29 MidLetter table (: · ‧ ״ ﹕ ︓ ： ' ’) plus
+# MidNumLet (. ' ‘ ’ ． ＇)
+_MID_L = "[:.·‧״﹕︓：'’‘．＇]"
+# MidNum ∪ MidNumLet, valid when followed by a digit — MidNum table
+# (, ; ； ︐ ︔ ﹐ ﹔ ， ٬ ، ٫ ；) plus MidNumLet
+_MID_N = "[.,;'’‘．＇；︐︔﹐﹔，٬،٫]"
 
 _WORD = rf"{_ALNUM}+(?:(?:{_MID_L}(?={_AL})|{_MID_N}(?={_NU})){_ALNUM}+)*"
 

@@ -254,10 +254,27 @@ def ngram_jaccard_pairs(
     key_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard pairs ≥ threshold (the verification-grade
-    dedup; quadratic only within shared-shingle groups)."""
+    dedup; quadratic only within shared-shingle groups).
+
+    ``max_shingle_df`` is the hot-shingle guard for scale: shingles
+    appearing in more than that many docs (boilerplate) are dropped
+    from BOTH the intersection join and the set sizes, bounding any
+    single join key's group — without it, one shingle shared by 1M
+    docs is 10¹² pairs in a single reducer. Jaccard is then computed
+    over the df-capped shingle sets (a well-defined, oracle-checkable
+    semantics; standard practice for boilerplate suppression)."""
     sh = word_shingles(df, text_col, key_col, n)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > int(max_shingle_df))
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy("key").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         sh.alias("l")

@@ -40,13 +40,24 @@ def run(cpus: int, turns: int, sf_dir: str,
 
 
 def main():
+    # --from-json f2 f8 f32: assemble BENCH.md from pre-run bench
+    # lines (lets each parallelism level run in its own time box)
+    if len(sys.argv) > 1 and sys.argv[1] == "--from-json":
+        r2, r8, r32 = (
+            json.load(open(f)) for f in sys.argv[2:5]
+        )
+        write_md(r2, r8, r32)
+        return
     turns = int(sys.argv[1]) if len(sys.argv) > 1 else 2000000
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 
     r2 = run(2, turns, sf_dir, skip_queries=True)
     r8 = run(8, turns, sf_dir)
     r32 = run(32, turns, sf_dir)
+    write_md(r2, r8, r32)
 
+
+def write_md(r2, r8, r32):
     def tps(r):
         return r["index_build"]["turns_per_sec"]
 
@@ -149,7 +160,6 @@ Raw bench lines:
 """
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(md)
-    print(md)
     print(f"eff 2->8: {eff_2_8:.3f}  eff 8->32: {eff_8_32:.3f}")
 
 
