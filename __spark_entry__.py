@@ -184,6 +184,21 @@ _PRELUDE = _mk_prelude(
 )"""
 )
 
+# composite `_all` = text (standard-analyzed) + lang + source
+# (keyword members): flen = post-stop text tokens + 2, freqs merged —
+# field_composite.go semantics (per-member analysis, Σ lengths)
+_PRELUDE_COMPOSITE = _mk_prelude(
+    """avgl AS (
+  SELECT ceil(CAST(count(DISTINCT term) AS DOUBLE)
+              / (SELECT n FROM ndocs)) AS v
+  FROM post
+)"""
+).replace(
+    "SELECT doc_id, string_split(text, ' ') AS words FROM documents",
+    "SELECT doc_id, list_concat(string_split(text, ' '), "
+    "[lang, source]) AS words FROM documents",
+)
+
 # delete-visibility oracle: the live index = documents minus the
 # deleted id range (deleted docs vanish from postings, ndocs, stats)
 _PRELUDE_LIVE100 = _PRELUDE.replace(
@@ -1702,6 +1717,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _INDEX_CACHE[key], {"field": "text", "term": "spark"}, k=20
         )
 
+    def q_composite_term(spark, sf):
+        """Composite `_all` field (per-member analyzers, merged term
+        freqs, totalLength = Σ member lengths — field_composite.go):
+        the text member's BM25 through the composite norm."""
+        key = (spark.sparkContext.applicationId, sf, "documents-comp")
+        if key not in _INDEX_CACHE:
+            df = spark.read.parquet(f"{sf}/documents.parquet")
+            _INDEX_CACHE[key] = index_table(
+                df, key_cols=["doc_id"],
+                fields={"text": "standard", "lang": "keyword",
+                        "source": "keyword"},
+                composite_fields={"_all": ["text", "lang", "source"]},
+            )
+        return _topk(
+            _INDEX_CACHE[key], {"field": "_all", "term": "spark"}, k=20
+        )
+
     def q_synonym_term(spark, sf):
         # separate index instance: synonyms are an index-level map
         key = (spark.sparkContext.applicationId, sf, "documents-syn")
@@ -1873,7 +1905,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         df = spark.read.parquet(f"{sf}/documents.parquet")
-        media = synthesize_media_df(spark, df.limit(100), "doc_id")
+        media = synthesize_media_df(
+            spark, df.where(F.col("doc_id") < 100), "doc_id"
+        )
         feats = extract_features(media)
         return feats.select(
             "key", "media_type", "content_hash", "n_bytes"
@@ -1928,6 +1962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_rrf_fusion": q_rrf_fusion,
             "q_alias_2shards": q_alias_2shards,
             "q_alias_strict": q_alias_strict,
+            "q_composite_term": q_composite_term,
             "q_synonym_term": q_synonym_term,
             "q_term_store": q_term_store,
             "q_term_after_delete": q_term_after_delete,
@@ -2109,6 +2144,9 @@ SELECT p.doc_id,
 FROM post p JOIN sharddf s ON s.shard = p.doc_id % 2
 WHERE p.term = 'spark'
 ORDER BY score DESC, p.doc_id LIMIT 20""",
+        "q_composite_term": _sql_single_term(
+            "spark", prelude=_PRELUDE_COMPOSITE
+        ),
         # synonym expansion = disjunction(term@1, synonym@1/2) with coord
         # (search_term.go:154-196)
         "q_synonym_term": _sql_multi(
@@ -2143,9 +2181,20 @@ ORDER BY score DESC, p.doc_id LIMIT 20""",
         "ann_lsh_topk": _ann_pruned_topk_sql("lsh"),
         "ann_ivf_topk": _ann_pruned_topk_sql("ivf"),
         "text_profile": _SQL_TEXT_PROFILE,
-        # multimodal_features: synthetic binary payloads — the content
-        # hashes are reproducible but the payload synthesis is not
-        # ANSI-SQL; the driver records the rows-only check for it.
-        # q_highlight likewise (fragment extraction).
+        # multimodal payload synthesis is hex-string based precisely so
+        # the content hash has a pure-SQL twin; the decode KERNELS stay
+        # stubbed (no imaging libs) but the content-addressed plumbing
+        # is hash-verified end-to-end
+        "multimodal_features": (
+            "SELECT doc_id AS key, "
+            "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+            "ELSE 'video' END AS media_type, "
+            "sha256(repeat(sha256(CAST(doc_id AS VARCHAR)), 8)) "
+            "AS content_hash, "
+            "512 AS n_bytes "
+            "FROM documents WHERE doc_id < 100"
+        ),
+        # q_highlight: fragment extraction is not ANSI-SQL-expressible;
+        # the driver records the rows-only check for it.
     }
     return out

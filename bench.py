@@ -54,7 +54,11 @@ def main():
     # away at real corpus sizes) and warm (steady-state throughput,
     # the headline number).
     n_convs = max(64, int(n_turns_target / 16.5))
-    n_files = 64
+    # finer source files = finer build tasks: at P cores the last
+    # scheduling wave idles up to (files mod P)/P of the machine, so
+    # files >> P keeps the tail short at every parallelism level while
+    # the layout (and the job) stays byte-identical across levels
+    n_files = int(os.environ.get("BENCH_FILES", "256"))
     corpus_dir = tempfile.mkdtemp(prefix="bench_corpus_")
     seg_base = tempfile.mkdtemp(prefix="bench_segs_")
     try:

@@ -13,7 +13,6 @@ end-to-end.
 from __future__ import annotations
 
 import hashlib
-import struct
 
 import numpy as np
 import pandas as pd
@@ -32,14 +31,17 @@ FEATURE_SCHEMA = (
 
 
 def synthesize_media_df(spark, df: DataFrame, key_col: str) -> DataFrame:
-    """Attach a deterministic fake binary payload per row (for tests:
-    payload = seeded bytes keyed by the row key)."""
+    """Attach a deterministic fake binary payload per row: payload =
+    ascii(sha256(str(key)).hexdigest()) × 8 — chosen so the content
+    hash is reproducible in the ANSI-SQL oracle
+    (sha256(repeat(sha256(key::VARCHAR), 8)))."""
 
     def gen(batches):
         for pdf in batches:
             keys = pdf[key_col].astype("int64")
             payloads = [
-                hashlib.sha256(struct.pack("<q", int(k))).digest() * 8
+                hashlib.sha256(str(int(k)).encode())
+                .hexdigest().encode() * 8
                 for k in keys
             ]
             yield pd.DataFrame(

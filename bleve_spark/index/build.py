@@ -200,7 +200,8 @@ class IndexedTable:
 
 
 def _field_postings(
-    df: DataFrame, keys: list[str], field_name: str, analyzer: str
+    df: DataFrame, keys: list[str], field_name: str, analyzer: str,
+    with_len: bool = False,
 ) -> DataFrame:
     """(field, term, keys..., tf, positions, norm) for one field.
 
@@ -257,6 +258,7 @@ def _field_postings(
             )
 
     exploded = src.mapInArrow(tokenize, schema=out_schema)
+    extra = [F.col("_field_len").alias("_flen")] if with_len else []
     return (
         exploded.groupBy(*keys, "_field_len", "term")
         .agg(
@@ -273,8 +275,59 @@ def _field_postings(
             (F.lit(1.0) / F.sqrt(F.col("_field_len")))
             .cast("float")
             .alias("norm"),
+            *extra,
         )
     )
+
+
+def _composite_postings(
+    df: DataFrame,
+    keys: list[str],
+    cname: str,
+    members: list[str],
+    analyzers: dict[str, str],
+) -> DataFrame:
+    """The reference's composite field semantics
+    (document/field_composite.go:33-41 + Compose: TokenFrequencies
+    merged across members, totalLength = Σ member field lengths):
+    each member is analyzed with its OWN analyzer, term freqs are
+    summed, positions stay member-LOCAL (restart per member — phrase
+    matches never span members), and norm = float32(1/√Σlen)."""
+    parts = [
+        _field_postings(
+            df, keys, m, analyzers.get(m, "standard"), with_len=True
+        )
+        for m in members
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    # per-doc total length: (keys, flen) is constant per member-doc
+    lens = parts[0].select(*keys, "_flen").distinct()
+    for p in parts[1:]:
+        lens = lens.unionByName(p.select(*keys, "_flen").distinct())
+    lens = lens.groupBy(*keys).agg(F.sum("_flen").alias("_total_len"))
+    merged = (
+        u.groupBy(*keys, "term")
+        .agg(
+            F.sum("tf").cast("int").alias("tf"),
+            F.sort_array(
+                F.flatten(F.collect_list("positions"))
+            ).alias("positions"),
+        )
+        .join(lens, keys)
+        .select(
+            F.lit(cname).alias("field"),
+            F.col("term"),
+            *keys,
+            "tf",
+            "positions",
+            (F.lit(1.0) / F.sqrt(F.col("_total_len")))
+            .cast("float")
+            .alias("norm"),
+        )
+    )
+    return merged
 
 
 def index_table(
@@ -294,28 +347,21 @@ def index_table(
     on ``df`` (Parquet min/max pruning replaces the reference's numeric
     trie, /root/reference/search/searcher/search_numeric_range.go:194).
     """
-    # composite fields (the reference's `_all`,
-    # document/field_composite.go:33-41): analyze the space-joined
-    # concatenation of member columns. Deliberate simplification vs the
-    # reference (which merges each member's own token freqs, so
-    # positions restart per member): our positions run continuously
-    # through the concatenation — same terms/freqs, phrase matches may
-    # additionally span member boundaries.
+    # composite fields (the reference's `_all`): per-member analysis
+    # with each member's own analyzer, merged term freqs, member-LOCAL
+    # positions (restart per member — phrases never span members),
+    # totalLength = Σ member lengths — field_composite.go semantics
     df2 = df
     fields_all = dict(fields)
-    for cname, members in (composite_fields or {}).items():
-        df2 = df2.withColumn(
-            cname,
-            F.concat_ws(
-                " ", *[F.col(m).cast("string") for m in members]
-            ),
-        )
-        fields_all[cname] = fields_all.get(cname, "standard")
-
     parts = [
         _field_postings(df2, key_cols, f, a)
         for f, a in fields_all.items()
     ]
+    for cname, members in (composite_fields or {}).items():
+        parts.append(
+            _composite_postings(df2, key_cols, cname, members, fields)
+        )
+        fields_all[cname] = fields_all.get(cname, "standard")
     postings = parts[0]
     for p in parts[1:]:
         postings = postings.unionByName(p)
