@@ -464,6 +464,47 @@ SELECT s.doc_id, s.score FROM scored s, cur c
 WHERE s.score < c.score OR (s.score = c.score AND s.doc_id > c.doc_id)
 ORDER BY s.score DESC, s.doc_id LIMIT 6"""
 
+# RSF fusion (rsf.go:35): per-list min-max normalization over each
+# truncated top-20 leg, then weighted sum (w1=1.0, w2=0.5)
+_SQL_RSF = f"""{_PRELUDE},
+q1 AS (SELECT qt.term, {_IDF.format(df='coalesce(d.df,0)')} AS idf
+       FROM (VALUES ('spark')) qt(term) LEFT JOIN dict d USING (term)),
+q2 AS (SELECT qt.term, {_IDF.format(df='coalesce(d.df,0)')} AS idf
+       FROM (VALUES ('join')) qt(term) LEFT JOIN dict d USING (term)),
+l1 AS (SELECT p.doc_id, round({_BASE}, 6) AS score
+       FROM post p JOIN q1 q USING (term)
+       ORDER BY score DESC, p.doc_id LIMIT 20),
+l2 AS (SELECT p.doc_id, round({_BASE}, 6) AS score
+       FROM post p JOIN q2 q USING (term)
+       ORDER BY score DESC, p.doc_id LIMIT 20),
+m1 AS (SELECT min(score) AS lo, max(score) AS hi FROM l1),
+m2 AS (SELECT min(score) AS lo, max(score) AS hi FROM l2),
+parts AS (
+  SELECT doc_id, (CASE WHEN m1.hi > m1.lo
+         THEN (score - m1.lo) / (m1.hi - m1.lo) ELSE 1.0 END)
+         * 1.0 AS c
+  FROM l1, m1
+  UNION ALL
+  SELECT doc_id, (CASE WHEN m2.hi > m2.lo
+         THEN (score - m2.lo) / (m2.hi - m2.lo) ELSE 1.0 END)
+         * 0.5 AS c
+  FROM l2, m2)
+SELECT doc_id, round(sum(c), 6) AS score FROM parts GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 20"""
+
+# search_before = the 5 rows immediately preceding the 8th-ranked
+# cursor, taken in REVERSED order (flipped sort + search_after)
+_SQL_SEARCH_BEFORE = f"""{_PRELUDE},
+q AS (SELECT qt.term, {_IDF.format(df='coalesce(d.df,0)')} AS idf
+      FROM (VALUES ('spark')) qt(term) LEFT JOIN dict d USING (term)),
+scored AS (SELECT p.doc_id, round({_BASE}, 6) AS score
+           FROM post p JOIN q USING (term)),
+cur AS (SELECT score, doc_id FROM scored
+        ORDER BY score DESC, doc_id LIMIT 1 OFFSET 7)
+SELECT s.doc_id, s.score FROM scored s, cur c
+WHERE s.score > c.score OR (s.score = c.score AND s.doc_id < c.doc_id)
+ORDER BY s.score ASC, s.doc_id DESC LIMIT 5"""
+
 # RRF fusion of two BM25 top-20 lists (rrf.go:34):
 # score = Σ 1/(rank_i + 60), rank by (score desc, doc_id asc)
 _SQL_RRF = f"""{_PRELUDE},
@@ -937,6 +978,35 @@ def _sig_sql(e_expr: str, mat) -> str:
         )
         terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
     return "CAST((" + " + ".join(terms) + ") AS BIGINT)"
+
+
+def _emb_neardup_sql(planes=8, seed=7, thresh=0.25) -> str:
+    import numpy as np
+
+    mat = np.random.RandomState(seed).standard_normal((planes, 64))
+
+    def dot(a, b):
+        return (
+            f"list_sum(list_transform(range(1, 65), j -> "
+            f"CAST({a}[j] AS DOUBLE) * CAST({b}[j] AS DOUBLE)))"
+        )
+
+    cos = (
+        f"({dot('a.embedding', 'b.embedding')} / "
+        f"(sqrt({dot('a.embedding', 'a.embedding')}) * "
+        f"sqrt({dot('b.embedding', 'b.embedding')})))"
+    )
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {_sig_sql('embedding', mat)} AS s
+  FROM embeddings
+), cand AS (
+  SELECT a.vec_id AS key_a, b.vec_id AS key_b, {cos} AS cosine
+  FROM sigs a JOIN sigs b
+    ON a.s = b.s AND a.vec_id < b.vec_id
+)
+SELECT key_a, key_b, round(cosine, 6) AS cosine FROM cand
+WHERE cosine >= {thresh!r}"""
 
 
 def _ann_pruned_topk_sql(mode: str) -> str:
@@ -1578,6 +1648,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .limit(20)
         )
 
+    def q_rsf_fusion(spark, sf):
+        """Relative-score fusion (rsf.go:35): per-list min-max
+        normalization then weighted sum."""
+        from bleve_spark.search.fusion import rsf_fuse
+
+        idx = _docs_index(spark, sf)
+        l1 = _topk(idx, {"field": "text", "term": "spark"}, k=20)
+        l2 = _topk(idx, {"field": "text", "term": "join"}, k=20)
+        fused = rsf_fuse(
+            [l1.select("doc_id", "score"), l2.select("doc_id", "score")],
+            ["doc_id"], weights=[1.0, 0.5],
+        )
+        return (
+            fused.select(
+                "doc_id", F.round(F.col("score"), 6).alias("score")
+            )
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(20)
+        )
+
+    def q_search_before(spark, sf):
+        """search_before cursor: the `size` rows immediately PRECEDING
+        the cursor in sort order (the reference pages backwards by
+        flipping sort + search_after,
+        index_alias_impl.go:721-724,1016-1020)."""
+        idx = _docs_index(spark, sf)
+        scored = compile_query(
+            idx, {"field": "text", "term": "spark"}
+        ).select("doc_id", F.round(F.col("score"), 6).alias("score"))
+        order = [F.col("score").desc(), F.col("doc_id").asc()]
+        cur = scored.orderBy(*order).limit(8).collect()[-1]
+        before = scored.where(
+            (F.col("score") > cur["score"])
+            | ((F.col("score") == cur["score"])
+               & (F.col("doc_id") < cur["doc_id"]))
+        )
+        return before.orderBy(
+            F.col("score").asc(), F.col("doc_id").desc()
+        ).limit(5)
+
     def q_alias_2shards(spark, sf):
         from bleve_spark.search.alias import AliasIndex
 
@@ -1892,6 +2002,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return top.select("key", F.round("cosine", 6).alias("cosine"))
 
+    def emb_neardup_pairs(spark, sf):
+        """Embedding near-dup candidates: hyperplane-LSH bucket join
+        (no all-pairs), exact cosine within buckets ≥ threshold."""
+        from bleve_spark.functions.dedup import embedding_cosine_pairs
+
+        df = spark.read.parquet(f"{sf}/embeddings.parquet")
+        pairs = embedding_cosine_pairs(
+            df, "embedding", "vec_id", threshold=0.25, planes=8,
+            seed=7,
+        )
+        return pairs.select(
+            "key_a", "key_b", F.round("cosine", 6).alias("cosine")
+        )
+
     def text_profile(spark, sf):
         from bleve_spark.functions.textstats import text_profile as tp
 
@@ -1959,7 +2083,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_phrase_slop3": q_phrase_slop3,
             "q_bool_field": q_bool_field,
             "q_search_after": q_search_after,
+            "q_search_before": q_search_before,
             "q_rrf_fusion": q_rrf_fusion,
+            "q_rsf_fusion": q_rsf_fusion,
             "q_alias_2shards": q_alias_2shards,
             "q_alias_strict": q_alias_strict,
             "q_composite_term": q_composite_term,
@@ -1978,6 +2104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_ngram_jaccard": dedup_ngram_jaccard,
             "dedup_minhash_pairs": dedup_minhash_pairs,
             "dedup_simhash_pairs": dedup_simhash_pairs,
+            "emb_neardup_pairs": emb_neardup_pairs,
             "ann_cosine_topk": ann_cosine_topk,
             "ann_lsh_topk": ann_lsh_topk,
             "ann_ivf_topk": ann_ivf_topk,
@@ -2125,7 +2252,9 @@ def oracle_sql() -> dict[str, str]:
         "q_phrase_slop3": _SQL_PHRASE_SLOP3,
         "q_bool_field": _SQL_BOOL_FIELD,
         "q_search_after": _SQL_SEARCH_AFTER,
+        "q_search_before": _SQL_SEARCH_BEFORE,
         "q_rrf_fusion": _SQL_RRF,
+        "q_rsf_fusion": _SQL_RSF,
         "q_alias_2shards": _sql_single_term(
             "spark", prelude=_PRELUDE_ALIAS2
         ),
@@ -2177,6 +2306,7 @@ ORDER BY score DESC, p.doc_id LIMIT 20""",
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
         "dedup_minhash_pairs": _minhash_pairs_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(),
+        "emb_neardup_pairs": _emb_neardup_sql(),
         "ann_cosine_topk": _SQL_COSINE_TOPK,
         "ann_lsh_topk": _ann_pruned_topk_sql("lsh"),
         "ann_ivf_topk": _ann_pruned_topk_sql("ivf"),
