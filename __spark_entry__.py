@@ -680,6 +680,14 @@ LANG_CORPORA = {
            "das blech und der kleck", "mindestens baldige bücher"],
     "cjk": ["数据处理系统", "分布式 数据 引擎", "系统处理", "spark 引擎",
             "数据库系统", "处理 引擎 数据", "大数据", "引擎系统处理"],
+    "it": ["il ragazzo e la ragazza", "i ragazzi della città",
+           "l'amico degli amici", "una bella giornata",
+           "le belle giornate", "il cavallo bianco",
+           "i cavalli bianchi", "una storia della scuola"],
+    "pt": ["os doutores e o doutor", "homens e mulheres",
+           "os papéis normais", "uma casa bonita",
+           "as casas bonitas", "o cavalo branco",
+           "os cavalos brancos", "os botões da camisa"],
 }
 
 # frozen goldens: analyzer output at freeze time, hand-spot-checked
@@ -704,6 +712,14 @@ LANG_GOLD_TOKENS = {
             ["处理", "理引", "引擎", "擎数", "数据"],
             ["大数", "数据"],
             ["引擎", "擎系", "系统", "统处", "处理"]],
+    "it": [["ragazz", "ragazz"], ["ragazz", "città"],
+           ["amico", "amici"], ["bella", "giornat"],
+           ["belle", "giornat"], ["cavall", "bianc"],
+           ["cavall", "bianc"], ["stor", "scuol"]],
+    "pt": [["doutor", "doutor"], ["homem", "mulher"],
+           ["papel", "normal"], ["casa", "bonit"], ["casa", "bonit"],
+           ["caval", "branc"], ["caval", "branc"],
+           ["bota", "camis"]],
 }
 
 # frozen analyzed QUERY tokens per language (same freeze contract)
@@ -712,6 +728,8 @@ LANG_QUERIES = {
     "fr": ("les chevaux du chat", ["cheval", "chat"]),
     "de": ("die Bücher und Tische", ["buch", "tisch"]),
     "cjk": ("数据系统", ["数据", "据系", "系统"]),
+    "it": ("i ragazzi belli", ["ragazz", "belli"]),
+    "pt": ("os doutores bonitos", ["doutor", "bonit"]),
 }
 
 
@@ -1906,6 +1924,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """CJK analyzer (width fold + ideograph bigrams)."""
         return _lang_q(spark, sf, "cjk")
 
+    def q_lang_it(spark, sf):
+        """Italian analyzer (elision + stop_it + light stemmer)."""
+        return _lang_q(spark, sf, "it")
+
+    def q_lang_pt(spark, sf):
+        """Portuguese analyzer (stop_pt + light stemmer with plural/
+        feminine normalization)."""
+        return _lang_q(spark, sf, "pt")
+
     def _raw_idx(spark):
         key = (spark.sparkContext.applicationId, "raw-text")
         if key not in _INDEX_CACHE:
@@ -2098,6 +2125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_lang_fr": q_lang_fr,
             "q_lang_de": q_lang_de,
             "q_lang_cjk": q_lang_cjk,
+            "q_lang_it": q_lang_it,
+            "q_lang_pt": q_lang_pt,
             "q_raw_text_match": q_raw_text_match,
             "q_raw_text_phrase": q_raw_text_phrase,
             "dedup_exact": dedup_exact,
@@ -2297,6 +2326,8 @@ ORDER BY score DESC, p.doc_id LIMIT 20""",
         "q_lang_fr": _sql_lang_match("fr"),
         "q_lang_de": _sql_lang_match("de"),
         "q_lang_cjk": _sql_lang_match("cjk"),
+        "q_lang_it": _sql_lang_match("it"),
+        "q_lang_pt": _sql_lang_match("pt"),
         "q_raw_text_match": _sql_raw_match(),
         "q_raw_text_phrase": _sql_raw_phrase(),
         "dedup_exact": (

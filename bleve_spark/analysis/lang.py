@@ -31,6 +31,9 @@ from bleve_spark.analysis.lang_data import (
     FRENCH_ARTICLES,
     FRENCH_STOP_WORDS,
     GERMAN_STOP_WORDS,
+    ITALIAN_ARTICLES,
+    ITALIAN_STOP_WORDS,
+    PORTUGUESE_STOP_WORDS,
     SPANISH_STOP_WORDS,
 )
 from bleve_spark.analysis.tokenizers import UnicodeTokenizer
@@ -360,6 +363,132 @@ class GermanLightStemmerFilter(TokenFilter):
         return (stem_de_light(term),)
 
 
+# ------------------------------------------------------------ Italian --
+
+
+_IT_ACCENTS = str.maketrans(
+    "àáâäòóôöèéêëùúûüìíîï",
+    "aaaaoooo" + "eeee" + "uuuu" + "iiii",
+)
+
+
+def stem_it_light(term: str) -> str:
+    """lang/it/light_stemmer_it.go:42-93 (accents folded, then final
+    vowel with i/h-digraph handling)."""
+    if len(term) < 6:
+        return term
+    t = term.translate(_IT_ACCENTS)
+    last, prev = t[-1], t[-2]
+    if last == "e":
+        return t[:-2] if prev in ("i", "h") else t[:-1]
+    if last == "i":
+        return t[:-2] if prev in ("h", "i") else t[:-1]
+    if last in ("a", "o"):
+        return t[:-2] if prev == "i" else t[:-1]
+    return t
+
+
+class ItalianLightStemmerFilter(TokenFilter):
+    def apply_terms(self, terms):
+        return [stem_it_light(t) for t in terms]
+
+    def _one(self, term):
+        return (stem_it_light(term),)
+
+
+# --------------------------------------------------------- Portuguese --
+
+
+_PT_ACCENTS = str.maketrans(
+    "àáâäãòóôöõèéêëùúûüìíîïç",
+    "aaaaa" + "ooooo" + "eeee" + "uuuu" + "iiii" + "c",
+)
+
+
+def _pt_remove_suffix(r: list) -> list:
+    """lang/pt/light_stemmer_pt.go removeSuffix()."""
+    l = len(r)
+    if l > 4 and _ends(r, "es") and r[-3] in "rslz":
+        return r[:-2]
+    if l > 3 and _ends(r, "ns"):
+        r[-2] = "m"
+        return r[:-1]
+    if l > 4 and (_ends(r, "eis") or _ends(r, "éis")):
+        r[-3] = "e"
+        r[-2] = "l"
+        return r[:-1]
+    if l > 4 and _ends(r, "ais"):
+        r[-2] = "l"
+        return r[:-1]
+    if l > 4 and _ends(r, "óis"):
+        r[-3] = "o"
+        r[-2] = "l"
+        return r[:-1]
+    if l > 4 and _ends(r, "is"):
+        r[-1] = "l"
+        return r
+    if l > 3 and (_ends(r, "ões") or _ends(r, "ães")):
+        r = r[:-1]
+        r[-2] = "ã"
+        r[-1] = "o"
+        return r
+    if l > 6 and _ends(r, "mente"):
+        return r[:-5]
+    if l > 3 and r[-1] == "s":
+        return r[:-1]
+    return r
+
+
+def _pt_norm_feminine(r: list) -> list:
+    """lang/pt/light_stemmer_pt.go normFeminine()."""
+    l = len(r)
+    if l > 7 and (_ends(r, "inha") or _ends(r, "iaca")
+                  or _ends(r, "eira")):
+        r[-1] = "o"
+        return r
+    if l > 6:
+        if (_ends(r, "osa") or _ends(r, "ica") or _ends(r, "ida")
+                or _ends(r, "ada") or _ends(r, "iva")
+                or _ends(r, "ama")):
+            r[-1] = "o"
+            return r
+        if _ends(r, "ona"):
+            r[-3] = "ã"
+            r[-2] = "o"
+            return r[:-1]
+        if _ends(r, "ora"):
+            return r[:-1]
+        if _ends(r, "esa"):
+            r[-3] = "ê"
+            return r[:-1]
+        if _ends(r, "na"):
+            r[-1] = "o"
+            return r
+    return r
+
+
+def stem_pt_light(term: str) -> str:
+    """lang/pt/light_stemmer_pt.go:42-84 (suffix removal, feminine
+    normalization, final-vowel drop, then accent fold)."""
+    r = list(term)
+    if len(r) < 4:
+        return term
+    r = _pt_remove_suffix(r)
+    if len(r) > 3 and r[-1] == "a":
+        r = _pt_norm_feminine(r)
+    if len(r) > 4 and r[-1] in ("e", "a", "o"):
+        r = r[:-1]
+    return "".join(r).translate(_PT_ACCENTS)
+
+
+class PortugueseLightStemmerFilter(TokenFilter):
+    def apply_terms(self, terms):
+        return [stem_pt_light(t) for t in terms]
+
+    def _one(self, term):
+        return (stem_pt_light(term),)
+
+
 # --------------------------------------------------------------- CJK --
 
 
@@ -456,6 +585,26 @@ def register_language_analyzers() -> None:
             "de", UnicodeTokenizer(),
             [lower, StopFilter(GERMAN_STOP_WORDS),
              GermanNormalizeFilter(), GermanLightStemmerFilter()],
+        ),
+    )
+    # it: toLower, elision(articles_it), stop_it, light stemmer
+    # (analyzer_it.go:52-57); pt: toLower, stop_pt, light stemmer
+    # (analyzer_pt.go:48-53)
+    REGISTRY.setdefault(
+        "it",
+        Analyzer(
+            "it", UnicodeTokenizer(),
+            [lower, ElisionFilter(ITALIAN_ARTICLES),
+             StopFilter(ITALIAN_STOP_WORDS),
+             ItalianLightStemmerFilter()],
+        ),
+    )
+    REGISTRY.setdefault(
+        "pt",
+        Analyzer(
+            "pt", UnicodeTokenizer(),
+            [lower, StopFilter(PORTUGUESE_STOP_WORDS),
+             PortugueseLightStemmerFilter()],
         ),
     )
     REGISTRY.setdefault(

@@ -77,3 +77,59 @@ wir wird wirst wo wollen wollte würde würden zu zum zur zwar zwischen
 FRENCH_ARTICLES = frozenset("""
 l m t qu n s j d c jusqu quoiqu lorsqu puisqu
 """.split())
+
+
+# Italian / Portuguese additions (stop_words_it.go it=279,
+# stop_words_pt.go pt=203, articles_it.go n=21)
+ITALIAN_STOP_WORDS = frozenset("""
+ad al allo ai agli all agl alla alle con col coi da dal dallo dai dagli
+dall dagl dalla dalle di del dello dei degli dell degl della delle in
+nel nello nei negli nell negl nella nelle su sul sullo sui sugli sull
+sugl sulla sulle per tra contro io tu lui lei noi voi loro mio mia miei
+mie tuo tua tuoi tue suo sua suoi sue nostro nostra nostri nostre vostro
+vostra vostri vostre mi ti ci vi lo la li le gli ne il un uno una ma ed
+se perché anche come dov dove che chi cui non più quale quanto quanti
+quanta quante quello quelli quella quelle questo questi questa queste si
+tutto tutti a c e i l o ho hai ha abbiamo avete hanno abbia abbiate
+abbiano avrò avrai avrà avremo avrete avranno avrei avresti avrebbe
+avremmo avreste avrebbero avevo avevi aveva avevamo avevate avevano ebbi
+avesti ebbe avemmo aveste ebbero avessi avesse avessimo avessero avendo
+avuto avuta avuti avute sono sei è siamo siete sia siate siano sarò
+sarai sarà saremo sarete saranno sarei saresti sarebbe saremmo sareste
+sarebbero ero eri era eravamo eravate erano fui fosti fu fummo foste
+furono fossi fosse fossimo fossero essendo faccio fai facciamo fanno
+faccia facciate facciano farò farai farà faremo farete faranno farei
+faresti farebbe faremmo fareste farebbero facevo facevi faceva facevamo
+facevate facevano feci facesti fece facemmo faceste fecero facessi
+facesse facessimo facessero facendo sto stai sta stiamo stanno stia
+stiate stiano starò starai starà staremo starete staranno starei
+staresti starebbe staremmo stareste starebbero stavo stavi stava stavamo
+stavate stavano stetti stesti stette stemmo steste stettero stessi
+stesse stessimo stessero stando
+""".split())
+
+PORTUGUESE_STOP_WORDS = frozenset("""
+de a o que e do da em um para com não uma os no se na por mais as dos
+como mas ao ele das à seu sua ou quando muito nos já eu também só pelo
+pela até isso ela entre depois sem mesmo aos seus quem nas me esse eles
+você essa num nem suas meu às minha numa pelos elas qual nós lhe deles
+essas esses pelas este dele tu te vocês vos lhes meus minhas teu tua
+teus tuas nosso nossa nossos nossas dela delas esta estes estas aquele
+aquela aqueles aquelas isto aquilo estou está estamos estão estive
+esteve estivemos estiveram estava estávamos estavam estivera estivéramos
+esteja estejamos estejam estivesse estivéssemos estivessem estiver
+estivermos estiverem hei há havemos hão houve houvemos houveram houvera
+houvéramos haja hajamos hajam houvesse houvéssemos houvessem houver
+houvermos houverem houverei houverá houveremos houverão houveria
+houveríamos houveriam sou somos são era éramos eram fui foi fomos foram
+fora fôramos seja sejamos sejam fosse fôssemos fossem for formos forem
+serei será seremos serão seria seríamos seriam tenho tem temos tém tinha
+tínhamos tinham tive teve tivemos tiveram tivera tivéramos tenha
+tenhamos tenham tivesse tivéssemos tivessem tiver tivermos tiverem terei
+terá teremos terão teria teríamos teriam
+""".split())
+
+ITALIAN_ARTICLES = frozenset("""
+c l all dall dell nell sull coll pell gl agl dagl degl negl sugl un m t
+s v d
+""".split())

@@ -74,9 +74,45 @@ FR_ANALYZER = [
 ]
 
 
+IT_STEM = [
+    ("ragazzo", "ragazz"), ("ragazzi", "ragazz"),
+]
+
+PT_STEM = [
+    ("doutores", "doutor"), ("doutor", "doutor"),
+    ("homens", "homem"), ("homem", "homem"),
+    ("papéis", "papel"), ("papel", "papel"),
+    ("normais", "normal"), ("normal", "normal"),
+    ("lencóis", "lencol"), ("lencol", "lencol"),
+    ("barris", "barril"), ("barril", "barril"),
+    ("botões", "bota"), ("botão", "bota"), ("o", "o"),
+]
+
+
 @pytest.mark.parametrize("inp,out", FR_STEM)
 def test_fr_light_stemmer(inp, out):
     assert stem_fr_light(inp) == out
+
+
+@pytest.mark.parametrize("inp,out", IT_STEM)
+def test_it_light_stemmer(inp, out):
+    from bleve_spark.analysis.lang import stem_it_light
+
+    assert stem_it_light(inp) == out
+
+
+@pytest.mark.parametrize("inp,out", PT_STEM)
+def test_pt_light_stemmer(inp, out):
+    from bleve_spark.analysis.lang import stem_pt_light
+
+    assert stem_pt_light(inp) == out
+
+
+def test_it_elision():
+    an = get_analyzer("it")
+    assert [t for t, _ in an.analyze_terms("L'amico dell'arte")] == [
+        "amico", "arte",
+    ]
 
 
 @pytest.mark.parametrize("inp,out", DE_STEM)
