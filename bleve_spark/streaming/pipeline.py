@@ -38,23 +38,27 @@ class IncrementalIndexer:
         key_cols: list[str],
         fields: dict[str, str],
         segments_per_batch: int = 1,
+        snapshot_every: int | None = None,
     ):
         self.root = root
         self.key_cols = list(key_cols)
         self.fields = dict(fields)
         self.segments_per_batch = segments_per_batch
+        # auto-commit a snapshot epoch every N micro-batches: readers
+        # pin stable `at_epoch` views while the stream appends (the
+        # reference's persister epoch cadence,
+        # index/scorch/persister.go — here an explicit manifest-set
+        # snapshot, rollback-able)
+        self.snapshot_every = snapshot_every
+        self._spark = None
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """Idempotent: replaying a batch overwrites the same segment ids
         (resume=True skips already-manifested segments)."""
-        from pyspark.sql import functions as F
-
         n = self.segments_per_batch
         base = int(batch_id) * BATCH_SEG_STRIDE
-        # remap the hash-assigned ids into this batch's range
-        df = batch_df
-        stats = build_segments(
-            df,
+        build_segments(
+            batch_df,
             self.key_cols,
             self.fields,
             self.root,
@@ -62,7 +66,12 @@ class IncrementalIndexer:
             resume=True,
             segment_id_offset=base,
         )
-        del stats, F
+        self._spark = batch_df.sparkSession
+        if (
+            self.snapshot_every
+            and (int(batch_id) + 1) % self.snapshot_every == 0
+        ):
+            SegmentStore(self._spark, self.root).commit_snapshot()
 
     def attach(self, stream_df: DataFrame, checkpoint_dir: str):
         """Wire into Structured Streaming; returns the StreamingQuery."""
@@ -81,3 +90,74 @@ class IncrementalIndexer:
         if not os.path.isdir(mdir):
             return 0
         return len([f for f in os.listdir(mdir) if f.endswith(".json")])
+
+
+def sessionize_stream(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+):
+    """Gap-based sessionization as a CUSTOM STATEFUL streaming operator
+    (applyInPandasWithState) — the Spark-native extension point the
+    reference lacks (its incremental unit is the Batch; SURVEY §2.6).
+
+    Events per key are folded into sessions; a session CLOSES (and is
+    emitted) when a later event arrives more than ``gap_seconds``
+    after the previous one. The trailing open session per key lives in
+    bounded state until a future batch closes it (flush-on-timeout can
+    be layered with a heartbeat source; kept timeout-free here for
+    deterministic replay). Output: (key, session_start, session_end,
+    n_events), epoch-second longs — append mode.
+
+    State per key is 3 longs — bounded regardless of stream length;
+    the shuffle is the groupBy(key) hash partitioning, so 1000
+    executors each hold their key range's state (RocksDB/HDFS state
+    store in production)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = (
+        "key string, session_start long, session_end long, "
+        "n_events long"
+    )
+    state_schema = "start long, last long, n long"
+    gap = int(gap_seconds)
+
+    def fn(key, pdfs, state: GroupState):
+        ts = []
+        for pdf in pdfs:
+            ts.extend(int(v) for v in pdf[ts_col])
+        ts.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        out = []
+        for t in ts:
+            if last is not None and t - last > gap:
+                out.append((start, last, n))
+                start, n = t, 0
+            if start is None:
+                start = t
+            last = t
+            n += 1
+        state.update((start, last, n))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(out),
+                    "session_start": [o[0] for o in out],
+                    "session_end": [o[1] for o in out],
+                    "n_events": [o[2] for o in out],
+                }
+            )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout,
+    )
