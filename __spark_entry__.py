@@ -2355,7 +2355,31 @@ ORDER BY score DESC, p.doc_id LIMIT 20""",
             "512 AS n_bytes "
             "FROM documents WHERE doc_id < 100"
         ),
-        # q_highlight: fragment extraction is not ANSI-SQL-expressible;
-        # the driver records the rows-only check for it.
+        # q_highlight: fragment extraction isn't ANSI-SQL-expressible,
+        # so the oracle is FROZEN golden fragments for the sf0.01
+        # corpus (the gate's fixed sf), independently verified:
+        # each fragment is a true substring of its doc's text, exactly
+        # the query terms are <mark>ed, and no in-fragment occurrence
+        # of a query term is left unmarked. A highlighter regression
+        # hash-mismatches because the goldens don't move with the code.
+        "q_highlight": (
+            "SELECT * FROM (VALUES "
+            "('408', 'query query <mark>spark</mark> part sort slow "
+            "batch line <mark>data</mark> line <mark>spark</mark> "
+            "group the batch fast filter'), "
+            "('313', 'filter scan part a <mark>data</mark> sort a "
+            "value value part a batch row merge batch "
+            "<mark>spark</mark> the value'), "
+            "('362', 'slow <mark>data</mark> group query "
+            "<mark>spark</mark> big join vector merge merge sort "
+            "table group the sort'), "
+            "('475', 'line <mark>spark</mark> small key merge sort "
+            "part query slow group <mark>data</mark> scan agg the "
+            "value'), "
+            "('338', '<mark>data</mark> join query "
+            "<mark>spark</mark> value row table hash customer group "
+            "a row scan order the value a join')"
+            ") AS t(doc_id, fragment)"
+        ),
     }
     return out
