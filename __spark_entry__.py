@@ -1122,11 +1122,16 @@ def _pip_doc_sql(px: float, py: float, c: str = "c") -> str:
     )
 
 
-def _edges_cross_sql(pts: list[tuple[float, float]], c: str = "c") -> str:
+def _edges_cross_sql(pts: list[tuple[float, float]], c: str = "c",
+                     closed: bool = True) -> str:
     """Any doc edge (c[i], c[i+1]) properly crosses any query edge —
-    strict orientation (ccw) sign tests."""
+    strict orientation (ccw) sign tests. ``closed=False`` treats the
+    query vertices as an open path (linestring)."""
     n = len(pts)
-    qedges = [(pts[i], pts[(i + 1) % n]) for i in range(n)]
+    qedges = [
+        (pts[i], pts[(i + 1) % n])
+        for i in range(n if closed else n - 1)
+    ]
 
     def ccw(ax, ay, bx, by, cx, cy):
         return f"(({bx} - {ax}) * ({cy} - {ay}) - ({by} - {ay}) * ({cx} - {ax}))"
@@ -1202,6 +1207,27 @@ def _sql_geo_shape(relation: str) -> str:
     return (
         _SQL_SHAPES_CTE
         + f"SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM shp "
+        f"WHERE {pred}"
+    )
+
+
+# linestring query path for q_geo_shape_ls_intersects (fractional,
+# crossing the doc-shape lattice region)
+_QLS_PTS = [(-40.5, -10.25), (10.5, 15.75), (45.5, -20.25)]
+
+
+def _sql_geo_shape_ls_intersects() -> str:
+    cross = _edges_cross_sql(_QLS_PTS, closed=False)
+    q_in_doc = " OR ".join(
+        _pip_doc_sql(float(qx), float(qy)) for qx, qy in _QLS_PTS
+    )
+    pred = (
+        f"kind <> 'point' AND ({cross} "
+        f"OR (kind = 'polygon' AND ({q_in_doc})))"
+    )
+    return (
+        _SQL_SHAPES_CTE
+        + "SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM shp "
         f"WHERE {pred}"
     )
 
@@ -1573,6 +1599,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_geo_shape_intersects(spark, sf):
         return _geo_shape_q(spark, sf, "intersects")
+
+    def q_geo_shape_ls_intersects(spark, sf):
+        """Doc shapes crossed by a query LINESTRING path (open-path
+        edge tests + path-inside-polygon vertex tests)."""
+        return _geo_shape_q(
+            spark, sf, "intersects",
+            shape={"type": "linestring",
+                   "coordinates": [list(p) for p in _QLS_PTS]},
+        )
 
     def q_geo_shape_contains(spark, sf):
         """Doc polygons containing a query point —
@@ -2101,6 +2136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_geo_polygon": q_geo_polygon,
             "q_geo_shape_within": q_geo_shape_within,
             "q_geo_shape_intersects": q_geo_shape_intersects,
+            "q_geo_shape_ls_intersects": q_geo_shape_ls_intersects,
             "q_geo_shape_contains": q_geo_shape_contains,
             "q_ip_range": q_ip_range,
             "q_hybrid_rrf": q_hybrid_rrf,
@@ -2257,6 +2293,7 @@ def oracle_sql() -> dict[str, str]:
         "q_geo_polygon": _sql_geo_polygon(),
         "q_geo_shape_within": _sql_geo_shape("within"),
         "q_geo_shape_intersects": _sql_geo_shape("intersects"),
+        "q_geo_shape_ls_intersects": _sql_geo_shape_ls_intersects(),
         "q_geo_shape_contains": _sql_geo_shape_contains_point(-35.5, -37.75),
         "q_geo_bbox": (
             "SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM ("

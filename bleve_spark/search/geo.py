@@ -278,6 +278,61 @@ def shape_relation_pred(
     qtype = query_shape["type"].lower()
     relation = relation.lower()
 
+    # multi* query shapes: a doc INTERSECTS the union iff it
+    # intersects any member; is WITHIN the union iff within some
+    # member (documented approximation: a doc straddling two disjoint
+    # members is not recognized); CONTAINS the union iff it contains
+    # every member.
+    if qtype in ("multipolygon", "multilinestring"):
+        member_type = qtype[len("multi"):]
+        preds = [
+            shape_relation_pred(
+                kind_col, coords_col,
+                {"type": member_type, "coordinates": part},
+                relation,
+            )
+            for part in query_shape["coordinates"]
+        ]
+        out = preds[0]
+        for p in preds[1:]:
+            out = (out & p) if relation == "contains" else (out | p)
+        return out
+
+    if qtype == "linestring":
+        qpts = [tuple(map(float, p)) for p in query_shape["coordinates"]]
+        is_point_d = kind_col == "point"
+        is_poly_d = kind_col == "polygon"
+        first_d = F.element_at(coords_col, 1)
+        if relation == "intersects":
+            # doc edges cross the open query path, or the path enters
+            # a doc polygon (any query vertex inside it)
+            cross = doc_edges_intersect_query(
+                coords_col, qpts, closed_query=False
+            )
+            q_vert_in_doc = F.lit(False)
+            for qx, qy in qpts:
+                q_vert_in_doc = q_vert_in_doc | point_in_doc_polygon(
+                    qx, qy, coords_col
+                )
+            return ~is_point_d & (cross | (is_poly_d & q_vert_in_doc))
+        if relation == "contains":
+            # only a doc polygon can contain a path: every query
+            # vertex inside and no boundary crossing
+            all_in = F.lit(True)
+            for qx, qy in qpts:
+                all_in = all_in & point_in_doc_polygon(
+                    qx, qy, coords_col
+                )
+            return is_poly_d & all_in & ~doc_edges_intersect_query(
+                coords_col, qpts, closed_query=False
+            )
+        if relation == "within":
+            # measure-zero for points/polygons vs a path — matches
+            # nothing in the planar model (the reference's s2
+            # containment is likewise degenerate here)
+            return F.lit(False) & is_point_d
+        raise ValueError(f"unsupported relation: {relation!r}")
+
     if qtype == "envelope":
         (tl_lon, tl_lat), (br_lon, br_lat) = query_shape["coordinates"]
         qpts = [

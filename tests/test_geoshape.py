@@ -92,6 +92,51 @@ def test_envelope_equals_polygon(shape_idx):
         )
 
 
+def test_linestring_query_intersects(shape_idx):
+    # path cutting through the square region: crosses doc 4's covering
+    # rect boundary? (path inside it → q vertices in doc 4), crosses
+    # doc 5's left edge at x=5, crosses doc 7's horizontal segment
+    path = {"type": "linestring",
+            "coordinates": [[-2.5, 4.75], [7.5, 4.75]]}
+    got = _ids(shape_idx, path, "intersects")
+    # doc3 rect (2,2)-(4,4): path at y=4.75 passes above it → no
+    # doc4 (-5..15): path fully inside → vertices in doc → yes
+    # doc5 (5,-5)-(15,5): crosses edge x=5 at y=4.75 → yes
+    # doc7 ls (-5,5)-(5,5): parallel at y=5 vs 4.75 → no
+    # doc8 ls (1,1)-(2,2): no crossing
+    assert got == {4, 5}
+
+
+def test_linestring_query_contains(shape_idx):
+    path = {"type": "linestring",
+            "coordinates": [[2.5, 2.25], [3.5, 3.75]]}
+    # fully inside doc rects 3 and 4
+    assert _ids(shape_idx, path, "contains") == {3, 4}
+
+
+def test_multipolygon_query(shape_idx):
+    mp = {"type": "multipolygon", "coordinates": [
+        [[0.5, 0.25], [10.5, 0.25], [10.5, 10.75], [0.5, 10.75]],
+        [[19.5, 19.25], [26.5, 19.25], [26.5, 26.75], [19.5, 26.75]],
+    ]}
+    # union of the query square and a square around doc 6
+    assert _ids(shape_idx, mp, "intersects") == INTERSECTS | {6}
+    assert _ids(shape_idx, mp, "within") == WITHIN | {6}
+    # only doc 4 contains the first member, nothing contains both
+    assert _ids(shape_idx, mp, "contains") == set()
+
+
+def test_multilinestring_query(shape_idx):
+    ml = {"type": "multilinestring", "coordinates": [
+        [[-2.5, 4.75], [7.5, 4.75]],
+        [[2.5, 2.25], [3.5, 3.75]],
+    ]}
+    got = _ids(shape_idx, ml, "intersects")
+    # union of the two path results: {4,5} ∪ {3,4} (2nd path is
+    # inside docs 3 and 4 → vertices-in-polygon)
+    assert got == {3, 4, 5}
+
+
 def test_circle_relations(shape_idx):
     # ~111 km per degree at the equator: doc1 (5,5) ≈ 785 km from
     # (0,0), doc2 (15,5) ≈ 1755 km — a 1000 km circle splits them
