@@ -163,6 +163,61 @@ def ivf_topk(
     )
 
 
+def write_ivf_partitioned(
+    df: DataFrame,
+    vec_col: str,
+    path: str,
+    cell_bits: int = 8,
+    seed: int = 11,
+) -> None:
+    """Materialize the IVF layout: the table written PARTITIONED BY
+    (cell). Probing then reads only n_probe/2^bits of the data via
+    STATIC partition pruning — the 100 TB ANN path (each cell
+    directory is an independent scan unit; on a cluster, cells map to
+    file groups and the probe never touches unprobed files)."""
+    dim = len(df.select(vec_col).first()[0])
+    mat = _planes(dim, cell_bits, seed)
+    (
+        df.withColumn("cell", signature_col(vec_col, mat))
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ivf_topk_at_rest(
+    spark,
+    path: str,
+    vec_col: str,
+    key_col: str,
+    query_vec,
+    k: int = 10,
+    cell_bits: int = 8,
+    n_probe_cells: int = 8,
+    seed: int = 11,
+) -> DataFrame:
+    """Probe an IVF-partitioned table: the `cell IN (...)` predicate
+    on the partition column becomes PartitionFilters in the parquet
+    scan — only the probed cells' files are read."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    mat = _planes(len(q), cell_bits, seed)
+    qsig = 0
+    for i, plane in enumerate(mat):
+        if float(plane @ q) > 0:
+            qsig |= 1 << i
+    cells = sorted(
+        range(1 << cell_bits),
+        key=lambda c: (bin(c ^ qsig).count("1"), c),
+    )[:n_probe_cells]
+    pruned = spark.read.parquet(path).where(F.col("cell").isin(cells))
+    cos = cosine_expr(F.col(vec_col), _query_lit(q))
+    return (
+        pruned.select(F.col(key_col).alias("key"), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("key").asc())
+        .limit(k)
+    )
+
+
 def pairwise_cosine_topk_pandas(
     df: DataFrame,
     vec_col: str,
