@@ -334,6 +334,28 @@ def test_facets(tindex):
     )
 
 
+def test_facet_term_filters(tindex):
+    """facet_builder_terms.go:92-121: total counts ALL visited terms;
+    a doc whose value fails the filter counts as missing; buckets only
+    over filter-passing terms."""
+    res = search(
+        tindex, {"match_all": {}}, size=1,
+        facets={
+            "pfx": {"field": "role", "size": 4, "prefix": "s"},
+            "rex": {"field": "role", "size": 4, "regex": "^(user|tool)$"},
+        },
+    )
+    pfx = res["facets"]["pfx"]
+    assert {t["term"] for t in pfx["terms"]} == {"system"}
+    assert pfx["total"] == res["total_hits"]  # all visited terms
+    # filtered-out docs count as missing (sawValue stays false)
+    assert pfx["missing"] == pfx["total"] - sum(
+        t["count"] for t in pfx["terms"]
+    )
+    rex = res["facets"]["rex"]
+    assert {t["term"] for t in rex["terms"]} == {"user", "tool"}
+
+
 def test_highlight(tindex):
     res = search(
         tindex,
