@@ -1169,11 +1169,17 @@ class Compiler:
                 should = SDisj([self.resolve(sq)], min=int(q.min_should))
         must_not = self.resolve(q.must_not) if q.must_not else None
         filt = self.resolve(q.filter) if q.filter else None
-        # pruning mirrors boolean.go:142-240: nothing scoreable → none
-        if must is None and should is None and filt is not None:
+        # pruning mirrors boolean.go:222-256: filter-only and
+        # mustNot-only queries start from a MatchAll must (the
+        # reference wraps NewMatchAllSearcher in both cases)
+        if must is None and should is None and (
+            filt is not None or must_not is not None
+        ):
             must = SConst(lambda ctx: ctx.idx.source, 1.0)
-        if must is None and should is None and must_not is not None:
-            # bleve: must_not alone matches nothing scoreable
+        if (
+            must is None and should is None and must_not is None
+            and filt is None
+        ):
             return SNone()
         return SBool(must=must, should=should, must_not=must_not,
                      filter=filt)
@@ -1247,32 +1253,70 @@ def search_df(
     reference's docvalues, no uninverting needed."""
     scored = compile_query(idx, q)
     sort = sort or ["-_score"]
-    need_fields: list[str] = []
+    # normalize every entry to (kind, field, desc, missing, mode)
+    # following the reference's sort-spec JSON (sort.go:52-120):
+    # strings "field"/"-field"/"_score"/"_id", or dicts {"by":
+    # field|id|score|geo_distance, "field", "desc", "missing":
+    # first|last (default LAST — sort.go places missing values at the
+    # end in both directions), "mode": min|max for array fields}
+    norm_specs = []
     geo_cols: dict[int, Column] = {}
+    need_fields: list[str] = []
     for i, s in enumerate(sort):
         if isinstance(s, dict):
-            if s.get("by") != "geo_distance":
-                raise ValueError(f"unsupported sort spec: {s!r}")
-            from bleve_spark.search.geo import (
-                distance_unit_mult,
-                haversine_km_col,
-            )
+            by = s.get("by", "field")
+            if by == "geo_distance":
+                from bleve_spark.search.geo import (
+                    distance_unit_mult,
+                    haversine_km_col,
+                )
 
+                fld = s["field"]
+                lat_c = s.get("lat_col") or f"{fld}_lat"
+                lon_c = s.get("lon_col") or f"{fld}_lon"
+                need_fields += [c for c in (lat_c, lon_c)
+                                if c not in need_fields]
+                mult = 1000.0 / distance_unit_mult(s.get("unit", "m"))
+                geo_cols[i] = haversine_km_col(
+                    F.col(lat_c), F.col(lon_c),
+                    float(s["location"]["lat"]),
+                    float(s["location"]["lon"]),
+                ) * F.lit(mult)
+                norm_specs.append(
+                    ("geo", None, bool(s.get("desc", False)), "last",
+                     None)
+                )
+                continue
+            if by == "id":
+                norm_specs.append(
+                    ("id", None, bool(s.get("desc", False)), "last",
+                     None)
+                )
+                continue
+            if by == "score":
+                norm_specs.append(
+                    ("score", None, bool(s.get("desc", True)), "last",
+                     None)
+                )
+                continue
             fld = s["field"]
-            lat_c = s.get("lat_col") or f"{fld}_lat"
-            lon_c = s.get("lon_col") or f"{fld}_lon"
-            need_fields += [c for c in (lat_c, lon_c)
-                            if c not in need_fields]
-            mult = 1000.0 / distance_unit_mult(s.get("unit", "m"))
-            geo_cols[i] = haversine_km_col(
-                F.col(lat_c), F.col(lon_c),
-                float(s["location"]["lat"]), float(s["location"]["lon"]),
-            ) * F.lit(mult)
+            if fld not in idx.key_cols and fld not in need_fields:
+                need_fields.append(fld)
+            norm_specs.append(
+                ("field", fld, bool(s.get("desc", False)),
+                 s.get("missing", "last"), s.get("mode"))
+            )
         else:
+            desc = s.startswith("-")
             name = s.lstrip("-")
-            if name not in ("_score", "_id") and name not in idx.key_cols:
-                if name not in need_fields:
+            if name == "_score":
+                norm_specs.append(("score", None, desc, "last", None))
+            elif name == "_id":
+                norm_specs.append(("id", None, desc, "last", None))
+            else:
+                if name not in idx.key_cols and name not in need_fields:
                     need_fields.append(name)
+                norm_specs.append(("field", name, desc, "last", None))
     if need_fields:
         scored = scored.join(
             idx.source.select(*idx.key_cols, *need_fields),
@@ -1280,41 +1324,54 @@ def search_df(
             "inner",
         )
     order = []
-    specs = []  # (Column, descending) incl. implicit key tie-break
-    for i, s in enumerate(sort):
-        if isinstance(s, dict):
+    specs = []  # (Column, desc, missing) incl. implicit key tie-break
+    for i, (kind, fld, desc, missing, mode) in enumerate(norm_specs):
+        if kind == "geo":
             scored = scored.withColumn("geo_distance", geo_cols[i])
             col = F.col("geo_distance")
-            desc = bool(s.get("desc", False))
+        elif kind == "score":
+            col = F.col("score")
+        elif kind == "id":
+            col = idx.doc_id_col()
         else:
-            desc = s.startswith("-")
-            name = s.lstrip("-")
-            if name == "_score":
-                col = F.col("score")
-            elif name == "_id":
-                col = idx.doc_id_col()
-            else:
-                col = F.col(name)
-        order.append(col.desc() if desc else col.asc())
-        specs.append((col, desc))
+            col = F.col(fld)
+            if mode == "min":
+                col = F.array_min(col)
+            elif mode == "max":
+                col = F.array_max(col)
+        if missing == "first":
+            order.append(
+                col.desc_nulls_first() if desc else col.asc_nulls_first()
+            )
+        else:
+            order.append(
+                col.desc_nulls_last() if desc else col.asc_nulls_last()
+            )
+        specs.append((col, desc, missing))
     for k in idx.key_cols:
         order.append(F.col(k).asc())
-        specs.append((F.col(k), False))
+        specs.append((F.col(k), False, "last"))
 
     def _cursor_pred(cursor, flip: bool):
         # cursor semantics (topn.go:103-128): keep rows strictly AFTER
         # the cursor in sort order — lexicographic comparison over the
-        # sort tuple (cursor must cover the leading sort keys; missing
-        # trailing values make the comparison prefix-based); flip=True
-        # compares in the REVERSED order (search_before)
+        # sort tuple; flip=True compares in the REVERSED order
+        # (search_before). Missing (null) values rank per the spec's
+        # `missing` placement: with missing-last, a null row is after
+        # every non-null cursor; reversing the traversal also reverses
+        # the null rank.
         n = min(len(cursor), len(specs))
         pred = F.lit(False)
         for i in range(n - 1, -1, -1):
-            col, desc = specs[i]
+            col, desc, missing = specs[i]
+            nulls_last = missing != "first"
             if flip:
                 desc = not desc
+                nulls_last = not nulls_last
             cur = F.lit(cursor[i])
             strictly = col < cur if desc else col > cur
+            if nulls_last:
+                strictly = strictly | col.isNull()
             pred = strictly | ((col == cur) & pred)
         return pred
 
@@ -1325,9 +1382,15 @@ def search_df(
         # (index_alias_impl.go:721-724,1016-1020): take the size rows
         # preceding the cursor, then present them in the original order
         scored = scored.where(_cursor_pred(search_before, True))
-        rev = [
-            (c.asc() if d else c.desc()) for c, d in specs
-        ]
+        rev = []
+        for c, d, missing in specs:
+            # reversed traversal: flip direction AND null placement
+            if missing != "first":  # missing-last → first when reversed
+                rev.append(c.asc_nulls_first() if d
+                           else c.desc_nulls_first())
+            else:
+                rev.append(c.asc_nulls_last() if d
+                           else c.desc_nulls_last())
         page = scored.orderBy(*rev).limit(from_ + size)
         return page.orderBy(*order)
 
