@@ -123,10 +123,15 @@ def numeric_range_facet(
         }
         for r in ranges
     ]
+    total = int(row["__total"])
     return {
         "field": field,
-        "total": int(row["__total"]),
+        "total": total,
         "missing": int(row["__missing"]),
+        # facet_builder_numeric Result(): other = total − Σ kept
+        # bucket counts (0 when the ranges partition the values)
+        "other": total - int(row["__missing"])
+        - sum(b["count"] for b in buckets),
         "numeric_ranges": buckets,
     }
 
@@ -155,10 +160,13 @@ def datetime_range_facet(
     )
     agg_exprs.append(F.count(F.lit(1)).alias("__total"))
     row = src.agg(*agg_exprs).collect()[0]
+    total = int(row["__total"])
+    counts = [int(row[r["name"]]) for r in ranges]
     return {
         "field": field,
-        "total": int(row["__total"]),
+        "total": total,
         "missing": int(row["__missing"]),
+        "other": total - int(row["__missing"]) - sum(counts),
         "date_ranges": [
             {
                 "name": r["name"],

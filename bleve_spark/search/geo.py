@@ -57,6 +57,56 @@ def parse_distance(s) -> float:
     return val * _UNITS[unit]
 
 
+_GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_decode(gh: str) -> tuple[float, float]:
+    """Geohash → (lon, lat) cell center (public base32 interleaved
+    bisection algorithm; the reference accepts geohashes anywhere a
+    geopoint is accepted, geo/parse.go + geo/geohash.go)."""
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    even = True
+    for ch in gh.lower():
+        bits = _GEOHASH_B32.index(ch)
+        for shift in range(4, -1, -1):
+            bit = (bits >> shift) & 1
+            if even:
+                mid = (lon_lo + lon_hi) / 2.0
+                if bit:
+                    lon_lo = mid
+                else:
+                    lon_hi = mid
+            else:
+                mid = (lat_lo + lat_hi) / 2.0
+                if bit:
+                    lat_lo = mid
+                else:
+                    lat_hi = mid
+            even = not even
+    return ((lon_lo + lon_hi) / 2.0, (lat_lo + lat_hi) / 2.0)
+
+
+def parse_geopoint(v) -> tuple[float, float]:
+    """The reference's ExtractGeoPoint (geo/parse.go:25-47) → (lon,
+    lat). Accepts: [lon, lat] slices (GeoJSON order), "lat, lon"
+    strings, bare geohash strings, {lat, lon|lng} mappings."""
+    if isinstance(v, (list, tuple)) and len(v) == 2:
+        return float(v[0]), float(v[1])
+    if isinstance(v, dict):
+        lat = v.get("lat")
+        lon = v.get("lon", v.get("lng"))
+        if lat is None or lon is None:
+            raise ValueError(f"unparseable geopoint: {v!r}")
+        return float(lon), float(lat)
+    if isinstance(v, str):
+        if "," in v:
+            lat_s, lon_s = v.split(",", 1)
+            return float(lon_s.strip()), float(lat_s.strip())
+        return geohash_decode(v)
+    raise ValueError(f"unparseable geopoint: {v!r}")
+
+
 def distance_unit_mult(unit: str) -> float:
     """Meters per ``unit`` (geo.ParseDistanceUnit) — for geo_distance
     sort value conversion (search/sort.go:625-646 unitMult)."""

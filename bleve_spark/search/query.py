@@ -336,28 +336,31 @@ def parse_query(d: dict) -> Query:
             kind_col=d.get("kind_col"), coords_col=d.get("coords_col"),
         )
     if "distance" in d and "location" in d:
-        loc = d["location"]
+        from bleve_spark.search.geo import parse_geopoint
+
+        lon, lat = parse_geopoint(d["location"])
         return GeoDistanceQuery(
-            boost, fld, lon=float(loc["lon"]), lat=float(loc["lat"]),
+            boost, fld, lon=lon, lat=lat,
             distance=d["distance"],
             lat_col=d.get("lat_col"), lon_col=d.get("lon_col"),
         )
     if "polygon_points" in d:
+        from bleve_spark.search.geo import parse_geopoint
+
         return GeoPolygonQuery(
             boost, fld,
-            points=[
-                (float(p["lon"]), float(p["lat"]))
-                for p in d["polygon_points"]
-            ],
+            points=[parse_geopoint(p) for p in d["polygon_points"]],
             lat_col=d.get("lat_col"), lon_col=d.get("lon_col"),
         )
     if "top_left" in d and "bottom_right" in d:
-        tl, br = d["top_left"], d["bottom_right"]
+        from bleve_spark.search.geo import parse_geopoint
+
+        tl_lon, tl_lat = parse_geopoint(d["top_left"])
+        br_lon, br_lat = parse_geopoint(d["bottom_right"])
         return GeoBoundingBoxQuery(
             boost, fld,
-            top_left_lon=float(tl["lon"]), top_left_lat=float(tl["lat"]),
-            bottom_right_lon=float(br["lon"]),
-            bottom_right_lat=float(br["lat"]),
+            top_left_lon=tl_lon, top_left_lat=tl_lat,
+            bottom_right_lon=br_lon, bottom_right_lat=br_lat,
             lat_col=d.get("lat_col"), lon_col=d.get("lon_col"),
         )
     if "match_all" in d:

@@ -1269,6 +1269,7 @@ def search_df(
                 from bleve_spark.search.geo import (
                     distance_unit_mult,
                     haversine_km_col,
+                    parse_geopoint,
                 )
 
                 fld = s["field"]
@@ -1277,10 +1278,9 @@ def search_df(
                 need_fields += [c for c in (lat_c, lon_c)
                                 if c not in need_fields]
                 mult = 1000.0 / distance_unit_mult(s.get("unit", "m"))
+                s_lon, s_lat = parse_geopoint(s["location"])
                 geo_cols[i] = haversine_km_col(
-                    F.col(lat_c), F.col(lon_c),
-                    float(s["location"]["lat"]),
-                    float(s["location"]["lon"]),
+                    F.col(lat_c), F.col(lon_c), s_lat, s_lon
                 ) * F.lit(mult)
                 norm_specs.append(
                     ("geo", None, bool(s.get("desc", False)), "last",
