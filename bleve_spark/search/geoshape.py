@@ -1,0 +1,372 @@
+"""Generalized geoshape engine: PARTS-based shapes.
+
+Every GeoJSON geometry the reference indexes
+(/root/reference/geo/README.md, search/query/geo_shape.go) normalizes
+to a LIST OF PARTS, each part one of four primitive kinds:
+
+    point | linestring | polygon (single closed ring) | circle
+
+point → 1 part; multipoint → one point part per coordinate;
+linestring/multilinestring → path parts; polygon/multipolygon → outer
+rings (holes out of scope, documented); envelope → its rectangle
+ring; circle → a center part + radius (meters); geometrycollection →
+the concatenation of its members' parts.
+
+Document storage: one column `<field>_parts`
+(array<struct<kind string, ring array<array<double>>, radius double>>)
+— relations compile to native higher-order functions over the parts
+array. Relations are evaluated as doc RELATION query with the s2
+semantics restated planar (equirectangular metric distances at city
+scale; haversine for point radii):
+
+* intersects: ∃ doc part, ∃ query part: parts intersect
+* within:     ∀ doc parts: ∃ query part containing it (union
+              approximated member-wise — a part straddling two query
+              members is not recognized; documented)
+* contains:   ∀ query parts: ∃ doc part containing it
+
+Verified against the reference's LARGEST golden suite
+(test/tests/geoshapes/searches.json, 35 searches / 9 shape docs) in
+tests/test_reference_goldens_geoshapes.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, functions as F
+
+from bleve_spark.search.geo import (
+    _pip_expr,
+    doc_edges_intersect_query,
+    haversine_km_col,
+    parse_distance,
+)
+
+PARTS_SCHEMA = (
+    "array<struct<kind: string, ring: array<array<double>>, "
+    "radius: double>>"
+)
+
+_M_PER_DEG_LAT = 110540.0
+_M_PER_DEG_LON_EQ = 111320.0
+
+
+def geojson_to_parts(shape: dict) -> list[tuple]:
+    """GeoJSON-ish dict → [(kind, [[lon, lat], ...], radius_m)]."""
+    t = shape["type"].lower()
+    c = shape.get("coordinates")
+    if t == "point":
+        return [("point", [list(map(float, c))], 0.0)]
+    if t == "multipoint":
+        return [("point", [list(map(float, p))], 0.0) for p in c]
+    if t == "linestring":
+        return [("linestring", [list(map(float, p)) for p in c], 0.0)]
+    if t == "multilinestring":
+        return [
+            ("linestring", [list(map(float, p)) for p in part], 0.0)
+            for part in c
+        ]
+    if t == "polygon":
+        ring = [list(map(float, p)) for p in c[0]]  # outer ring only
+        if ring[0] != ring[-1]:
+            ring.append(ring[0])
+        return [("polygon", ring, 0.0)]
+    if t == "multipolygon":
+        out = []
+        for poly in c:
+            ring = [list(map(float, p)) for p in poly[0]]
+            if ring[0] != ring[-1]:
+                ring.append(ring[0])
+            out.append(("polygon", ring, 0.0))
+        return out
+    if t == "envelope":
+        (lo_lon, hi_lat), (hi_lon, lo_lat) = c
+        ring = [
+            [float(lo_lon), float(lo_lat)], [float(hi_lon), float(lo_lat)],
+            [float(hi_lon), float(hi_lat)], [float(lo_lon), float(hi_lat)],
+            [float(lo_lon), float(lo_lat)],
+        ]
+        return [("polygon", ring, 0.0)]
+    if t == "circle":
+        return [
+            ("circle", [list(map(float, c))],
+             parse_distance(shape["radius"]))
+        ]
+    if t == "geometrycollection":
+        out = []
+        for g in shape["geometries"]:
+            out.extend(geojson_to_parts(g))
+        return out
+    raise ValueError(f"unsupported shape type: {t!r}")
+
+
+# ----------------------------------------------------- metric helpers --
+
+
+def _hav_m(lat_col, lon_col, lat: float, lon: float) -> Column:
+    return haversine_km_col(lat_col, lon_col, lat, lon) * F.lit(1000.0)
+
+
+def _const_pt_to_docsegs_min_m(cx: float, cy: float, ring: Column,
+                               closed: bool) -> Column:
+    """Min distance (meters) from a FIXED point to the doc part's
+    segments — local equirectangular projection around the point."""
+    kx = _M_PER_DEG_LON_EQ * math.cos(math.radians(cy))
+    ky = _M_PER_DEG_LAT
+
+    def seg_d(i):
+        a = F.element_at(ring, i + 1)
+        b = F.element_at(ring, i + 2)
+        ax = (F.element_at(a, 1) - F.lit(cx)) * F.lit(kx)
+        ay = (F.element_at(a, 2) - F.lit(cy)) * F.lit(ky)
+        bx = (F.element_at(b, 1) - F.lit(cx)) * F.lit(kx)
+        by = (F.element_at(b, 2) - F.lit(cy)) * F.lit(ky)
+        dx, dy = bx - ax, by - ay
+        len2 = dx * dx + dy * dy
+        t = F.when(
+            len2 > 0, (-(ax * dx + ay * dy)) / len2
+        ).otherwise(F.lit(0.0))
+        t = F.greatest(F.lit(0.0), F.least(F.lit(1.0), t))
+        px, py = ax + t * dx, ay + t * dy
+        return F.sqrt(px * px + py * py)
+
+    n_edges = F.size(ring) - 1
+    return F.aggregate(
+        F.sequence(F.lit(0), n_edges - 1),
+        F.lit(float("inf")),
+        lambda acc, i: F.least(acc, seg_d(i)),
+    )
+
+
+def _docpt_to_qsegs_min_m(px: Column, py: Column,
+                          verts: list, closed: bool) -> Column:
+    """Min distance (meters) from a doc point COLUMN to the FIXED
+    query part's segments (projection around the query centroid)."""
+    cy = sum(v[1] for v in verts) / len(verts)
+    kx = _M_PER_DEG_LON_EQ * math.cos(math.radians(cy))
+    ky = _M_PER_DEG_LAT
+    n = len(verts)
+    edges = range(n if closed else n - 1)
+    best = F.lit(float("inf"))
+    for i in edges:
+        ax, ay = verts[i]
+        bx, by = verts[(i + 1) % n]
+        dxm, dym = (bx - ax) * kx, (by - ay) * ky
+        len2 = dxm * dxm + dym * dym
+        pxm = (px - F.lit(ax)) * F.lit(kx)
+        pym = (py - F.lit(ay)) * F.lit(ky)
+        if len2 > 0:
+            t = (pxm * F.lit(dxm) + pym * F.lit(dym)) / F.lit(len2)
+            t = F.greatest(F.lit(0.0), F.least(F.lit(1.0), t))
+        else:
+            t = F.lit(0.0)
+        ddx = pxm - t * F.lit(dxm)
+        ddy = pym - t * F.lit(dym)
+        best = F.least(best, F.sqrt(ddx * ddx + ddy * ddy))
+    return best
+
+
+# ------------------------------------------------- part-pair predicates --
+
+
+def _verts_all(ring: Column, fn) -> Column:
+    return F.forall(ring, fn)
+
+
+def _verts_any(ring: Column, fn) -> Column:
+    return F.exists(ring, fn)
+
+
+def _q_verts_in_docring(qverts: list, ring: Column) -> tuple:
+    """(any, all) of the FIXED query vertices inside the doc ring."""
+    from bleve_spark.search.geo import point_in_doc_polygon
+
+    preds = [point_in_doc_polygon(x, y, ring) for x, y in qverts]
+    any_p = preds[0]
+    all_p = preds[0]
+    for p in preds[1:]:
+        any_p = any_p | p
+        all_p = all_p & p
+    return any_p, all_p
+
+
+def _pair_preds(doc_kind: str, ring: Column, rd: Column, qpart) -> dict:
+    """{'intersects','within','contains'} for one doc-part kind vs one
+    FIXED query part."""
+    qk, qverts, qr = qpart
+    first = F.element_at(ring, 1)
+    fx, fy = F.element_at(first, 1), F.element_at(first, 2)
+    FALSE = F.lit(False)
+    out = {"intersects": FALSE, "within": FALSE, "contains": FALSE}
+
+    if doc_kind == "point":
+        if qk == "point":
+            qx, qy = qverts[0]
+            eq = (fx == F.lit(qx)) & (fy == F.lit(qy))
+            out = {"intersects": eq, "within": eq, "contains": eq}
+        elif qk == "polygon":
+            pip = _pip_expr(fx, fy, qverts[:-1])
+            out["intersects"] = pip
+            out["within"] = pip
+        elif qk == "circle":
+            d = _hav_m(fy, fx, qverts[0][1], qverts[0][0])
+            out["intersects"] = d <= F.lit(qr)
+            out["within"] = d <= F.lit(qr)
+        return out
+
+    if doc_kind == "linestring":
+        if qk == "polygon":
+            pip = lambda v: _pip_expr(  # noqa: E731
+                F.element_at(v, 1), F.element_at(v, 2), qverts[:-1]
+            )
+            cross = doc_edges_intersect_query(ring, qverts[:-1])
+            out["intersects"] = _verts_any(ring, pip) | cross
+            out["within"] = _verts_all(ring, pip) & ~cross
+        elif qk == "linestring":
+            out["intersects"] = doc_edges_intersect_query(
+                ring, qverts, closed_query=False
+            )
+        elif qk == "circle":
+            cx, cy = qverts[0]
+            d = _const_pt_to_docsegs_min_m(cx, cy, ring, closed=False)
+            out["intersects"] = d <= F.lit(qr)
+            out["within"] = _verts_all(
+                ring,
+                lambda v: _hav_m(
+                    F.element_at(v, 2), F.element_at(v, 1), cy, cx
+                ) <= F.lit(qr),
+            )
+        return out
+
+    if doc_kind == "polygon":
+        if qk == "point":
+            from bleve_spark.search.geo import point_in_doc_polygon
+
+            qx, qy = qverts[0]
+            inside = point_in_doc_polygon(qx, qy, ring)
+            out["intersects"] = inside
+            out["contains"] = inside
+        elif qk == "polygon":
+            pip = lambda v: _pip_expr(  # noqa: E731
+                F.element_at(v, 1), F.element_at(v, 2), qverts[:-1]
+            )
+            cross = doc_edges_intersect_query(ring, qverts[:-1])
+            q_any, q_all = _q_verts_in_docring(qverts[:-1], ring)
+            out["intersects"] = _verts_any(ring, pip) | cross | q_any
+            out["within"] = _verts_all(ring, pip) & ~cross
+            out["contains"] = q_all & ~cross
+        elif qk == "linestring":
+            cross = doc_edges_intersect_query(
+                ring, qverts, closed_query=False
+            )
+            q_any, q_all = _q_verts_in_docring(qverts, ring)
+            out["intersects"] = cross | q_any
+            out["contains"] = q_all & ~cross
+        elif qk == "circle":
+            from bleve_spark.search.geo import point_in_doc_polygon
+
+            cx, cy = qverts[0]
+            center_in = point_in_doc_polygon(cx, cy, ring)
+            edge_d = _const_pt_to_docsegs_min_m(cx, cy, ring, True)
+            out["intersects"] = center_in | (edge_d <= F.lit(qr))
+            out["contains"] = center_in & (edge_d >= F.lit(qr))
+            out["within"] = _verts_all(
+                ring,
+                lambda v: _hav_m(
+                    F.element_at(v, 2), F.element_at(v, 1), cy, cx
+                ) <= F.lit(qr),
+            )
+        return out
+
+    if doc_kind == "circle":
+        # doc circle: center = ring[0], radius = rd (meters)
+        if qk == "point":
+            qx, qy = qverts[0]
+            d = _hav_m(fy, fx, qy, qx)
+            out["intersects"] = d <= rd
+            out["contains"] = d <= rd
+        elif qk == "circle":
+            cx, cy = qverts[0]
+            d = _hav_m(fy, fx, cy, cx)
+            out["intersects"] = d <= rd + F.lit(qr)
+            out["within"] = d + rd <= F.lit(qr)
+            out["contains"] = d + F.lit(qr) <= rd
+        elif qk == "polygon":
+            pip = _pip_expr(fx, fy, qverts[:-1])
+            seg_d = _docpt_to_qsegs_min_m(fx, fy, qverts[:-1], True)
+            out["intersects"] = pip | (seg_d <= rd)
+            out["within"] = pip & (seg_d >= rd)
+            # contains polygon: every query vertex within the radius
+            # (exact — the disc is convex)
+            cont = F.lit(True)
+            for qx, qy in qverts:
+                cont = cont & (_hav_m(fy, fx, qy, qx) <= rd)
+            out["contains"] = cont
+        elif qk == "linestring":
+            seg_d = _docpt_to_qsegs_min_m(fx, fy, qverts, False)
+            out["intersects"] = seg_d <= rd
+            cont = F.lit(True)
+            for qx, qy in qverts:
+                cont = cont & (_hav_m(fy, fx, qy, qx) <= rd)
+            out["contains"] = cont
+        return out
+
+    raise ValueError(f"unsupported doc part kind: {doc_kind!r}")
+
+
+def _part_dispatch(part: Column, qpart, relation: str) -> Column:
+    """Per-part CASE over the doc part's kind."""
+    ring = part["ring"]
+    rd = part["radius"]
+    k = part["kind"]
+    return (
+        F.when(k == "point",
+               _pair_preds("point", ring, rd, qpart)[relation])
+        .when(k == "linestring",
+              _pair_preds("linestring", ring, rd, qpart)[relation])
+        .when(k == "polygon",
+              _pair_preds("polygon", ring, rd, qpart)[relation])
+        .when(k == "circle",
+              _pair_preds("circle", ring, rd, qpart)[relation])
+        .otherwise(F.lit(False))
+    )
+
+
+def parts_relation_pred(parts_col: Column, query_shape: dict,
+                        relation: str) -> Column:
+    """(doc parts RELATION query shape) as one native predicate."""
+    qparts = geojson_to_parts(query_shape)
+    relation = relation.lower()
+    if relation == "intersects":
+        return F.exists(
+            parts_col,
+            lambda p: _any_q(p, qparts, "intersects"),
+        )
+    if relation == "within":
+        return F.forall(
+            parts_col,
+            lambda p: _any_q(p, qparts, "within"),
+        ) & (F.size(parts_col) > 0)
+    if relation == "contains":
+        pred = F.lit(True)
+        for qp in qparts:
+            pred = pred & F.exists(
+                parts_col, _mk_contains(qp)
+            )
+        return pred
+    raise ValueError(f"unsupported relation: {relation!r}")
+
+
+def _any_q(p: Column, qparts, relation) -> Column:
+    out = _part_dispatch(p, qparts[0], relation)
+    for qp in qparts[1:]:
+        out = out | _part_dispatch(p, qp, relation)
+    return out
+
+
+def _mk_contains(qp):
+    def fn(p):
+        return _part_dispatch(p, qp, "contains")
+
+    return fn
