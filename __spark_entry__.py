@@ -1609,6 +1609,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    "coordinates": [list(p) for p in _QLS_PTS]},
         )
 
+    def q_geo_shape_parts_within(spark, sf):
+        """Same within relation through the PARTS-based geoshape
+        engine (search/geoshape.py — the generalized model that runs
+        the reference's full geoshapes golden suite); must hash-match
+        the flat engine's oracle."""
+        from bleve_spark.search.geoshape import parts_relation_pred
+
+        idx = _docs_index(spark, sf)
+        parts = F.array(
+            F.struct(
+                F.col("shape_kind").alias("kind"),
+                F.col("shape_coords").alias("ring"),
+                F.lit(0.0).alias("radius"),
+            )
+        )
+        pred = parts_relation_pred(
+            parts,
+            {"type": "polygon",
+             "coordinates": [[list(p) for p in _QSHAPE_PTS]]},
+            "within",
+        )
+        return idx.source.where(pred).select(
+            "doc_id", F.lit(1.0).alias("score")
+        )
+
     def q_geo_shape_contains(spark, sf):
         """Doc polygons containing a query point —
         geo_shape.go relation=contains."""
@@ -2137,6 +2162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_geo_shape_within": q_geo_shape_within,
             "q_geo_shape_intersects": q_geo_shape_intersects,
             "q_geo_shape_ls_intersects": q_geo_shape_ls_intersects,
+            "q_geo_shape_parts_within": q_geo_shape_parts_within,
             "q_geo_shape_contains": q_geo_shape_contains,
             "q_ip_range": q_ip_range,
             "q_hybrid_rrf": q_hybrid_rrf,
@@ -2294,6 +2320,7 @@ def oracle_sql() -> dict[str, str]:
         "q_geo_shape_within": _sql_geo_shape("within"),
         "q_geo_shape_intersects": _sql_geo_shape("intersects"),
         "q_geo_shape_ls_intersects": _sql_geo_shape_ls_intersects(),
+        "q_geo_shape_parts_within": _sql_geo_shape("within"),
         "q_geo_shape_contains": _sql_geo_shape_contains_point(-35.5, -37.75),
         "q_geo_bbox": (
             "SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM ("
