@@ -88,6 +88,14 @@ def _docs_index(spark: SparkSession, sf_dir: str, scoring: str = "bm25"):
             "shape_coords",
             F.when(m3 == 0, pt).when(m3 == 1, ls).otherwise(pg),
         )
+        # materialized per-shape bbox columns: the coarse spatial
+        # pre-filter (geobbox.py) reads these instead of recomputing
+        # vertex hulls per query — and written to parquet they carry
+        # min/max stats for row-group pruning (the s2 cell-term
+        # pre-filter's at-rest analogue)
+        from bleve_spark.search.geobbox import with_flat_shape_bbox
+
+        df = with_flat_shape_bbox(df, "shape")
         _INDEX_CACHE[key] = index_table(
             df,
             key_cols=["doc_id"],
@@ -124,6 +132,42 @@ def _events_index(spark: SparkSession, sf_dir: str):
             scoring="bm25",
         )
     return _INDEX_CACHE[key]
+
+
+_ANN_LAYOUTS: dict = {}
+
+
+def _ann_layout(spark, sf: str, kind: str) -> str:
+    """Build-once at-rest ANN layout (IVF cell-partitioned / LSH
+    signed) under .ann_cache/<sf-name>/<kind>. The write is index-time
+    work paid once; every gate/bench query then probes the layout with
+    partition pruning (ivf) or a pushed-down stored-signature filter
+    (lsh) — the genuine 100 TB serving path."""
+    import os
+
+    from bleve_spark.functions.similarity import (
+        write_ivf_partitioned, write_lsh_signed,
+    )
+
+    name = os.path.basename(sf.rstrip("/"))
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".ann_cache",
+        name, kind,
+    )
+    key = (name, kind)
+    if key not in _ANN_LAYOUTS:
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            df = spark.read.parquet(f"{sf}/embeddings.parquet")
+            if kind == "ivf6":
+                write_ivf_partitioned(
+                    df, "embedding", path, cell_bits=6, seed=11
+                )
+            elif kind == "lsh12":
+                write_lsh_signed(df, "embedding", path, planes=12, seed=7)
+            else:
+                raise ValueError(kind)
+        _ANN_LAYOUTS[key] = path
+    return path
 
 
 def _topk(idx, q, k=20, from_=0) -> DataFrame:
@@ -1624,11 +1668,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.lit(0.0).alias("radius"),
             )
         )
+        # radius-0 parts: inner == outer == the materialized flat bbox
+        bb = {
+            k: F.col(f"shape_bbox_{k.split('_', 1)[1]}")
+            for k in ("in_minlon", "in_minlat", "in_maxlon", "in_maxlat",
+                      "out_minlon", "out_minlat", "out_maxlon",
+                      "out_maxlat")
+        }
         pred = parts_relation_pred(
             parts,
             {"type": "polygon",
              "coordinates": [[list(p) for p in _QSHAPE_PTS]]},
             "within",
+            bbox_cols=bb,
         )
         return idx.source.where(pred).select(
             "doc_id", F.lit(1.0).alias("score")
@@ -2068,24 +2120,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return top.select("key", F.round("cosine", 6).alias("cosine"))
 
     def ann_lsh_topk(spark, sf):
-        from bleve_spark.functions.similarity import lsh_topk
+        """LSH probe over the AT-REST layout (write_lsh_signed: the
+        signature is a PERSISTED column, clustered by bucket) — the
+        probe is a pushed-down `bucket IN (...)` on the stored column,
+        no per-row signature recomputation per query. Scores identical
+        to the scan variant, so the oracle is unchanged."""
+        from bleve_spark.functions.similarity import lsh_topk_at_rest
 
         df = spark.read.parquet(f"{sf}/embeddings.parquet")
         qv = df.where(F.col("vec_id") == 0).select("embedding").first()[0]
-        top = lsh_topk(
-            df, "embedding", "vec_id", qv, k=10, planes=12,
-            probe_hamming=3,
+        top = lsh_topk_at_rest(
+            spark, _ann_layout(spark, sf, "lsh12"), "embedding",
+            "vec_id", qv, k=10, planes=12, probe_hamming=3,
         )
         return top.select("key", F.round("cosine", 6).alias("cosine"))
 
     def ann_ivf_topk(spark, sf):
-        from bleve_spark.functions.similarity import ivf_topk
+        """IVF probe over the AT-REST layout (write_ivf_partitioned:
+        table PARTITIONED BY cell) — the probe is STATIC partition
+        pruning; only n_probe/2^bits of the files are read. Scores
+        identical to the scan variant, so the oracle is unchanged."""
+        from bleve_spark.functions.similarity import ivf_topk_at_rest
 
         df = spark.read.parquet(f"{sf}/embeddings.parquet")
         qv = df.where(F.col("vec_id") == 0).select("embedding").first()[0]
-        top = ivf_topk(
-            df, "embedding", "vec_id", qv, k=10, cell_bits=6,
-            n_probe_cells=16,
+        top = ivf_topk_at_rest(
+            spark, _ann_layout(spark, sf, "ivf6"), "embedding",
+            "vec_id", qv, k=10, cell_bits=6, n_probe_cells=16,
         )
         return top.select("key", F.round("cosine", 6).alias("cosine"))
 

@@ -163,6 +163,78 @@ def ivf_topk(
     )
 
 
+def _probe_buckets(qsig: int, planes: int, probe_hamming: int) -> list:
+    """All signatures within hamming ≤ probe_hamming of qsig —
+    Σ C(planes, i) values, enumerated driver-side (a few hundred for
+    typical planes/probe settings)."""
+    from itertools import combinations
+
+    out = []
+    for h in range(probe_hamming + 1):
+        for bits in combinations(range(planes), h):
+            m = qsig
+            for b in bits:
+                m ^= 1 << b
+            out.append(m)
+    return sorted(out)
+
+
+def write_lsh_signed(
+    df: DataFrame,
+    vec_col: str,
+    path: str,
+    planes: int = 12,
+    seed: int = 7,
+) -> None:
+    """Materialize the LSH layout: the table with a PERSISTED
+    ``bucket`` signature column, clustered by bucket so parquet
+    min/max stats are tight. Probes then filter on the stored column
+    — a pushed-down ``bucket IN (...)`` — instead of recomputing
+    ``planes`` dot products per row per query. The signature is paid
+    ONCE at write time (the 100 TB pattern: index-time work amortized
+    over every query)."""
+    dim = len(df.select(vec_col).first()[0])
+    mat = _planes(dim, planes, seed)
+    (
+        df.withColumn("bucket", signature_col(vec_col, mat))
+        .sortWithinPartitions("bucket")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def lsh_topk_at_rest(
+    spark,
+    path: str,
+    vec_col: str,
+    key_col: str,
+    query_vec,
+    k: int = 10,
+    planes: int = 12,
+    probe_hamming: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """Probe a :func:`write_lsh_signed` layout: the probe set (all
+    buckets within hamming ≤ probe_hamming) becomes an explicit
+    ``bucket IN (...)`` predicate on the STORED column — pushed to the
+    parquet scan (row-group stats pruning), no per-row signature
+    recomputation. Scores are identical to :func:`lsh_topk`."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    mat = _planes(len(q), planes, seed)
+    qsig = 0
+    for i, plane in enumerate(mat):
+        if float(plane @ q) > 0:
+            qsig |= 1 << i
+    probes = _probe_buckets(qsig, planes, probe_hamming)
+    pruned = spark.read.parquet(path).where(F.col("bucket").isin(probes))
+    cos = cosine_expr(F.col(vec_col), _query_lit(q))
+    return (
+        pruned.select(F.col(key_col).alias("key"), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("key").asc())
+        .limit(k)
+    )
+
+
 def write_ivf_partitioned(
     df: DataFrame,
     vec_col: str,

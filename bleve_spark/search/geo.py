@@ -153,10 +153,24 @@ def distance_pred(
     lat_col: Column, lon_col: Column, lat: float, lon: float,
     distance_meters: float,
 ) -> Column:
-    return (
+    """Haversine radius filter, guarded by a conservative lat/lon
+    window (the reference pre-filters distance queries through morton
+    prefix terms, search_geopointdistance.go:36-45; here the window's
+    plain comparisons short-circuit the trig per row AND push down to
+    parquet min/max stats when lat/lon are stored columns)."""
+    from bleve_spark.search.geobbox import _expand_deg
+
+    exact = (
         haversine_km_col(lat_col, lon_col, lat, lon)
         <= F.lit(distance_meters / 1000.0)
     )
+    dlat, dlon = _expand_deg(lat, distance_meters)
+    window = (lat_col >= F.lit(lat - dlat)) & (lat_col <= F.lit(lat + dlat))
+    if dlon < 360.0 and lon - dlon >= -180.0 and lon + dlon <= 180.0:
+        window = window & (
+            (lon_col >= F.lit(lon - dlon)) & (lon_col <= F.lit(lon + dlon))
+        )
+    return window & exact
 
 
 def bbox_pred(
@@ -318,15 +332,36 @@ def shape_relation_pred(
     coords_col: Column,
     query_shape: dict,
     relation: str,
+    bbox_cols: tuple | None = None,
+    prune: bool = True,
 ) -> Column:
     """Compile (doc shape RELATION query shape) to one native column
     predicate. Query shapes: polygon {type, coordinates:[[lon,lat]...]}
     (closed or open — closed internally), envelope {type,
     coordinates:[[minlon,maxlat],[maxlon,minlat]]} (GeoJSON envelope
     order, geojson.go), circle {type, coordinates:[lon,lat], radius},
-    point {type, coordinates:[lon,lat]}."""
+    point {type, coordinates:[lon,lat]}.
+
+    When ``prune`` is set (default) a coarse bbox pre-filter is
+    prepended — the Spark twin of the reference's s2 cell-term
+    pre-filter (document/field_geoshape.go): cheap conjuncts Catalyst
+    short-circuits before the exact geometry, and — with materialized
+    ``bbox_cols`` — parquet min/max row-group pruning."""
     qtype = query_shape["type"].lower()
     relation = relation.lower()
+
+    if prune:
+        from bleve_spark.search.geobbox import (
+            flat_prefilter, query_shape_bbox,
+        )
+
+        qb = query_shape_bbox(query_shape)
+        exact = shape_relation_pred(
+            kind_col, coords_col, query_shape, relation, prune=False
+        )
+        if qb is None:
+            return exact
+        return flat_prefilter(coords_col, qb, relation, bbox_cols) & exact
 
     # multi* query shapes: a doc INTERSECTS the union iff it
     # intersects any member; is WITHIN the union iff within some
@@ -339,7 +374,7 @@ def shape_relation_pred(
             shape_relation_pred(
                 kind_col, coords_col,
                 {"type": member_type, "coordinates": part},
-                relation,
+                relation, prune=False,
             )
             for part in query_shape["coordinates"]
         ]

@@ -334,10 +334,28 @@ def _part_dispatch(part: Column, qpart, relation: str) -> Column:
 
 
 def parts_relation_pred(parts_col: Column, query_shape: dict,
-                        relation: str) -> Column:
-    """(doc parts RELATION query shape) as one native predicate."""
+                        relation: str, bbox_cols: dict | None = None,
+                        prune: bool = True) -> Column:
+    """(doc parts RELATION query shape) as one native predicate.
+
+    ``prune`` (default) prepends the coarse bbox pre-filter from
+    :mod:`bleve_spark.search.geobbox` — cheap short-circuiting
+    conjuncts ahead of the exact part-pair geometry, and parquet
+    row-group pruning when ``bbox_cols`` are materialized columns."""
     qparts = geojson_to_parts(query_shape)
     relation = relation.lower()
+    if prune:
+        from bleve_spark.search.geobbox import (
+            parts_prefilter, query_shape_bbox,
+        )
+
+        qb = query_shape_bbox(query_shape)
+        exact = parts_relation_pred(
+            parts_col, query_shape, relation, prune=False
+        )
+        if qb is None:
+            return exact
+        return parts_prefilter(parts_col, qb, relation, bbox_cols) & exact
     if relation == "intersects":
         return F.exists(
             parts_col,

@@ -1055,10 +1055,18 @@ class Compiler:
         kind_c = q.kind_col or f"{f}_kind"
         coords_c = q.coords_col or f"{f}_coords"
 
-        def df_fn(ctx, q=q, kind_c=kind_c, coords_c=coords_c):
+        def df_fn(ctx, q=q, f=f, kind_c=kind_c, coords_c=coords_c):
+            from bleve_spark.search.geobbox import flat_bbox_cols_if_present
+
+            # materialized <field>_bbox_* columns (written at index
+            # time) give parquet row-group pruning; otherwise the bbox
+            # pre-filter is computed inline (still short-circuits the
+            # exact geometry per row)
+            bbox = flat_bbox_cols_if_present(ctx.idx.source, f)
             return ctx.idx.source.where(
                 shape_relation_pred(
-                    F.col(kind_c), F.col(coords_c), q.shape, q.relation
+                    F.col(kind_c), F.col(coords_c), q.shape, q.relation,
+                    bbox_cols=bbox,
                 )
             )
 
