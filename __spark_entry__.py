@@ -243,6 +243,64 @@ _PRELUDE_COMPOSITE = _mk_prelude(
     "[lang, source]) AS words FROM documents",
 )
 
+# composite `_all` with TYPED members: text + lang + source + n_chars
+# (numeric → 16 prefix-coded trie terms) + long_doc (boolean → one
+# "T"/"F" token). flen gains +17; avg_doc_len's cardinality gains the
+# distinct trie/boolean terms. The trie-term count is computed from
+# the IEEE-754 bits of CAST(n_chars AS DOUBLE) (exact for positive
+# integers; numeric/float.go Float64ToInt64 keeps nonneg bits as-is):
+# prefix coding is injective at fixed shift, first byte differs across
+# shifts, and every trie term of a float64-coded value contains a
+# control byte (<0x20) so it can never collide with a printable
+# text/keyword token — cardinalities therefore ADD.
+_PRELUDE_COMPOSITE_TYPED = f"""
+WITH raw AS (
+  SELECT doc_id, list_concat(string_split(text, ' '), [lang, source])
+         AS words
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(words) AS term,
+         unnest(range(1, len(words)+1)) AS pos
+  FROM raw
+), tok2 AS (
+  SELECT * FROM tok WHERE term NOT IN ({_STOP_SQL})
+), doclen AS (
+  SELECT doc_id, count(*) + 17 AS flen FROM tok2 GROUP BY doc_id
+), post AS (
+  SELECT t.doc_id, t.term, count(*) AS tf,
+         CAST(CAST(1.0/sqrt(d.flen) AS REAL) AS DOUBLE) AS norm,
+         list(t.pos ORDER BY t.pos) AS positions
+  FROM tok2 t JOIN doclen d USING (doc_id)
+  GROUP BY t.doc_id, t.term, d.flen
+), ndocs AS (SELECT count(*) AS n FROM documents),
+nbits AS (
+  SELECT DISTINCT CASE WHEN n_chars = 0 THEN 0 ELSE
+    (CAST(1023 + e AS BIGINT) << 52)
+      | CAST((n_chars / pow(2.0, e) - 1) * 4503599627370496.0 AS BIGINT)
+  END AS b
+  FROM (
+    SELECT n_chars,
+           CASE WHEN pow(2.0, floor(log2(CAST(n_chars AS DOUBLE))))
+                     > n_chars
+                THEN floor(log2(CAST(n_chars AS DOUBLE))) - 1
+                ELSE floor(log2(CAST(n_chars AS DOUBLE))) END AS e
+    FROM documents WHERE n_chars > 0
+  )
+), triecard AS (
+  SELECT count(DISTINCT (s.s, b >> s.s)) AS c
+  FROM nbits, (SELECT unnest(range(0, 64, 4)) AS s) s
+), boolcard AS (
+  SELECT count(DISTINCT n_chars > 300) AS c FROM documents
+), avgl AS (
+  SELECT ceil(CAST((SELECT count(DISTINCT term) FROM post)
+                   + (SELECT c FROM triecard)
+                   + (SELECT c FROM boolcard) AS DOUBLE)
+              / (SELECT n FROM ndocs)) AS v
+), dict AS (
+  SELECT term, count(*) AS df FROM post GROUP BY term
+)
+"""
+
 # delete-visibility oracle: the live index = documents minus the
 # deleted id range (deleted docs vanish from postings, ndocs, stats)
 _PRELUDE_LIVE100 = _PRELUDE.replace(
@@ -1974,6 +2032,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _INDEX_CACHE[key], {"field": "_all", "term": "spark"}, k=20
         )
 
+    def q_composite_typed_term(spark, sf):
+        """Composite `_all` including TYPED members: n_chars (numeric
+        → 16 prefix-coded trie terms, document/field_numeric.go:94-116)
+        and long_doc (boolean → "T"/"F", field_boolean.go). The trie
+        terms change `_all`'s per-doc LENGTH (norm) and the dictionary
+        cardinality (avg_doc_len) — both observable in this BM25
+        score, and both reproduced exactly by the SQL oracle."""
+        key = (spark.sparkContext.applicationId, sf, "documents-ctyped")
+        if key not in _INDEX_CACHE:
+            df = (
+                spark.read.parquet(f"{sf}/documents.parquet")
+                .withColumn("long_doc", F.col("n_chars") > 300)
+            )
+            _INDEX_CACHE[key] = index_table(
+                df, key_cols=["doc_id"],
+                fields={"text": "standard", "lang": "keyword",
+                        "source": "keyword"},
+                composite_fields={
+                    "_all": ["text", "lang", "source", "n_chars",
+                             "long_doc"],
+                },
+            )
+        return _topk(
+            _INDEX_CACHE[key], {"field": "_all", "term": "spark"}, k=20
+        )
+
     def q_synonym_term(spark, sf):
         # separate index instance: synonyms are an index-level map
         key = (spark.sparkContext.applicationId, sf, "documents-syn")
@@ -2239,6 +2323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_alias_2shards": q_alias_2shards,
             "q_alias_strict": q_alias_strict,
             "q_composite_term": q_composite_term,
+            "q_composite_typed_term": q_composite_typed_term,
             "q_synonym_term": q_synonym_term,
             "q_term_store": q_term_store,
             "q_term_after_delete": q_term_after_delete,
@@ -2429,6 +2514,9 @@ WHERE p.term = 'spark'
 ORDER BY score DESC, p.doc_id LIMIT 20""",
         "q_composite_term": _sql_single_term(
             "spark", prelude=_PRELUDE_COMPOSITE
+        ),
+        "q_composite_typed_term": _sql_single_term(
+            "spark", prelude=_PRELUDE_COMPOSITE_TYPED
         ),
         # synonym expansion = disjunction(term@1, synonym@1/2) with coord
         # (search_term.go:154-196)

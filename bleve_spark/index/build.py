@@ -280,6 +280,131 @@ def _field_postings(
     )
 
 
+def _typed_member_postings(
+    df: DataFrame, keys: list[str], member: str, kind: str,
+) -> DataFrame:
+    """Postings for a NUMERIC / DATETIME / BOOLEAN composite member.
+
+    The reference analyzes these field types into terms too: numerics
+    and datetimes become 16 prefix-coded trie terms (full precision +
+    shifts 4..60, document/field_numeric.go:94-116,
+    field_datetime.go), booleans a single "T"/"F" token
+    (field_boolean.go:130-138). They matter inside the composite
+    ``_all``: 16 extra tokens per numeric value change the field
+    LENGTH (norm) bleve bakes into every ``_all`` score. Range queries
+    still compile to native column predicates — these terms exist for
+    norm/cardinality parity and term-level lookups."""
+    import numpy as np
+
+    if kind == "boolean":
+        src = df.select(*keys, F.col(member).cast("boolean").alias("_v"))
+        return (
+            src.where(F.col("_v").isNotNull())
+            .select(
+                F.lit(member).alias("field"),
+                F.when(F.col("_v"), F.lit("T")).otherwise(F.lit("F"))
+                .alias("term"),
+                *keys,
+                F.lit(1).cast("int").alias("tf"),
+                F.array(F.lit(1)).alias("positions"),
+                F.lit(1.0).cast("float").alias("norm"),
+                F.lit(1).cast("int").alias("_flen"),
+            )
+        )
+
+    if kind == "datetime":
+        # bleve indexes time.UnixNano (field_datetime.go)
+        src = df.select(
+            *keys,
+            (F.unix_micros(F.col(member).cast("timestamp"))
+             * F.lit(1000)).alias("_v"),
+        )
+        to_sortable = None  # already an int64 payload
+    elif kind == "numeric":
+        src = df.select(
+            *keys, F.col(member).cast("double").alias("_v")
+        )
+        to_sortable = "float"
+    else:
+        raise ValueError(f"unsupported typed member kind: {kind!r}")
+
+    src = src.where(F.col("_v").isNotNull())
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in src.schema.fields[:-1]
+    )
+    out_schema = f"{key_fields}, _field_len int, term string, pos int"
+    kc = list(keys)
+
+    def encode(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from bleve_spark.index.numeric_terms import (
+            SHIFTS, doubles_to_sortable, trie_terms_batch,
+        )
+
+        pa.set_cpu_count(1)
+        n_terms = len(SHIFTS)
+        for b in batches:
+            if not b.num_rows:
+                continue
+            vals = b.column("_v").to_numpy(zero_copy_only=False)
+            if to_sortable == "float":
+                iv = doubles_to_sortable(vals.astype(np.float64))
+            else:
+                iv = vals.astype(np.int64)
+            row_idx, terms = trie_terms_batch(iv)
+            idx_arr = pa.array(row_idx)
+            arrays = [pc.take(b.column(k), idx_arr) for k in kc]
+            arrays.append(
+                pa.array(
+                    np.full(len(row_idx), n_terms, dtype=np.int32)
+                )
+            )
+            arrays.append(pa.array(terms, type=pa.string()))
+            arrays.append(
+                pa.array(np.ones(len(row_idx), dtype=np.int32))
+            )
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=[*kc, "_field_len", "term", "pos"]
+            )
+
+    exploded = src.mapInArrow(encode, schema=out_schema)
+    return (
+        exploded.groupBy(*keys, "_field_len", "term")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("tf"),
+            F.sort_array(F.collect_list(F.col("pos"))).alias("positions"),
+        )
+        .select(
+            F.lit(member).alias("field"),
+            F.col("term"),
+            *keys,
+            "tf",
+            "positions",
+            (F.lit(1.0) / F.sqrt(F.col("_field_len")))
+            .cast("float")
+            .alias("norm"),
+            F.col("_field_len").alias("_flen"),
+        )
+    )
+
+
+def _member_kind(df: DataFrame, member: str) -> str:
+    """text | numeric | datetime | boolean, from the column dtype."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[member].dataType
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return "datetime"
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, T.NumericType):
+        return "numeric"
+    return "text"
+
+
 def _composite_postings(
     df: DataFrame,
     keys: list[str],
@@ -293,12 +418,18 @@ def _composite_postings(
     each member is analyzed with its OWN analyzer, term freqs are
     summed, positions stay member-LOCAL (restart per member — phrase
     matches never span members), and norm = float32(1/√Σlen)."""
-    parts = [
-        _field_postings(
-            df, keys, m, analyzers.get(m, "standard"), with_len=True
-        )
-        for m in members
-    ]
+    parts = []
+    for m in members:
+        kind = _member_kind(df, m)
+        if kind == "text":
+            parts.append(
+                _field_postings(
+                    df, keys, m, analyzers.get(m, "standard"),
+                    with_len=True,
+                )
+            )
+        else:
+            parts.append(_typed_member_postings(df, keys, m, kind))
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)

@@ -722,6 +722,11 @@ def _find_phrase_path(pos_arrays, gaps, slop) -> bool:
 
 
 def _default_field(idx: IndexedTable) -> str:
+    # bleve's default search field IS the composite _all
+    # (mapping/index.go defaultField); fall back to the first
+    # indexed field when no composite exists
+    if "_all" in idx.field_analyzers:
+        return "_all"
     return next(iter(idx.field_analyzers))
 
 

@@ -42,18 +42,17 @@ def basic_idx(spark):
     ).withColumn(
         "birthday", F.to_timestamp("birthday_s")
     ).drop("birthday_s")
-    idx = index_table(
+    # mapping.json: id disabled; name en; everything else dynamic
+    # default (standard text / numeric / datetime, include_in_all) —
+    # so bleve's `_all` carries 16 trie terms per age/birthday value
+    return index_table(
         df,
         key_cols=["id"],
         fields={"name": "en", "title": "standard", "tags": "standard"},
-        composite_fields={"_all": ["name", "title", "tags"]},
+        composite_fields={
+            "_all": ["name", "title", "tags", "age", "birthday"],
+        },
     )
-    # bleve's default search field is _all — make it ours too
-    idx.field_analyzers = {
-        "_all": idx.field_analyzers["_all"],
-        **{k: v for k, v in idx.field_analyzers.items() if k != "_all"},
-    }
-    return idx
 
 
 SEARCHES = json.load(open(f"{BASIC}/searches.json"))

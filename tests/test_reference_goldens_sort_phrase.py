@@ -3,11 +3,12 @@
 (missing-value placement, multi-valued min mode, cursors over sort
 values) and phrase parity (stopword gaps, stemming, multi_phrase).
 
-Skipped with documented cause: sort searches 16/17 page by bleve's
-ABSOLUTE `_all` scores, which bake in the 16 prefix-coded index terms
-bleve emits per numeric/datetime field into the _all norm; this
-engine indexes text members only (numerics are native columns), so
-the cursor constant falls at a different score."""
+Sort searches 16/17 page by bleve's ABSOLUTE `_all` tf-idf scores
+("search_after": ["0.286889"]), which bake in the 16 prefix-coded
+trie terms bleve emits per numeric/datetime field into the `_all`
+norm (field lengths 22/24/40 for docs e/f/d). The `_all` composite
+here includes those typed members (build._typed_member_postings), so
+the cursor constants land exactly where bleve's do — no skips."""
 
 import json
 
@@ -20,7 +21,7 @@ from bleve_spark.search.searcher import compile_query, search_df
 SORT_DIR = "/root/reference/test/tests/sort"
 PHRASE_DIR = "/root/reference/test/tests/phrase"
 
-SORT_SKIP = {16, 17}
+SORT_SKIP = set()
 
 
 @pytest.fixture(scope="module")
@@ -39,9 +40,17 @@ def sort_idx(spark):
         "id string, name string, age long, born_s string, "
         "title string, tags array<string>",
     ).withColumn("born", F.to_timestamp("born_s")).drop("born_s")
+    # mapping.json is EMPTY → bleve's default dynamic mapping: every
+    # field indexed (id included), include_in_all, default tf-idf
+    # scoring; `_all` = text members + 16 trie terms per numeric
+    # (age) / datetime (born) value
     return index_table(
         df, key_cols=["id"],
         fields={"title": "standard", "name": "keyword"},
+        composite_fields={
+            "_all": ["id", "name", "title", "tags", "age", "born"],
+        },
+        scoring="tfidf",
     )
 
 
