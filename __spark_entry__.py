@@ -790,6 +790,28 @@ LANG_CORPORA = {
            "os papéis normais", "uma casa bonita",
            "as casas bonitas", "o cavalo branco",
            "os cavalos brancos", "os botões da camisa"],
+    # snowball pipelines (true snowball stemmers, analysis/snowball.py)
+    "ru": ["актеров и актрис театра", "тысячи километров дороги",
+           "сила электромагнитной энергии", "знание хранилось в тайне",
+           "новые книги и книгами", "красивейший город на свете",
+           "представление о силе", "погода в городе хорошая"],
+    "nl": ["het lichamelijk onderzoek", "lichamelijke inspanning",
+           "de mogelijkheden van bedenkingen",
+           "een mogelijkheid bedenken", "het lichaam en de geest",
+           "grote mogelijkheden", "onderzoek naar het lichaam",
+           "de bedenking van de dag"],
+    "sv": ["jaktkarlarne och jaktkarlens hund", "klockorna i betydelsen",
+           "en viktig betydelse", "jaktkarlar i skogen",
+           "klockan och klockorna", "skogens stora betydelse",
+           "hunden och jaktkarlen", "viktiga klockor"],
+    "da": ["undersøgelse af forholdene", "en meningsløs undersøgelse",
+           "indtagelse af mad", "den kraftigste undersøgelse",
+           "forhold og forholdene", "mad og indtagelsen",
+           "meningsløst arbejde", "kraftig indsats"],
+    "no": ["havnedistriktene i byen", "havnedistrikter og havner",
+           "bygningene i havnedistriktet", "sannsynlighetene er store",
+           "en stor sannsynlighet", "byens gamle bygninger",
+           "havnen og byen", "store bygninger i havnen"],
 }
 
 # frozen goldens: analyzer output at freeze time, hand-spot-checked
@@ -822,6 +844,30 @@ LANG_GOLD_TOKENS = {
            ["papel", "normal"], ["casa", "bonit"], ["casa", "bonit"],
            ["caval", "branc"], ["caval", "branc"],
            ["bota", "camis"]],
+    # snowball goldens: key stems cross-checked against the reference's
+    # own analyzer_{ru,nl,sv,da,no}_test.go vectors (актер, километр,
+    # сил, электромагнитн, энерг, знан, хран, тайн, представлен,
+    # licham, jaktkarl, undersøg, havnedistrikt)
+    "ru": [["актер", "актрис", "театр"], ["тысяч", "километр", "дорог"],
+           ["сил", "электромагнитн", "энерг"], ["знан", "хран", "тайн"],
+           ["нов", "книг", "книг"], ["красив", "город", "свет"],
+           ["представлен", "сил"], ["погод", "город", "хорош"]],
+    "nl": [["licham", "onderzoek"], ["licham", "inspann"],
+           ["mogelijk", "bedenk"], ["mogelijk", "bedenk"],
+           ["licham", "geest"], ["grot", "mogelijk"],
+           ["onderzoek", "licham"], ["bedenk", "dag"]],
+    "sv": [["jaktkarl", "jaktkarl", "hund"], ["klock", "betyd"],
+           ["vikt", "betyd"], ["jaktkarl", "skog"],
+           ["klockan", "klock"], ["skog", "stor", "betyd"],
+           ["hund", "jaktkarl"], ["vikt", "klock"]],
+    "da": [["undersøg", "forhold"], ["meningsløs", "undersøg"],
+           ["indtag", "mad"], ["kraft", "undersøg"],
+           ["forhold", "forhold"], ["mad", "indtag"],
+           ["meningsløs", "arbejd"], ["kraft", "indsat"]],
+    "no": [["havnedistrikt", "byen"], ["havnedistrikt", "havn"],
+           ["bygning", "havnedistrikt"], ["sannsyn", "stor"],
+           ["stor", "sannsyn"], ["byens", "gaml", "bygning"],
+           ["havn", "byen"], ["stor", "bygning", "havn"]],
 }
 
 # frozen analyzed QUERY tokens per language (same freeze contract)
@@ -832,6 +878,11 @@ LANG_QUERIES = {
     "cjk": ("数据系统", ["数据", "据系", "系统"]),
     "it": ("i ragazzi belli", ["ragazz", "belli"]),
     "pt": ("os doutores bonitos", ["doutor", "bonit"]),
+    "ru": ("книги о городе", ["книг", "город"]),
+    "nl": ("de mogelijkheden van het lichaam", ["mogelijk", "licham"]),
+    "sv": ("betydelsen av klockorna", ["betyd", "klock"]),
+    "da": ("en kraftig undersøgelse", ["kraft", "undersøg"]),
+    "no": ("bygningene i havnen", ["bygning", "havn"]),
 }
 
 
@@ -2129,6 +2180,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         feminine normalization)."""
         return _lang_q(spark, sf, "pt")
 
+    def q_lang_ru(spark, sf):
+        """Russian analyzer (stop_ru + TRUE snowball stemmer,
+        analyzer_ru.go / stemmer_ru.go)."""
+        return _lang_q(spark, sf, "ru")
+
+    def q_lang_nl(spark, sf):
+        """Dutch analyzer (stop_nl + snowball stemmer)."""
+        return _lang_q(spark, sf, "nl")
+
+    def q_lang_sv(spark, sf):
+        """Swedish analyzer (stop_sv + snowball stemmer)."""
+        return _lang_q(spark, sf, "sv")
+
+    def q_lang_da(spark, sf):
+        """Danish analyzer (stop_da + snowball stemmer)."""
+        return _lang_q(spark, sf, "da")
+
+    def q_lang_no(spark, sf):
+        """Norwegian analyzer (stop_no + snowball stemmer)."""
+        return _lang_q(spark, sf, "no")
+
     def _raw_idx(spark):
         key = (spark.sparkContext.applicationId, "raw-text")
         if key not in _INDEX_CACHE:
@@ -2335,6 +2407,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_lang_cjk": q_lang_cjk,
             "q_lang_it": q_lang_it,
             "q_lang_pt": q_lang_pt,
+            "q_lang_ru": q_lang_ru,
+            "q_lang_nl": q_lang_nl,
+            "q_lang_sv": q_lang_sv,
+            "q_lang_da": q_lang_da,
+            "q_lang_no": q_lang_no,
             "q_raw_text_match": q_raw_text_match,
             "q_raw_text_phrase": q_raw_text_phrase,
             "dedup_exact": dedup_exact,
@@ -2541,6 +2618,11 @@ ORDER BY score DESC, p.doc_id LIMIT 20""",
         "q_lang_cjk": _sql_lang_match("cjk"),
         "q_lang_it": _sql_lang_match("it"),
         "q_lang_pt": _sql_lang_match("pt"),
+        "q_lang_ru": _sql_lang_match("ru"),
+        "q_lang_nl": _sql_lang_match("nl"),
+        "q_lang_sv": _sql_lang_match("sv"),
+        "q_lang_da": _sql_lang_match("da"),
+        "q_lang_no": _sql_lang_match("no"),
         "q_raw_text_match": _sql_raw_match(),
         "q_raw_text_phrase": _sql_raw_phrase(),
         "dedup_exact": (

@@ -28,15 +28,36 @@ from bleve_spark.analysis.filters import (
     TokenFilter,
 )
 from bleve_spark.analysis.lang_data import (
+    DANISH_STOP_WORDS,
+    DUTCH_STOP_WORDS,
     FRENCH_ARTICLES,
     FRENCH_STOP_WORDS,
     GERMAN_STOP_WORDS,
     ITALIAN_ARTICLES,
     ITALIAN_STOP_WORDS,
+    NORWEGIAN_STOP_WORDS,
     PORTUGUESE_STOP_WORDS,
+    RUSSIAN_STOP_WORDS,
     SPANISH_STOP_WORDS,
+    SWEDISH_STOP_WORDS,
 )
 from bleve_spark.analysis.tokenizers import UnicodeTokenizer
+
+
+class SnowballStemmerFilter(TokenFilter):
+    """True snowball stemmer filter — wraps a pure-python port of the
+    published snowball algorithm (analysis/snowball.py), matching the
+    reference's snowballstem-backed filters
+    (e.g. lang/ru/stemmer_ru.go:31-44, lang/nl/stemmer_nl.go)."""
+
+    def __init__(self, stem):
+        self._stem = stem
+
+    def apply_terms(self, terms):
+        return [self._stem(t) for t in terms]
+
+    def _one(self, term):
+        return (self._stem(term),)
 
 
 # ------------------------------------------------------------ Spanish --
@@ -610,6 +631,25 @@ def register_language_analyzers() -> None:
     REGISTRY.setdefault(
         "cjk", Analyzer("cjk", CJKBigramTokenizer(), [lower])
     )
+    # True snowball pipelines — toLower, stop_XX, snowball stemmer,
+    # matching analyzer_{ru,nl,sv,da,no}.go exactly (same filter order).
+    from bleve_spark.analysis.snowball import (
+        stem_da, stem_nl, stem_no, stem_ru, stem_sv,
+    )
+    for code, stops, stem in (
+        ("ru", RUSSIAN_STOP_WORDS, stem_ru),
+        ("nl", DUTCH_STOP_WORDS, stem_nl),
+        ("sv", SWEDISH_STOP_WORDS, stem_sv),
+        ("da", DANISH_STOP_WORDS, stem_da),
+        ("no", NORWEGIAN_STOP_WORDS, stem_no),
+    ):
+        REGISTRY.setdefault(
+            code,
+            Analyzer(
+                code, UnicodeTokenizer(),
+                [lower, StopFilter(stops), SnowballStemmerFilter(stem)],
+            ),
+        )
 
 
 register_language_analyzers()

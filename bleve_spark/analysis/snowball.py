@@ -353,8 +353,9 @@ _RU_DERIVATIONAL = ["ост", "ость"]
 
 
 def _ru_fire(word: str, rv: int, suffixes, precede: str | None = None):
-    """Longest suffix in RV (optionally requiring a preceding а/я,
-    with the preceding letter itself inside RV)."""
+    """Longest suffix in RV (optionally requiring a preceding а/я;
+    the snowball source setlimits to RV, so the preceding letter must
+    sit inside RV too)."""
     best = None
     for s in suffixes:
         if len(s) > len(best or ""):
@@ -365,7 +366,10 @@ def _ru_fire(word: str, rv: int, suffixes, precede: str | None = None):
                         break
             elif word.endswith(s):
                 best = s
-    if best is not None and len(word) - len(best) >= rv:
+    if best is None:
+        return None
+    span = len(best) + (1 if precede is not None else 0)
+    if len(word) - span >= rv:
         return best
     return None
 
@@ -423,15 +427,15 @@ def stem_ru(word: str) -> str:
     if suf:
         word = word[: -len(suf)]
 
-    # step 4
+    # step 4: (нн → н) OR (superlative → delete, then нн → н) OR
+    # (final ь → delete) — exclusive alternatives
     if word.endswith("нн") and len(word) - 1 >= rv:
         word = word[:-1]
-    else:
+    elif _ru_fire(word, rv, _RU_SUPERLATIVE):
         suf = _ru_fire(word, rv, _RU_SUPERLATIVE)
-        if suf:
-            word = word[: -len(suf)]
-            if word.endswith("нн") and len(word) - 1 >= rv:
-                word = word[:-1]
-    if word.endswith("ь") and len(word) - 1 >= rv:
+        word = word[: -len(suf)]
+        if word.endswith("нн") and len(word) - 1 >= rv:
+            word = word[:-1]
+    elif word.endswith("ь") and len(word) - 1 >= rv:
         word = word[:-1]
     return word
