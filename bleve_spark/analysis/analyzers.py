@@ -252,3 +252,4 @@ def register_analyzer(analyzer: Analyzer) -> None:
 
 # language analyzers (es/fr/de/cjk) self-register on import
 from bleve_spark.analysis import lang as _lang  # noqa: E402,F401
+from bleve_spark.analysis import lang_more as _lang_more  # noqa: E402,F401

@@ -44,6 +44,56 @@ from bleve_spark.analysis.lang_data import (
 from bleve_spark.analysis.tokenizers import UnicodeTokenizer
 
 
+class ArabicNormalizeFilter(TokenFilter):
+    """lang/ar/arabic_normalize.go:60-76 — fold alef variants to alef,
+    dotless yeh to yeh, teh marbuta to heh; strip tatweel, harakat
+    (fatha/damma/kasra ±tanwin), shadda, sukun."""
+
+    _MAP = {
+        "آ": "ا", "أ": "ا", "إ": "ا",
+        "ى": "ي", "ة": "ه",
+        "ـ": "", "ً": "", "ٌ": "", "ٍ": "",
+        "َ": "", "ُ": "", "ِ": "", "ّ": "",
+        "ْ": "",
+    }
+    _TRANS = str.maketrans(_MAP)
+
+    def apply_terms(self, terms):
+        return [t.translate(self._TRANS) for t in terms]
+
+    def _one(self, term):
+        return (term.translate(self._TRANS),)
+
+
+_AR_PREFIXES = ["ال", "وال", "بال", "كال", "فال", "لل", "و"]
+_AR_SUFFIXES = ["ها", "ان", "ات", "ون", "ين", "يه", "ية", "ه", "ة",
+                "ي"]
+
+
+def stem_ar(word: str) -> str:
+    """lang/ar/stemmer_ar.go:100-116 (Lucene ArabicStemmer): strip ONE
+    prefix (wa- needs len>=4, others leave >=2), then strip suffixes in
+    listed order, each requiring >=2 remaining chars."""
+    for p in _AR_PREFIXES:
+        if len(p) == 1 and len(word) < 4:
+            continue
+        if len(word) - len(p) >= 2 and word.startswith(p):
+            word = word[len(p):]
+            break
+    for s in _AR_SUFFIXES:
+        if len(word) - len(s) >= 2 and word.endswith(s):
+            word = word[: -len(s)]
+    return word
+
+
+class ArabicStemmerFilter(TokenFilter):
+    def apply_terms(self, terms):
+        return [stem_ar(t) for t in terms]
+
+    def _one(self, term):
+        return (stem_ar(term),)
+
+
 class SnowballStemmerFilter(TokenFilter):
     """True snowball stemmer filter — wraps a pure-python port of the
     published snowball algorithm (analysis/snowball.py), matching the
@@ -633,8 +683,9 @@ def register_language_analyzers() -> None:
     )
     # True snowball pipelines — toLower, stop_XX, snowball stemmer,
     # matching analyzer_{ru,nl,sv,da,no}.go exactly (same filter order).
+    from bleve_spark.analysis.lang_data import FINNISH_STOP_WORDS
     from bleve_spark.analysis.snowball import (
-        stem_da, stem_nl, stem_no, stem_ru, stem_sv,
+        stem_da, stem_fi, stem_nl, stem_no, stem_ru, stem_sv,
     )
     for code, stops, stem in (
         ("ru", RUSSIAN_STOP_WORDS, stem_ru),
@@ -642,6 +693,7 @@ def register_language_analyzers() -> None:
         ("sv", SWEDISH_STOP_WORDS, stem_sv),
         ("da", DANISH_STOP_WORDS, stem_da),
         ("no", NORWEGIAN_STOP_WORDS, stem_no),
+        ("fi", FINNISH_STOP_WORDS, stem_fi),
     ):
         REGISTRY.setdefault(
             code,
@@ -650,6 +702,20 @@ def register_language_analyzers() -> None:
                 [lower, StopFilter(stops), SnowballStemmerFilter(stem)],
             ),
         )
+    # ar: toLower, NFKC, stop_ar (unnormalized list), arabic normalize,
+    # arabic light stemmer — analyzer_ar.go:49-57 filter order.
+    from bleve_spark.analysis.extras import UnicodeNormFilter
+    from bleve_spark.analysis.lang_data import ARABIC_STOP_WORDS
+
+    REGISTRY.setdefault(
+        "ar",
+        Analyzer(
+            "ar", UnicodeTokenizer(),
+            [lower, UnicodeNormFilter("NFKC"),
+             StopFilter(ARABIC_STOP_WORDS),
+             ArabicNormalizeFilter(), ArabicStemmerFilter()],
+        ),
+    )
 
 
 register_language_analyzers()

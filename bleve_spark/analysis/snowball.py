@@ -439,3 +439,134 @@ def stem_ru(word: str) -> str:
     elif word.endswith("ь") and len(word) - 1 >= rv:
         word = word[:-1]
     return word
+
+
+# ================================================================= FINNISH
+# snowballstem.org/algorithms/finnish/stemmer.html — vowels aeiouyäö,
+# restricted vowels V = aeiouäö, long vowels LV = doubled V (minus y).
+
+_FI_VOWELS = "aeiouyäö"
+_FI_V = "aeiouäö"
+_FI_LV = ("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+_FI_STEP1A = ["kin", "kaan", "kään", "ko", "kö", "han", "hän", "pa",
+              "pä"]
+_FI_STEP2 = ["si", "ni", "nsa", "nsä", "mme", "nne", "an", "än", "en"]
+_FI_STEP3 = ["han", "hen", "hin", "hon", "hän", "hön", "siin", "den",
+             "tten", "seen", "a", "ä", "tta", "ttä", "ta", "tä", "ssa",
+             "ssä", "sta", "stä", "lla", "llä", "lta", "ltä", "lle",
+             "na", "nä", "ksi", "ine", "n"]
+_FI_STEP4 = ["mpi", "mpa", "mpä", "mmi", "mma", "mmä", "impi", "impa",
+             "impä", "immi", "imma", "immä", "eja", "ejä"]
+
+
+def stem_fi(word: str) -> str:
+    r1 = _r1_pos(word, _FI_VOWELS)
+    r2 = _r2_pos(word, _FI_VOWELS)
+
+    # step 1: particles. sti needs R2; the k/p/h particles need a
+    # preceding n, t or vowel (which need not be in R1).
+    suf = _ends_in(word, r1, _FI_STEP1A + ["sti"])
+    if suf == "sti":
+        if len(word) - 3 >= r2:
+            word = word[:-3]
+    elif suf:
+        prev = word[: -len(suf)]
+        if prev and (prev[-1] in "nt" or prev[-1] in _FI_VOWELS):
+            word = prev
+    # step 2: possessives (longest match, then condition — snowball
+    # among semantics: a failed condition removes nothing)
+    suf = _ends_in(word, r1, _FI_STEP2)
+    if suf == "si":
+        if not word[:-2].endswith("k"):
+            word = word[:-2]
+    elif suf == "ni":
+        word = word[:-2]
+        if word.endswith("kse"):
+            word = word[:-1] + "i"
+    elif suf in ("nsa", "nsä", "mme", "nne"):
+        word = word[: -len(suf)]
+    elif suf == "an":
+        if word[:-2].endswith(("ta", "ssa", "sta", "lla", "lta", "na")):
+            word = word[:-2]
+    elif suf == "än":
+        if word[:-2].endswith(("tä", "ssä", "stä", "llä", "ltä", "nä")):
+            word = word[:-2]
+    elif suf == "en":
+        if word[:-2].endswith(("lle", "ine")):
+            word = word[:-2]
+
+    # step 3: cases
+    step3 = False
+    suf = _ends_in(word, r1, _FI_STEP3)
+    if suf in ("han", "hen", "hin", "hon", "hän", "hön"):
+        if word[: -3].endswith(suf[1]):
+            word = word[:-3]
+            step3 = True
+    elif suf in ("siin", "den", "tten"):
+        prev = word[: -len(suf)]
+        if len(prev) >= 2 and prev[-1] == "i" and prev[-2] in _FI_V:
+            word = prev
+            step3 = True
+    elif suf == "seen":
+        if word[:-4].endswith(_FI_LV):
+            word = word[:-4]
+            step3 = True
+    elif suf in ("a", "ä"):
+        prev = word[:-1]
+        if (len(prev) >= 2 and prev[-1] in _FI_VOWELS
+                and prev[-2] not in _FI_VOWELS):
+            word = prev
+            step3 = True
+    elif suf in ("tta", "ttä"):
+        if word[:-3].endswith("e"):
+            word = word[:-3]
+            step3 = True
+    elif suf == "n":
+        word = word[:-1]
+        step3 = True
+        if word.endswith(_FI_LV) or word.endswith("ie"):
+            word = word[:-1]
+    elif suf:
+        word = word[: -len(suf)]
+        step3 = True
+
+    # step 4: other endings (R2)
+    suf = _ends_in(word, r2, _FI_STEP4)
+    if suf in ("mpi", "mpa", "mpä", "mmi", "mma", "mmä"):
+        if not word[: -len(suf)].endswith("po"):
+            word = word[: -len(suf)]
+    elif suf:
+        word = word[: -len(suf)]
+
+    # step 5: plurals
+    if step3:
+        if len(word) - 1 >= r1 and word and word[-1] in "ij":
+            word = word[:-1]
+    else:
+        if (len(word) - 1 >= r1 and word.endswith("t")
+                and len(word) >= 2 and word[-2] in _FI_VOWELS):
+            word = word[:-1]
+            suf = _ends_in(word, r2, ["mma", "imma"])
+            if suf == "imma":
+                word = word[:-4]
+            elif suf == "mma" and not word[:-3].endswith("po"):
+                word = word[:-3]
+
+    # step 6: tidying (a-d restricted to R1 — the tested letters must
+    # all lie inside R1; e is unrestricted)
+    if len(word) - 2 >= r1 and word.endswith(_FI_LV):
+        word = word[:-1]
+    if (len(word) - 2 >= r1 and len(word) >= 2
+            and word[-1] in "aäei" and word[-2] not in _FI_VOWELS):
+        word = word[:-1]
+    if len(word) - 2 >= r1 and word.endswith(("oj", "uj")):
+        word = word[:-1]
+    if len(word) - 2 >= r1 and word.endswith("jo"):
+        word = word[:-1]
+    # e) final double consonant followed by zero or more vowels
+    i = len(word) - 1
+    while i >= 0 and word[i] in _FI_VOWELS:
+        i -= 1
+    if i >= 1 and word[i] not in _FI_VOWELS and word[i - 1] == word[i]:
+        word = word[:i] + word[i + 1:]
+    return word

@@ -42,6 +42,39 @@ class Token(NamedTuple):
 _AL = r"[^\W\d_]"  # unicode letter
 _NU = r"\d"
 _ALNUM = r"[\w]"  # letters + digits + underscore (ExtendNumLet)
+
+
+def _mark_class() -> str:
+    """Character class of combining marks (categories Mn/Mc/Me) — the
+    UAX#29 Extend set, absorbed into words (WB4) so Indic matras,
+    viramas, Arabic harakat etc. don't split tokens. Python's \\w
+    excludes them. BMP-only: supplementary-plane marks are vanishingly
+    rare in text and would cost a 17× longer import scan."""
+    import unicodedata
+
+    ranges = []
+    start = prev = None
+    for cp in range(0x10000):
+        if unicodedata.category(chr(cp)).startswith("M"):
+            if start is None:
+                start = prev = cp
+            elif cp == prev + 1:
+                prev = cp
+            else:
+                ranges.append((start, prev))
+                start = prev = cp
+    if start is not None:
+        ranges.append((start, prev))
+    return "[" + "".join(
+        re.escape(chr(a)) if a == b
+        else re.escape(chr(a)) + "-" + re.escape(chr(b))
+        for a, b in ranges
+    ) + "]"
+
+
+_EXT = _mark_class()
+# a word "letter" = word char plus any trailing combining marks
+_WCH = rf"(?:{_ALNUM}{_EXT}*)"
 # MidLetter ∪ MidNumLet ∪ single-quote, valid when followed by a
 # letter — full UAX#29 MidLetter table (: · ‧ ״ ﹕ ︓ ： ' ’) plus
 # MidNumLet (. ' ‘ ’ ． ＇)
@@ -50,7 +83,7 @@ _MID_L = "[:.·‧״﹕︓：'’‘．＇]"
 # (, ; ； ︐ ︔ ﹐ ﹔ ， ٬ ، ٫ ；) plus MidNumLet
 _MID_N = "[.,;'’‘．＇；︐︔﹐﹔，٬،٫]"
 
-_WORD = rf"{_ALNUM}+(?:(?:{_MID_L}(?={_AL})|{_MID_N}(?={_NU})){_ALNUM}+)*"
+_WORD = rf"{_WCH}+(?:(?:{_MID_L}(?={_AL})|{_MID_N}(?={_NU})){_WCH}+)*"
 
 _KATAKANA = r"[ァ-ヺー-ヿㇰ-ㇿｦ-ﾟ]+"
 _IDEO_ONE = (
