@@ -72,9 +72,16 @@ class IndexedTable:
     # (/root/reference/search/util.go:252); query-time term expansion
     # (/root/reference/search/searcher/search_term.go:154-196)
     synonyms: dict = None
+    # index-time thesaurus: DataFrame (collection, term, synonym) that
+    # distributes with the index (document/field_synonym.go,
+    # snapshot_index_thes.go); fields opt in via synonym_collections
+    thesaurus: DataFrame = None
+    synonym_collections: dict = None  # field → collection name
     _persisted: list = dc_field(default_factory=list)
     # driver-side dictionary cache: None = not tried, False = too big
     _dict_map: object = dc_field(default=None, repr=False)
+    # per-(field, term) memo of bounded thesaurus lookups
+    _syn_cache: dict | None = dc_field(default=None, repr=False)
     # per-index override of DICT_CACHE_MAX (0 forces every dictionary
     # expansion onto the fully distributed join path)
     dict_cache_max: int | None = None
@@ -123,6 +130,38 @@ class IndexedTable:
                     )
                 self._dict_map = d
         return self._dict_map or None
+
+    def synonyms_for(self, field_name: str, term: str) -> list[str]:
+        """Synonyms for ``term`` on ``field_name`` — from the indexed
+        thesaurus when the field is wired to a synonym collection
+        (snapshot_index_thes.go TermFieldReader semantics), else from
+        the legacy query-time map.  Thesaurus pulls are bounded
+        ``limit(cap)`` lookups memoized per (field, term); the full
+        mapping is never collected."""
+        legacy = (self.synonyms or {}).get(field_name, {}).get(term)
+        if legacy:
+            return list(legacy)
+        coll = (self.synonym_collections or {}).get(field_name)
+        if coll is None or self.thesaurus is None:
+            return []
+        if self._syn_cache is None:
+            self._syn_cache = {}
+        key = (field_name, term)
+        if key not in self._syn_cache:
+            from bleve_spark.index.thesaurus import SYNONYM_CACHE_MAX
+
+            rows = (
+                self.thesaurus
+                .where(
+                    (F.col("collection") == coll)
+                    & (F.col("term") == term)
+                )
+                .select("synonym")
+                .limit(SYNONYM_CACHE_MAX)
+                .collect()
+            )
+            self._syn_cache[key] = sorted(r["synonym"] for r in rows)
+        return self._syn_cache[key]
 
     def doc_freq(self, field_name: str, terms: list[str]) -> dict[str, int]:
         """Dictionary lookup: #docs containing each term (bleve
@@ -469,6 +508,8 @@ def index_table(
     persist: bool = True,
     synonyms: dict | None = None,
     composite_fields: dict[str, list[str]] | None = None,
+    thesaurus: DataFrame | None = None,
+    synonym_collections: dict | None = None,
 ) -> IndexedTable:
     """Build the index for ``df``.
 
@@ -505,6 +546,8 @@ def index_table(
         stats=None,
         dictionary=None,
         synonyms=synonyms,
+        thesaurus=thesaurus,
+        synonym_collections=synonym_collections,
     )
     if persist:
         idx.postings = idx.postings.persist()

@@ -79,6 +79,15 @@ class AliasIndex(IndexedTable):
                 F.min("norm").alias("min_norm"),
             )
         )
+        # pre-search synonym phase (pre_search.go): the alias exposes
+        # the union of shard thesauri so query-time expansion sees
+        # synonym definitions indexed on ANY shard
+        from bleve_spark.index.thesaurus import merge_thesauri
+
+        merged_thes = merge_thesauri([i.thesaurus for i in indexes])
+        syn_colls: dict = {}
+        for i in indexes:
+            syn_colls.update(i.synonym_collections or {})
         super().__init__(
             source=source,
             postings=postings,
@@ -86,6 +95,8 @@ class AliasIndex(IndexedTable):
             field_analyzers=dict(indexes[0].field_analyzers),
             stats=merged_stats(indexes),
             dictionary=dictionary,
+            thesaurus=merged_thes,
+            synonym_collections=syn_colls or None,
         )
         self.shards = list(indexes)
 

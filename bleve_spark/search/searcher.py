@@ -790,7 +790,7 @@ class Compiler:
         each synonym@boost/2 as a disjunction (the reference's
         NewSynonymSearcher, search_term.go:154-196, keyed from
         FieldTermSynonymMap, search/util.go:252)."""
-        syns = (self.idx.synonyms or {}).get(field, {}).get(term)
+        syns = self.idx.synonyms_for(field, term)
         if not syns:
             return self._terms(field, [term], boost)[0]
         nodes = self._terms(field, [term, *syns], boost)
