@@ -812,6 +812,27 @@ LANG_CORPORA = {
            "bygningene i havnedistriktet", "sannsynlighetene er store",
            "en stor sannsynlighet", "byens gamle bygninger",
            "havnen og byen", "store bygninger i havnen"],
+    # tranche 2: fi snowball; ar/hi/ckb/hr light pipelines; fa
+    # normalize-only (analyzer_fa.go has no stemmer)
+    "fi": ["edeltäjiinsä ja seuraajiinsa", "edeltäjistään puhuminen",
+           "kirjan sivut", "taloissa asutaan",
+           "taloissakin on kirjoja", "tyttöjen koulu", "suuri talo",
+           "koulun kirjat"],
+    "ar": ["الكتاب الكبير", "مشروبات باردة", "أمريكيين في المدينة",
+           "كتاب عن السلام", "الكتب في المكتبة", "مشروب كبير",
+           "امريكي في البيت", "سلام كبير"],
+    "fa": ["کتاب های خوب", "زادہ شهر", "كتابۀ بزرگ",
+           "کشاندن به خانه", "کتاب بزرگ", "خانه های شهر",
+           "شهر بزرگ", "های خوب"],
+    "hi": ["हिन्दी किताबें", "लडका और लडकी", "लडकों के दोस्त",
+           "गुरुओं का ज्ञान", "किताबों की दुकान", "खाना खाता",
+           "कठिनाइयां आती", "दोस्तों के साथ"],
+    "ckb": ["کتێبەکان لە قوتابخانە", "پیاوەکە هات", "کتێبێکی نوێ",
+            "قوتابخانەکە گەورەیە", "پیاوان لە شار", "کتێبی من",
+            "شارەکان گەورەن", "نوێیەکان هاتن"],
+    "hr": ["Hrvatska i Hrvatski jezik", "komarac leti",
+           "crvi u zemlji", "zaključcima rasprave", "veliki komarac",
+           "hrvatske knjige", "knjiga o zemlji", "rasprava o jeziku"],
 }
 
 # frozen goldens: analyzer output at freeze time, hand-spot-checked
@@ -868,6 +889,29 @@ LANG_GOLD_TOKENS = {
            ["bygning", "havnedistrikt"], ["sannsyn", "stor"],
            ["stor", "sannsyn"], ["byens", "gaml", "bygning"],
            ["havn", "byen"], ["stor", "bygning", "havn"]],
+    # tranche-2 goldens: key stems cross-checked against the
+    # reference's analyzer/stemmer test vectors (edeltäj, كتاب/كبير/
+    # مشروب/امريك/سلام, هاي-normalization, हिंद/लडक/गुर/किताब/खा/कठिन,
+    # hrvatsk/komarc/crv/zaključk)
+    "fi": [["edeltäj", "seuraaj"], ["edeltäj", "puhumin"],
+           ["kirj", "sivu"], ["talo", "asu"], ["talo", "kirj"],
+           ["tyttöj", "koulu"], ["suuri", "talo"], ["koulu", "kirj"]],
+    "ar": [["كتاب", "كبير"], ["مشروب", "بارد"], ["امريك", "مدين"],
+           ["كتاب", "سلام"], ["كتب", "مكتب"], ["مشروب", "كبير"],
+           ["امريك", "بيت"], ["سلام", "كبير"]],
+    "fa": [["كتاب", "خوب"], ["زاده", "شهر"], ["كتابه", "بزرگ"],
+           ["كشاندن", "خانه"], ["كتاب", "بزرگ"], ["خانه", "شهر"],
+           ["شهر", "بزرگ"], ["خوب"]],
+    "hi": [["हिंद", "किताब"], ["लडक", "लडक"], ["लडक", "दोसत"],
+           ["गुर", "जञान"], ["किताब", "दुकान"], ["खा", "खा"],
+           ["कठिन", "अत"], ["दोसत"]],
+    "ckb": [["کتێب", "قوتابخ"], ["پیاو", "هات"], ["کتێب", "نوێ"],
+            ["قوتابخان", "گەورە"], ["پیاو", "شار"], ["کتێب"],
+            ["شارە", "گەورەن"], ["نوێی", "هاتن"]],
+    "hr": [["hrvatsk", "i", "hrvatsk", "jezik"], ["komarc", "let"],
+           ["crv", "u", "zemlj"], ["zaključk", "rasprav"],
+           ["velik", "komarc"], ["hrvatsk", "knjig"],
+           ["knjig", "o", "zemlj"], ["rasprav", "o", "jezik"]],
 }
 
 # frozen analyzed QUERY tokens per language (same freeze contract)
@@ -883,6 +927,12 @@ LANG_QUERIES = {
     "sv": ("betydelsen av klockorna", ["betyd", "klock"]),
     "da": ("en kraftig undersøgelse", ["kraft", "undersøg"]),
     "no": ("bygningene i havnen", ["bygning", "havn"]),
+    "fi": ("edeltäjistään kirjan", ["edeltäj", "kirj"]),
+    "ar": ("الكتاب الكبير", ["كتاب", "كبير"]),
+    "fa": ("کتاب های بزرگ", ["كتاب", "بزرگ"]),
+    "hi": ("लडकों की किताबें", ["लडक", "किताब"]),
+    "ckb": ("کتێبەکان لە شار", ["کتێب", "شار"]),
+    "hr": ("hrvatski komarac", ["hrvatsk", "komarc"]),
 }
 
 
@@ -1335,6 +1385,51 @@ _QSHAPE_PTS = [(-20.5, -25.25), (30.5, -20.25), (25.5, 30.75),
                (-15.5, 28.25)]
 
 
+# inner ring (hole) for the donut-query driver entries — fractional,
+# strictly inside _QSHAPE_PTS
+_QHOLE_PTS = [(-5.5, -5.25), (10.5, -6.25), (11.5, 8.75),
+              (-6.5, 9.75)]
+
+
+def _sql_geo_shape_hole(relation: str) -> str:
+    """Independent donut-polygon oracle: region = outer minus hole;
+    ring crossings count both rings; a hole vertex inside a doc
+    polygon breaks within."""
+    outer, hole = _QSHAPE_PTS, _QHOLE_PTS
+    in_reg = (f"({_pip_count_sql('v[1]', 'v[2]', outer)}) AND NOT "
+              f"({_pip_count_sql('v[1]', 'v[2]', hole)})")
+    any_in = f"(len(list_filter(c, v -> {in_reg})) > 0)"
+    all_in = f"(len(list_filter(c, v -> {in_reg})) = len(c))"
+    cross = (f"({_edges_cross_sql(outer)} OR "
+             f"{_edges_cross_sql(hole)})")
+    hole_in_doc = " OR ".join(
+        _pip_doc_sql(float(hx), float(hy)) for hx, hy in hole
+    )
+    q_in_doc = " OR ".join(
+        _pip_doc_sql(float(qx), float(qy)) for qx, qy in outer
+    )
+    if relation == "within":
+        pred = (
+            f"CASE WHEN kind = 'point' THEN {any_in} "
+            f"WHEN kind = 'linestring' THEN {all_in} AND NOT {cross} "
+            f"ELSE {all_in} AND NOT {cross} "
+            f"AND NOT ({hole_in_doc}) END"
+        )
+    elif relation == "intersects":
+        pred = (
+            f"CASE WHEN kind = 'point' THEN {any_in} "
+            f"ELSE {any_in} OR {cross} "
+            f"OR (kind = 'polygon' AND ({q_in_doc})) END"
+        )
+    else:
+        raise ValueError(relation)
+    return (
+        _SQL_SHAPES_CTE
+        + "SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM shp "
+        f"WHERE {pred}"
+    )
+
+
 def _sql_geo_shape(relation: str) -> str:
     pts = _QSHAPE_PTS
     pip_v = _pip_count_sql("v[1]", "v[2]", pts)
@@ -1762,6 +1857,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    "coordinates": [list(p) for p in _QLS_PTS]},
         )
 
+    def q_geo_shape_hole_within(spark, sf):
+        """Query polygon WITH A HOLE (GeoJSON inner ring): doc shapes
+        inside the hole must not match within — geo/README.md s2
+        polygons carry holes; parts engine subtracts ring c[1]."""
+        return _geo_shape_q(
+            spark, sf, "within",
+            shape={"type": "polygon",
+                   "coordinates": [[list(p) for p in _QSHAPE_PTS],
+                                   [list(p) for p in _QHOLE_PTS]]},
+        )
+
+    def q_geo_shape_hole_intersects(spark, sf):
+        """Same donut query, intersects relation: shapes buried in the
+        hole don't intersect; shapes straddling the hole boundary do."""
+        return _geo_shape_q(
+            spark, sf, "intersects",
+            shape={"type": "polygon",
+                   "coordinates": [[list(p) for p in _QSHAPE_PTS],
+                                   [list(p) for p in _QHOLE_PTS]]},
+        )
+
     def q_geo_shape_parts_within(spark, sf):
         """Same within relation through the PARTS-based geoshape
         engine (search/geoshape.py — the generalized model that runs
@@ -1775,6 +1891,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("shape_kind").alias("kind"),
                 F.col("shape_coords").alias("ring"),
                 F.lit(0.0).alias("radius"),
+                F.expr(
+                    "CAST(array() AS array<array<array<double>>>)"
+                ).alias("holes"),
             )
         )
         # radius-0 parts: inner == outer == the materialized flat bbox
@@ -2122,6 +2241,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _INDEX_CACHE[key], {"field": "text", "term": "spark"}, k=20
         )
 
+    def q_synonym_thesaurus(spark, sf):
+        """Index-time synonym thesaurus (document/field_synonym.go,
+        index.go:360-390): definitions analyzed at index time into a
+        (collection, term, synonym) DataFrame that distributes with
+        the index; the term query expands through it (term@1 +
+        synonym@1/2), scoring exactly like the legacy query-time map."""
+        from bleve_spark.index.thesaurus import build_thesaurus
+
+        key = (spark.sparkContext.applicationId, sf, "documents-thes")
+        if key not in _INDEX_CACHE:
+            df = spark.read.parquet(f"{sf}/documents.parquet")
+            thes = build_thesaurus(
+                spark, [{"input": ["spark"], "synonyms": ["scan"]}]
+            )
+            _INDEX_CACHE[key] = index_table(
+                df, key_cols=["doc_id"], fields={"text": "standard"},
+                thesaurus=thes,
+                synonym_collections={"text": "default"},
+            )
+        return _topk(
+            _INDEX_CACHE[key], {"field": "text", "term": "spark"}, k=20
+        )
+
+    def q_alias_synonym(spark, sf):
+        """Alias pre-search synonym phase (pre_search.go): the
+        thesaurus is indexed on ONE shard only; the alias merges shard
+        thesauri before querying, so expansion applies across all
+        shards."""
+        from bleve_spark.index.thesaurus import build_thesaurus
+        from bleve_spark.search.alias import AliasIndex
+
+        key = (spark.sparkContext.applicationId, sf, "alias-thes")
+        if key not in _INDEX_CACHE:
+            df = spark.read.parquet(f"{sf}/documents.parquet")
+            thes = build_thesaurus(
+                spark, [{"input": ["spark"], "synonyms": ["scan"]}]
+            )
+            shards = [
+                index_table(
+                    df.where(F.col("doc_id") % 2 == i),
+                    key_cols=["doc_id"],
+                    fields={"text": "standard"},
+                    thesaurus=thes if i == 0 else None,
+                    synonym_collections=(
+                        {"text": "default"} if i == 0 else None
+                    ),
+                )
+                for i in (0, 1)
+            ]
+            _INDEX_CACHE[key] = AliasIndex(shards)
+        return _topk(
+            _INDEX_CACHE[key], {"field": "text", "term": "spark"}, k=20
+        )
+
     def q_highlight(spark, sf):
         from bleve_spark.search.searcher import search
 
@@ -2200,6 +2373,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_lang_no(spark, sf):
         """Norwegian analyzer (stop_no + snowball stemmer)."""
         return _lang_q(spark, sf, "no")
+
+    def q_lang_fi(spark, sf):
+        """Finnish analyzer (stop_fi + TRUE snowball stemmer)."""
+        return _lang_q(spark, sf, "fi")
+
+    def q_lang_ar(spark, sf):
+        """Arabic analyzer (NFKC + stop_ar + arabic normalize +
+        Lucene light stemmer, analyzer_ar.go)."""
+        return _lang_q(spark, sf, "ar")
+
+    def q_lang_fa(spark, sf):
+        """Persian analyzer (ZWNJ charfilter + arabic/persian
+        normalize + stop_fa; no stemmer — analyzer_fa.go)."""
+        return _lang_q(spark, sf, "fa")
+
+    def q_lang_hi(spark, sf):
+        """Hindi analyzer (indic+hindi normalize + stop_hi + light
+        stemmer, analyzer_hi.go)."""
+        return _lang_q(spark, sf, "hi")
+
+    def q_lang_ckb(spark, sf):
+        """Sorani Kurdish analyzer (sorani normalize + stop_ckb +
+        sorani stemmer, analyzer_ckb.go)."""
+        return _lang_q(spark, sf, "ckb")
+
+    def q_lang_hr(spark, sf):
+        """Croatian analyzer (stop_hr + suffix transforms +
+        Ljubesic-Pandzic rule stemmer, analyzer_hr.go)."""
+        return _lang_q(spark, sf, "hr")
 
     def _raw_idx(spark):
         key = (spark.sparkContext.applicationId, "raw-text")
@@ -2380,6 +2582,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_geo_shape_intersects": q_geo_shape_intersects,
             "q_geo_shape_ls_intersects": q_geo_shape_ls_intersects,
             "q_geo_shape_parts_within": q_geo_shape_parts_within,
+            "q_geo_shape_hole_within": q_geo_shape_hole_within,
+            "q_geo_shape_hole_intersects": q_geo_shape_hole_intersects,
             "q_geo_shape_contains": q_geo_shape_contains,
             "q_ip_range": q_ip_range,
             "q_hybrid_rrf": q_hybrid_rrf,
@@ -2397,6 +2601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_composite_term": q_composite_term,
             "q_composite_typed_term": q_composite_typed_term,
             "q_synonym_term": q_synonym_term,
+            "q_synonym_thesaurus": q_synonym_thesaurus,
+            "q_alias_synonym": q_alias_synonym,
             "q_term_store": q_term_store,
             "q_term_after_delete": q_term_after_delete,
             "q_blockmax_topk": q_blockmax_topk,
@@ -2412,6 +2618,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_lang_sv": q_lang_sv,
             "q_lang_da": q_lang_da,
             "q_lang_no": q_lang_no,
+            "q_lang_fi": q_lang_fi,
+            "q_lang_ar": q_lang_ar,
+            "q_lang_fa": q_lang_fa,
+            "q_lang_hi": q_lang_hi,
+            "q_lang_ckb": q_lang_ckb,
+            "q_lang_hr": q_lang_hr,
             "q_raw_text_match": q_raw_text_match,
             "q_raw_text_phrase": q_raw_text_phrase,
             "dedup_exact": dedup_exact,
@@ -2544,6 +2756,10 @@ def oracle_sql() -> dict[str, str]:
         "q_geo_shape_intersects": _sql_geo_shape("intersects"),
         "q_geo_shape_ls_intersects": _sql_geo_shape_ls_intersects(),
         "q_geo_shape_parts_within": _sql_geo_shape("within"),
+        "q_geo_shape_hole_within": _sql_geo_shape_hole("within"),
+        "q_geo_shape_hole_intersects": _sql_geo_shape_hole(
+            "intersects"
+        ),
         "q_geo_shape_contains": _sql_geo_shape_contains_point(-35.5, -37.75),
         "q_geo_bbox": (
             "SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM ("
@@ -2600,6 +2816,14 @@ ORDER BY score DESC, p.doc_id LIMIT 20""",
         "q_synonym_term": _sql_multi(
             _values(["spark", "scan"], mults=[1.0, 0.5]), min_req=1
         ),
+        # indexed-thesaurus expansion scores identically to the
+        # query-time map (same disjunction), incl. via alias pre-search
+        "q_synonym_thesaurus": _sql_multi(
+            _values(["spark", "scan"], mults=[1.0, 0.5]), min_req=1
+        ),
+        "q_alias_synonym": _sql_multi(
+            _values(["spark", "scan"], mults=[1.0, 0.5]), min_req=1
+        ),
         # at-rest store path: same scores as the in-memory term query
         "q_term_store": _sql_single_term("spark"),
         "q_term_after_delete": _sql_single_term(
@@ -2623,6 +2847,12 @@ ORDER BY score DESC, p.doc_id LIMIT 20""",
         "q_lang_sv": _sql_lang_match("sv"),
         "q_lang_da": _sql_lang_match("da"),
         "q_lang_no": _sql_lang_match("no"),
+        "q_lang_fi": _sql_lang_match("fi"),
+        "q_lang_ar": _sql_lang_match("ar"),
+        "q_lang_fa": _sql_lang_match("fa"),
+        "q_lang_hi": _sql_lang_match("hi"),
+        "q_lang_ckb": _sql_lang_match("ckb"),
+        "q_lang_hr": _sql_lang_match("hr"),
         "q_raw_text_match": _sql_raw_match(),
         "q_raw_text_phrase": _sql_raw_phrase(),
         "dedup_exact": (

@@ -418,6 +418,7 @@ def shape_relation_pred(
             return F.lit(False) & is_point_d
         raise ValueError(f"unsupported relation: {relation!r}")
 
+    qholes: list = []
     if qtype == "envelope":
         (tl_lon, tl_lat), (br_lon, br_lat) = query_shape["coordinates"]
         qpts = [
@@ -426,7 +427,18 @@ def shape_relation_pred(
         ]
         qtype = "polygon"
     elif qtype == "polygon":
-        qpts = [tuple(map(float, p)) for p in query_shape["coordinates"]]
+        qc = query_shape["coordinates"]
+        # accept GeoJSON ring nesting: [outer, hole1, ...]; flat
+        # vertex lists stay the single-ring fast path
+        qholes = []
+        if qc and qc[0] and isinstance(qc[0][0], (list, tuple)):
+            rings = [[tuple(map(float, p)) for p in r] for r in qc]
+            qpts = rings[0]
+            qholes = [
+                r[:-1] if r[0] == r[-1] else r for r in rings[1:]
+            ]
+        else:
+            qpts = [tuple(map(float, p)) for p in qc]
         if qpts[0] == qpts[-1]:
             qpts = qpts[:-1]
     elif qtype in ("circle", "point"):
@@ -471,23 +483,43 @@ def shape_relation_pred(
             return is_point & (fx == F.lit(px)) & (fy == F.lit(py))
         raise ValueError(f"unsupported relation: {relation!r}")
 
-    # ---- polygon / envelope query ----
+    # ---- polygon / envelope query (region = outer minus holes) ----
     def v_in_q(v):
-        return _pip_expr(F.element_at(v, 1), F.element_at(v, 2), qpts)
+        pred = _pip_expr(F.element_at(v, 1), F.element_at(v, 2), qpts)
+        for h in qholes:
+            pred = pred & ~_pip_expr(
+                F.element_at(v, 1), F.element_at(v, 2), h
+            )
+        return pred
 
     any_in, all_in = _verts(coords_col, v_in_q)
     edges_cross = doc_edges_intersect_query(coords_col, qpts)
+    for h in qholes:
+        # hole rings are region boundary too
+        edges_cross = edges_cross | doc_edges_intersect_query(
+            coords_col, h
+        )
     q_vertex_in_doc = F.lit(False)
     for qx, qy in qpts:
         q_vertex_in_doc = q_vertex_in_doc | point_in_doc_polygon(
             qx, qy, coords_col
         )
+    # a query hole buried inside a doc polygon (no crossings) breaks
+    # within: the doc area under the hole is outside the region
+    hole_vertex_in_doc = F.lit(False)
+    for h in qholes:
+        for hx, hy in h:
+            hole_vertex_in_doc = (
+                hole_vertex_in_doc
+                | point_in_doc_polygon(hx, hy, coords_col)
+            )
 
     if relation == "within":
         # all vertices inside and no boundary crossing (exact for the
-        # planar model; single-ring query polygons)
+        # planar model)
         return F.when(is_point, any_in).otherwise(
             all_in & ~edges_cross
+            & ~(is_poly & hole_vertex_in_doc)
         )
     if relation == "intersects":
         return F.when(is_point, any_in).otherwise(

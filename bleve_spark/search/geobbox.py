@@ -96,7 +96,7 @@ def query_shape_bbox(query_shape: dict) -> dict | None:
     in_maxlon = in_maxlat = float("-inf")
     out_minlon = out_minlat = float("inf")
     out_maxlon = out_maxlat = float("-inf")
-    for kind, ring, radius in parts:
+    for kind, ring, radius, _holes in parts:
         lons = [p[0] for p in ring]
         lats = [p[1] for p in ring]
         lo_lon, hi_lon = min(lons), max(lons)

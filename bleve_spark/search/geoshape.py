@@ -45,40 +45,55 @@ from bleve_spark.search.geo import (
 
 PARTS_SCHEMA = (
     "array<struct<kind: string, ring: array<array<double>>, "
-    "radius: double>>"
+    "radius: double, holes: array<array<array<double>>>>>"
 )
 
 _M_PER_DEG_LAT = 110540.0
 _M_PER_DEG_LON_EQ = 111320.0
 
 
+def _close(ring: list) -> list:
+    if ring[0] != ring[-1]:
+        ring.append(ring[0])
+    return ring
+
+
 def geojson_to_parts(shape: dict) -> list[tuple]:
-    """GeoJSON-ish dict → [(kind, [[lon, lat], ...], radius_m)]."""
+    """GeoJSON-ish dict →
+    [(kind, [[lon, lat], ...], radius_m, holes)] where ``holes`` is a
+    list of closed inner rings (polygon parts only — GeoJSON rings
+    c[1:], subtracted from the outer ring's region; geo/README.md's s2
+    polygons carry holes the same way)."""
     t = shape["type"].lower()
     c = shape.get("coordinates")
     if t == "point":
-        return [("point", [list(map(float, c))], 0.0)]
+        return [("point", [list(map(float, c))], 0.0, [])]
     if t == "multipoint":
-        return [("point", [list(map(float, p))], 0.0) for p in c]
+        return [("point", [list(map(float, p))], 0.0, []) for p in c]
     if t == "linestring":
-        return [("linestring", [list(map(float, p)) for p in c], 0.0)]
+        return [("linestring", [list(map(float, p)) for p in c], 0.0,
+                 [])]
     if t == "multilinestring":
         return [
-            ("linestring", [list(map(float, p)) for p in part], 0.0)
+            ("linestring", [list(map(float, p)) for p in part], 0.0,
+             [])
             for part in c
         ]
     if t == "polygon":
-        ring = [list(map(float, p)) for p in c[0]]  # outer ring only
-        if ring[0] != ring[-1]:
-            ring.append(ring[0])
-        return [("polygon", ring, 0.0)]
+        ring = _close([list(map(float, p)) for p in c[0]])
+        holes = [
+            _close([list(map(float, p)) for p in h]) for h in c[1:]
+        ]
+        return [("polygon", ring, 0.0, holes)]
     if t == "multipolygon":
         out = []
         for poly in c:
-            ring = [list(map(float, p)) for p in poly[0]]
-            if ring[0] != ring[-1]:
-                ring.append(ring[0])
-            out.append(("polygon", ring, 0.0))
+            ring = _close([list(map(float, p)) for p in poly[0]])
+            holes = [
+                _close([list(map(float, p)) for p in h])
+                for h in poly[1:]
+            ]
+            out.append(("polygon", ring, 0.0, holes))
         return out
     if t == "envelope":
         (lo_lon, hi_lat), (hi_lon, lo_lat) = c
@@ -87,11 +102,11 @@ def geojson_to_parts(shape: dict) -> list[tuple]:
             [float(hi_lon), float(hi_lat)], [float(lo_lon), float(hi_lat)],
             [float(lo_lon), float(lo_lat)],
         ]
-        return [("polygon", ring, 0.0)]
+        return [("polygon", ring, 0.0, [])]
     if t == "circle":
         return [
             ("circle", [list(map(float, c))],
-             parse_distance(shape["radius"]))
+             parse_distance(shape["radius"]), [])
         ]
     if t == "geometrycollection":
         out = []
@@ -191,10 +206,60 @@ def _q_verts_in_docring(qverts: list, ring: Column) -> tuple:
     return any_p, all_p
 
 
-def _pair_preds(doc_kind: str, ring: Column, rd: Column, qpart) -> dict:
+def _in_q_region(x, y, qverts: list, qholes: list) -> Column:
+    """Point column in the query polygon's REGION: inside the outer
+    ring and outside every hole ring (GeoJSON c[1:] subtraction)."""
+    pred = _pip_expr(x, y, qverts[:-1])
+    for h in qholes:
+        pred = pred & ~_pip_expr(x, y, h[:-1])
+    return pred
+
+
+def _cross_q_rings(ring: Column, qverts: list, qholes: list,
+                   closed_query: bool = True) -> Column:
+    """Doc edges crossing ANY query ring (outer or hole) — hole edges
+    are region boundary too."""
+    cross = doc_edges_intersect_query(
+        ring, qverts[:-1] if closed_query else qverts,
+        closed_query=closed_query,
+    )
+    for h in qholes:
+        cross = cross | doc_edges_intersect_query(ring, h[:-1])
+    return cross
+
+
+def _pt_in_doc_region(qx: float, qy: float, ring: Column,
+                      holes: Column | None) -> Column:
+    """Fixed point inside the doc polygon part's region (outer ring
+    minus its holes)."""
+    from bleve_spark.search.geo import point_in_doc_polygon
+
+    inside = point_in_doc_polygon(qx, qy, ring)
+    if holes is not None:
+        inside = inside & ~F.exists(
+            holes, lambda h: point_in_doc_polygon(qx, qy, h)
+        )
+    return inside
+
+
+def _doc_holes_cross(holes: Column | None, qverts: list,
+                     closed_query: bool = True) -> Column:
+    if holes is None:
+        return F.lit(False)
+    return F.exists(
+        holes,
+        lambda h: doc_edges_intersect_query(
+            h, qverts, closed_query=closed_query
+        ),
+    )
+
+
+def _pair_preds(doc_kind: str, ring: Column, rd: Column, qpart,
+                holes: Column | None = None) -> dict:
     """{'intersects','within','contains'} for one doc-part kind vs one
-    FIXED query part."""
-    qk, qverts, qr = qpart
+    FIXED query part.  ``holes`` = the doc polygon part's hole rings
+    (None/empty elsewhere); qpart carries the query part's holes."""
+    qk, qverts, qr, qholes = qpart
     first = F.element_at(ring, 1)
     fx, fy = F.element_at(first, 1), F.element_at(first, 2)
     FALSE = F.lit(False)
@@ -206,7 +271,7 @@ def _pair_preds(doc_kind: str, ring: Column, rd: Column, qpart) -> dict:
             eq = (fx == F.lit(qx)) & (fy == F.lit(qy))
             out = {"intersects": eq, "within": eq, "contains": eq}
         elif qk == "polygon":
-            pip = _pip_expr(fx, fy, qverts[:-1])
+            pip = _in_q_region(fx, fy, qverts, qholes)
             out["intersects"] = pip
             out["within"] = pip
         elif qk == "circle":
@@ -217,10 +282,10 @@ def _pair_preds(doc_kind: str, ring: Column, rd: Column, qpart) -> dict:
 
     if doc_kind == "linestring":
         if qk == "polygon":
-            pip = lambda v: _pip_expr(  # noqa: E731
-                F.element_at(v, 1), F.element_at(v, 2), qverts[:-1]
+            pip = lambda v: _in_q_region(  # noqa: E731
+                F.element_at(v, 1), F.element_at(v, 2), qverts, qholes
             )
-            cross = doc_edges_intersect_query(ring, qverts[:-1])
+            cross = _cross_q_rings(ring, qverts, qholes)
             out["intersects"] = _verts_any(ring, pip) | cross
             out["within"] = _verts_all(ring, pip) & ~cross
         elif qk == "linestring":
@@ -241,36 +306,94 @@ def _pair_preds(doc_kind: str, ring: Column, rd: Column, qpart) -> dict:
 
     if doc_kind == "polygon":
         if qk == "point":
-            from bleve_spark.search.geo import point_in_doc_polygon
-
             qx, qy = qverts[0]
-            inside = point_in_doc_polygon(qx, qy, ring)
+            inside = _pt_in_doc_region(qx, qy, ring, holes)
             out["intersects"] = inside
             out["contains"] = inside
         elif qk == "polygon":
-            pip = lambda v: _pip_expr(  # noqa: E731
-                F.element_at(v, 1), F.element_at(v, 2), qverts[:-1]
+            pip = lambda v: _in_q_region(  # noqa: E731
+                F.element_at(v, 1), F.element_at(v, 2), qverts, qholes
             )
-            cross = doc_edges_intersect_query(ring, qverts[:-1])
-            q_any, q_all = _q_verts_in_docring(qverts[:-1], ring)
-            out["intersects"] = _verts_any(ring, pip) | cross | q_any
-            out["within"] = _verts_all(ring, pip) & ~cross
-            out["contains"] = q_all & ~cross
+            cross = _cross_q_rings(ring, qverts, qholes)
+            cross_dh = _doc_holes_cross(holes, qverts[:-1])
+            q_region_any = FALSE
+            q_region_all = F.lit(True)
+            for qx, qy in qverts[:-1]:
+                inr = _pt_in_doc_region(qx, qy, ring, holes)
+                q_region_any = q_region_any | inr
+                q_region_all = q_region_all & inr
+            out["intersects"] = (
+                _verts_any(ring, pip) | cross | cross_dh | q_region_any
+            )
+            # a query hole buried inside the doc part (no crossings)
+            # still breaks within: doc area inside the hole is outside
+            # the query region
+            hole_in_doc = FALSE
+            for h in qholes:
+                for hx, hy in h[:-1]:
+                    from bleve_spark.search.geo import (
+                        point_in_doc_polygon,
+                    )
+
+                    hole_in_doc = hole_in_doc | point_in_doc_polygon(
+                        hx, hy, ring
+                    )
+            out["within"] = (
+                _verts_all(ring, pip) & ~cross & ~hole_in_doc
+            )
+            # doc region ⊇ query region: all query verts in doc
+            # region, no ring crossings (either ring set), and no doc
+            # hole poking into the query region
+            contains = q_region_all & ~cross & ~cross_dh
+            if holes is not None:
+                contains = contains & ~F.exists(
+                    holes,
+                    lambda h: _verts_any(
+                        h,
+                        lambda v: _in_q_region(
+                            F.element_at(v, 1), F.element_at(v, 2),
+                            qverts, qholes,
+                        ),
+                    ),
+                )
+            out["contains"] = contains
         elif qk == "linestring":
             cross = doc_edges_intersect_query(
                 ring, qverts, closed_query=False
             )
-            q_any, q_all = _q_verts_in_docring(qverts, ring)
-            out["intersects"] = cross | q_any
-            out["contains"] = q_all & ~cross
+            cross_dh = _doc_holes_cross(holes, qverts,
+                                        closed_query=False)
+            q_region_any = FALSE
+            q_region_all = F.lit(True)
+            for qx, qy in qverts:
+                inr = _pt_in_doc_region(qx, qy, ring, holes)
+                q_region_any = q_region_any | inr
+                q_region_all = q_region_all & inr
+            out["intersects"] = cross | cross_dh | q_region_any
+            out["contains"] = q_region_all & ~cross & ~cross_dh
         elif qk == "circle":
-            from bleve_spark.search.geo import point_in_doc_polygon
-
             cx, cy = qverts[0]
-            center_in = point_in_doc_polygon(cx, cy, ring)
+            center_in = _pt_in_doc_region(cx, cy, ring, holes)
             edge_d = _const_pt_to_docsegs_min_m(cx, cy, ring, True)
-            out["intersects"] = center_in | (edge_d <= F.lit(qr))
-            out["contains"] = center_in & (edge_d >= F.lit(qr))
+            hole_near = FALSE
+            hole_far = F.lit(True)
+            if holes is not None:
+                hole_near = F.exists(
+                    holes,
+                    lambda h: _const_pt_to_docsegs_min_m(cx, cy, h, True)
+                    <= F.lit(qr),
+                )
+                hole_far = F.forall(
+                    holes,
+                    lambda h: _const_pt_to_docsegs_min_m(cx, cy, h, True)
+                    >= F.lit(qr),
+                )
+            out["intersects"] = (
+                center_in | (edge_d <= F.lit(qr)) | hole_near
+            )
+            out["contains"] = (
+                center_in & (edge_d >= F.lit(qr)) & hole_far
+            )
             out["within"] = _verts_all(
                 ring,
                 lambda v: _hav_m(
@@ -293,8 +416,12 @@ def _pair_preds(doc_kind: str, ring: Column, rd: Column, qpart) -> dict:
             out["within"] = d + rd <= F.lit(qr)
             out["contains"] = d + F.lit(qr) <= rd
         elif qk == "polygon":
-            pip = _pip_expr(fx, fy, qverts[:-1])
+            pip = _in_q_region(fx, fy, qverts, qholes)
             seg_d = _docpt_to_qsegs_min_m(fx, fy, qverts[:-1], True)
+            for h in qholes:
+                seg_d = F.least(
+                    seg_d, _docpt_to_qsegs_min_m(fx, fy, h[:-1], True)
+                )
             out["intersects"] = pip | (seg_d <= rd)
             out["within"] = pip & (seg_d >= rd)
             # contains polygon: every query vertex within the radius
@@ -320,13 +447,15 @@ def _part_dispatch(part: Column, qpart, relation: str) -> Column:
     ring = part["ring"]
     rd = part["radius"]
     k = part["kind"]
+    holes = part["holes"]
     return (
         F.when(k == "point",
                _pair_preds("point", ring, rd, qpart)[relation])
         .when(k == "linestring",
               _pair_preds("linestring", ring, rd, qpart)[relation])
         .when(k == "polygon",
-              _pair_preds("polygon", ring, rd, qpart)[relation])
+              _pair_preds("polygon", ring, rd, qpart,
+                          holes=holes)[relation])
         .when(k == "circle",
               _pair_preds("circle", ring, rd, qpart)[relation])
         .otherwise(F.lit(False))

@@ -86,6 +86,8 @@ def test_parts_pruned_equals_unpruned(spark, relation):
         F.col("shape_kind").alias("kind"),
         F.col("shape_coords").alias("ring"),
         F.lit(0.0).alias("radius"),
+        F.expr("CAST(array() AS array<array<array<double>>>)")
+        .alias("holes"),
     ))
     qshape = (QUERY_POLY if relation != "contains"
               else {"type": "point", "coordinates": [-35.5, -37.75]})
