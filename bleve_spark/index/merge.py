@@ -42,6 +42,44 @@ from bleve_spark.index.varint import (
 
 LOCAL_MASK = (1 << SEG_SHIFT) - 1
 
+# above this many total live deletions the merge stops collecting them
+# to the driver and instead writes per-segment compact parquet that
+# executors load lazily (the scorch merger's per-segment obsolete
+# bitmap shape — memory is one segment's delete set per task, never
+# the global union on the driver)
+DELETE_BROADCAST_MAX = 2_000_000
+
+
+class _DeleteLookup:
+    """seg → sorted np.int64 array of deleted LOCAL doc nums.
+
+    Small delete sets ride inline (plain dict, broadcast with the
+    closure).  Large sets read from ``path`` (parquet partitioned by
+    seg), memoized per python worker — the executor-side twin of the
+    reference merger loading one segment's obsolete bitmap at a time.
+    """
+
+    def __init__(self, inline: dict | None, path: str | None):
+        self.inline = inline
+        self.path = path
+        self._cache: dict = {}
+
+    def get(self, seg: int):
+        if self.path is None:
+            return (self.inline or {}).get(seg)
+        if seg not in self._cache:
+            import pyarrow.parquet as pq
+
+            d = os.path.join(self.path, f"seg={seg}")
+            if not os.path.isdir(d):
+                self._cache[seg] = None
+            else:
+                t = pq.read_table(d, columns=["local"])
+                self._cache[seg] = np.sort(
+                    t.column("local").to_numpy().astype(np.int64)
+                )
+        return self._cache[seg]
+
 
 def merge_level(
     spark: SparkSession,
@@ -51,6 +89,7 @@ def merge_level(
     chunk_docs: int = DEFAULT_CHUNK_DOCS,
     band_chunks: int | None = None,
     rosters: list[list[int]] | None = None,
+    delete_broadcast_max: int | None = None,
 ) -> list[dict]:
     """One merge round. Default grouping: segments in id order, ≤fanin
     per group (the offline-builder shape, builder.go:169-236). Pass
@@ -81,28 +120,57 @@ def merge_level(
         ]
     # deletions to reclaim at this merge (scorch merger drops obsolete
     # docs and compacts doc numbers; ReclaimDeletesWeight exists for
-    # exactly this) — deleted locals per segment, broadcast (bitmap-
-    # sized, the reference holds them in memory too)
-    src_store_for_dels = None
+    # exactly this). The driver only ever materializes PER-SEGMENT
+    # COUNTS (needed for the remap offsets). The delete sets
+    # themselves ride a driver broadcast only while small; past
+    # ``delete_broadcast_max`` they are written as per-segment compact
+    # parquet and loaded lazily on executors — billions of deletions
+    # never touch driver memory.
     from bleve_spark.index.segments import SegmentStore
 
+    cap = (DELETE_BROADCAST_MAX if delete_broadcast_max is None
+           else int(delete_broadcast_max))
     src_store_for_dels = SegmentStore(spark, src_root)
     dels_df = src_store_for_dels.deletions()
-    deleted: dict[int, np.ndarray] = {}
+    del_counts: dict[int, int] = {}
+    lookup = _DeleteLookup({}, None)
     if dels_df is not None:
-        for r in dels_df.collect():
-            seg = int(r["doc_num"]) >> SEG_SHIFT
-            deleted.setdefault(seg, []).append(
-                int(r["doc_num"]) & LOCAL_MASK
-            )
-        deleted = {
-            s: np.array(sorted(v), dtype=np.int64)
-            for s, v in deleted.items()
+        dd = dels_df.select(
+            F.shiftrightunsigned(F.col("doc_num"), SEG_SHIFT)
+            .cast("int").alias("seg"),
+            F.col("doc_num").bitwiseAND(F.lit(LOCAL_MASK))
+            .cast("long").alias("local"),
+        )
+        del_counts = {
+            int(r["seg"]): int(r["n"])
+            for r in dd.groupBy("seg")
+            .agg(F.count(F.lit(1)).alias("n")).collect()
         }
-    bc_deleted = spark.sparkContext.broadcast(deleted)
+        if sum(del_counts.values()) <= cap:
+            deleted: dict[int, list] = {}
+            for r in dd.collect():
+                deleted.setdefault(int(r["seg"]), []).append(
+                    int(r["local"])
+                )
+            lookup = _DeleteLookup(
+                {
+                    s: np.array(sorted(v), dtype=np.int64)
+                    for s, v in deleted.items()
+                },
+                None,
+            )
+        else:
+            dels_path = os.path.join(dst_root, "_dels_compact")
+            (
+                dd.repartition("seg")
+                .write.partitionBy("seg")
+                .mode("overwrite").parquet(dels_path)
+            )
+            lookup = _DeleteLookup(None, dels_path)
+    bc_deleted = spark.sparkContext.broadcast(lookup)
 
     def _live(m):
-        return m["doc_count"] - len(deleted.get(m["segment_id"], ()))
+        return m["doc_count"] - del_counts.get(m["segment_id"], 0)
 
     # per-old-segment: (new_seg, LIVE doc offset within new seg, member)
     remap: dict[int, tuple[int, int, int]] = {}
@@ -340,6 +408,7 @@ def tiered_merge(
     chunk_docs: int = DEFAULT_CHUNK_DOCS,
     band_chunks: int | None = None,
     max_rounds: int = 20,
+    delete_broadcast_max: int | None = None,
 ) -> str:
     """Policy-driven background-merge analogue: plan with the
     reference's tiered policy (mergeplan.py) and execute rounds until
@@ -366,6 +435,7 @@ def tiered_merge(
         merge_level(
             spark, cur, nxt, chunk_docs=chunk_docs,
             band_chunks=band_chunks, rosters=rosters,
+            delete_broadcast_max=delete_broadcast_max,
         )
         cur = nxt
     return cur
@@ -377,6 +447,7 @@ def merge_to_single(
     fanin: int = 10,
     chunk_docs: int = DEFAULT_CHUNK_DOCS,
     band_chunks: int | None = None,
+    delete_broadcast_max: int | None = None,
 ) -> str:
     """Repeated ≤fanin-way rounds until one segment remains
     (builder.go:169-236). Returns the final level's root path."""
@@ -389,5 +460,6 @@ def merge_to_single(
             return cur
         level += 1
         nxt = f"{root}_L{level}"
-        merge_level(spark, cur, nxt, fanin, chunk_docs, band_chunks)
+        merge_level(spark, cur, nxt, fanin, chunk_docs, band_chunks,
+                    delete_broadcast_max=delete_broadcast_max)
         cur = nxt

@@ -125,3 +125,57 @@ def test_snapshot_rollback(spark, transcripts, store):
         v1.postings_df(KEYS, ["text"])
         .where(F.col("term") == "zzz").count() == 0
     )
+
+
+def test_merge_reclaims_without_driver_collect(
+    spark, transcripts, store, monkeypatch
+):
+    """Scale path: with delete_broadcast_max=0 the merge must NOT
+    collect the deletions rows to the driver — delete sets are written
+    as per-segment compact parquet and loaded lazily on executors —
+    yet produce byte-identical results to the broadcast fast path."""
+    import os
+
+    from bleve_spark.index import merge as M
+    from bleve_spark.index.merge import merge_to_single
+
+    total = transcripts.count()
+    victims = transcripts.where(F.col("conv_id") < "conv00000005")
+    n_victims = victims.count()
+    store.delete_docs(victims, KEYS)
+
+    # trip any driver-side materialization of the per-row delete set:
+    # row-level collect is only legal for the per-segment COUNT agg
+    real_collect = type(transcripts).collect
+
+    def guarded_collect(self):
+        rows = real_collect(self)
+        cols = set(self.columns)
+        assert not (
+            {"seg", "local"} <= cols and len(rows) > 64
+        ), "full deletions collected to the driver"
+        return rows
+
+    monkeypatch.setattr(type(transcripts), "collect", guarded_collect)
+    final = merge_to_single(
+        spark, store.root, fanin=4, delete_broadcast_max=0
+    )
+    monkeypatch.setattr(type(transcripts), "collect", real_collect)
+
+    merged = SegmentStore(spark, final)
+    assert merged.deletions() is None
+    assert merged.doc_table().count() == total - n_victims
+    # the compact per-segment delete parquet was the vehicle
+    inter = f"{store.root}_L1"
+    assert os.path.isdir(os.path.join(inter, "_dels_compact"))
+
+    # identical search results to a fresh build of the live docs
+    live_df = transcripts.where(F.col("conv_id") >= "conv00000005")
+    idx_mem = index_table(live_df, KEYS, FIELDS, persist=False)
+    idx_seg = merged.to_indexed_table(live_df, KEYS, FIELDS)
+    q = {"field": "text", "match": "spark data"}
+    h_mem = search(idx_mem, q, size=10)["hits"]
+    h_seg = search(idx_seg, q, size=10)["hits"]
+    assert [(h["id"], round(h["score"], 9)) for h in h_mem] == [
+        (h["id"], round(h["score"], 9)) for h in h_seg
+    ]
