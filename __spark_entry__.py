@@ -833,6 +833,14 @@ LANG_CORPORA = {
     "hr": ["Hrvatska i Hrvatski jezik", "komarac leti",
            "crvi u zemlji", "zaključcima rasprave", "veliki komarac",
            "hrvatske knjige", "knjiga o zemlji", "rasprava o jeziku"],
+    # pl: stempel statistical stemmer over Lucene's trained table
+    "pl": ["wiedza była utrzymywana w tajemnicy",
+           "przypadku badawczego opracowanie",
+           "kryptografii kwantowej techniki",
+           "zakresu informacji przetwarzania",
+           "kompendium wiedzy o kryptografii",
+           "techniki kwantowe w praktyce",
+           "opracowanie kompendium informacji", "praktyka i wiedza"],
 }
 
 # frozen goldens: analyzer output at freeze time, hand-spot-checked
@@ -912,6 +920,16 @@ LANG_GOLD_TOKENS = {
            ["crv", "u", "zemlj"], ["zaključk", "rasprav"],
            ["velik", "komarc"], ["hrvatsk", "knjig"],
            ["knjig", "o", "zemlj"], ["rasprav", "o", "jezik"]],
+    # pl goldens: reference analyzer_pl_test.go vocabulary (wiedza/
+    # utrzymywać/tajemnik/przypadek/kryptografia/kwantowy/...)
+    "pl": [["wiedza", "utrzymywać", "tajemnik"],
+           ["przypadek", "badawczy", "opracować"],
+           ["kryptografia", "kwantowy", "technika"],
+           ["zakres", "informacja", "przetwarzać"],
+           ["kompendium", "wiedza", "kryptografia"],
+           ["technika", "kwantowy", "praktyka"],
+           ["opracować", "kompendium", "informacja"],
+           ["praktykać", "wiedza"]],
 }
 
 # frozen analyzed QUERY tokens per language (same freeze contract)
@@ -933,6 +951,7 @@ LANG_QUERIES = {
     "hi": ("लडकों की किताबें", ["लडक", "किताब"]),
     "ckb": ("کتێبەکان لە شار", ["کتێب", "شار"]),
     "hr": ("hrvatski komarac", ["hrvatsk", "komarc"]),
+    "pl": ("wiedza o kryptografii", ["wiedza", "kryptografia"]),
 }
 
 
@@ -2403,6 +2422,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         Ljubesic-Pandzic rule stemmer, analyzer_hr.go)."""
         return _lang_q(spark, sf, "hr")
 
+    def q_lang_pl(spark, sf):
+        """Polish analyzer (stop_pl + stempel statistical stemmer over
+        Lucene's trained Egothor multi-trie, analyzer_pl.go)."""
+        return _lang_q(spark, sf, "pl")
+
     def _raw_idx(spark):
         key = (spark.sparkContext.applicationId, "raw-text")
         if key not in _INDEX_CACHE:
@@ -2624,6 +2648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_lang_hi": q_lang_hi,
             "q_lang_ckb": q_lang_ckb,
             "q_lang_hr": q_lang_hr,
+            "q_lang_pl": q_lang_pl,
             "q_raw_text_match": q_raw_text_match,
             "q_raw_text_phrase": q_raw_text_phrase,
             "dedup_exact": dedup_exact,
@@ -2853,6 +2878,7 @@ ORDER BY score DESC, p.doc_id LIMIT 20""",
         "q_lang_hi": _sql_lang_match("hi"),
         "q_lang_ckb": _sql_lang_match("ckb"),
         "q_lang_hr": _sql_lang_match("hr"),
+        "q_lang_pl": _sql_lang_match("pl"),
         "q_raw_text_match": _sql_raw_match(),
         "q_raw_text_phrase": _sql_raw_phrase(),
         "dedup_exact": (

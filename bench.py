@@ -56,9 +56,12 @@ def main():
     n_convs = max(64, int(n_turns_target / 16.5))
     # finer source files = finer build tasks: at P cores the last
     # scheduling wave idles up to (files mod P)/P of the machine, so
-    # files >> P keeps the tail short at every parallelism level while
-    # the layout (and the job) stays byte-identical across levels
-    n_files = int(os.environ.get("BENCH_FILES", "256"))
+    # files >> P keeps the tail short — but file count must SCALE with
+    # the corpus (files ≈ turns/8k, floor 64): a fixed 256 at sf0.01
+    # is pure per-task overhead, and at sf10 too coarse.
+    n_files = int(
+        os.environ.get("BENCH_FILES", "0")
+    ) or max(64, int(n_turns_target / 8000))
     corpus_dir = tempfile.mkdtemp(prefix="bench_corpus_")
     seg_base = tempfile.mkdtemp(prefix="bench_segs_")
     try:

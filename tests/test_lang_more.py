@@ -155,3 +155,31 @@ def test_tokenizer_absorbs_combining_marks():
     t = UnicodeTokenizer()
     assert t.terms("हिन्दी") == ["हिन्दी"]
     assert t.terms("कुछ हिन्दी शब्द") == ["कुछ", "हिन्दी", "शब्द"]
+
+
+PL_ANALYZER = [
+    ("śmiało", ["śmieć"]), ("przypadku", ["przypadek"]),
+    ("według", []), ("text 1000", ["text", "1000"]),
+    ("Ale ta wiedza była utrzymywana w tajemnicy",
+     ["wiedza", "utrzymywać", "tajemnik"]),
+]
+
+
+@pytest.mark.parametrize("inp,out", PL_ANALYZER)
+def test_pl_analyzer(inp, out):
+    an = get_analyzer("pl")
+    assert [t for t, _ in an.analyze_terms(inp)] == out
+
+
+def test_pl_stempel_stemmer_vectors():
+    """stemmer_pl_test.go + analyzer sentence vocabulary — the trained
+    multi-trie must patch exactly like the reference."""
+    from bleve_spark.analysis.stempel import stem_pl
+
+    for w, e in [
+        ("utrzymywana", "utrzymywać"), ("tajemnicy", "tajemnik"),
+        ("badawczego", "badawczy"), ("opracowanie", "opracować"),
+        ("kryptografii", "kryptografia"), ("kwantowej", "kwantowy"),
+        ("informacji", "informacja"), ("zakresu", "zakres"),
+    ]:
+        assert stem_pl(w) == e, (w, stem_pl(w), e)
