@@ -833,6 +833,11 @@ LANG_CORPORA = {
     "hr": ["Hrvatska i Hrvatski jezik", "komarac leti",
            "crvi u zemlji", "zaključcima rasprave", "veliki komarac",
            "hrvatske knjige", "knjiga o zemlji", "rasprava o jeziku"],
+    # tr: apostrophe + per-rune lower + stop_tr (partial: no snowball
+    # stemmer, documented)
+    "tr": ["Kıbrıs'ta tatil", "Van Gölü'ne yolculuk",
+           "İstanbul'da kitaplar", "kitap ve kalem", "yolculuk planı",
+           "tatil köyü", "kalem kutusu", "İstanbul manzarası"],
     # pl: stempel statistical stemmer over Lucene's trained table
     "pl": ["wiedza była utrzymywana w tajemnicy",
            "przypadku badawczego opracowanie",
@@ -920,6 +925,10 @@ LANG_GOLD_TOKENS = {
            ["crv", "u", "zemlj"], ["zaključk", "rasprav"],
            ["velik", "komarc"], ["hrvatsk", "knjig"],
            ["knjig", "o", "zemlj"], ["rasprav", "o", "jezik"]],
+    "tr": [["kıbrıs", "tatil"], ["van", "gölü", "yolculuk"],
+           ["istanbul", "kitaplar"], ["kitap", "kalem"],
+           ["yolculuk", "planı"], ["tatil", "köyü"],
+           ["kalem", "kutusu"], ["istanbul", "manzarası"]],
     # pl goldens: reference analyzer_pl_test.go vocabulary (wiedza/
     # utrzymywać/tajemnik/przypadek/kryptografia/kwantowy/...)
     "pl": [["wiedza", "utrzymywać", "tajemnik"],
@@ -952,6 +961,7 @@ LANG_QUERIES = {
     "ckb": ("کتێبەکان لە شار", ["کتێب", "شار"]),
     "hr": ("hrvatski komarac", ["hrvatsk", "komarc"]),
     "pl": ("wiedza o kryptografii", ["wiedza", "kryptografia"]),
+    "tr": ("İstanbul'da kitap", ["istanbul", "kitap"]),
 }
 
 
@@ -2422,6 +2432,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         Ljubesic-Pandzic rule stemmer, analyzer_hr.go)."""
         return _lang_q(spark, sf, "hr")
 
+    def q_lang_tr(spark, sf):
+        """Turkish partial pipeline (apostrophe truncation + per-rune
+        lower incl. İ→i + stop_tr; snowball stemmer documented out of
+        scope, analyzer_tr.go)."""
+        return _lang_q(spark, sf, "tr")
+
     def q_lang_pl(spark, sf):
         """Polish analyzer (stop_pl + stempel statistical stemmer over
         Lucene's trained Egothor multi-trie, analyzer_pl.go)."""
@@ -2649,6 +2665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_lang_ckb": q_lang_ckb,
             "q_lang_hr": q_lang_hr,
             "q_lang_pl": q_lang_pl,
+            "q_lang_tr": q_lang_tr,
             "q_raw_text_match": q_raw_text_match,
             "q_raw_text_phrase": q_raw_text_phrase,
             "dedup_exact": dedup_exact,
@@ -2879,6 +2896,7 @@ ORDER BY score DESC, p.doc_id LIMIT 20""",
         "q_lang_ckb": _sql_lang_match("ckb"),
         "q_lang_hr": _sql_lang_match("hr"),
         "q_lang_pl": _sql_lang_match("pl"),
+        "q_lang_tr": _sql_lang_match("tr"),
         "q_raw_text_match": _sql_raw_match(),
         "q_raw_text_phrase": _sql_raw_phrase(),
         "dedup_exact": (

@@ -48,11 +48,19 @@ class TokenFilter:
 
 
 class LowercaseFilter(TokenFilter):
+    """Per-rune unicode lowering — the reference's filter maps each
+    rune through unicode.ToLower (lowercase.go:38-43), so Turkish
+    İ (U+0130) lowers to plain 'i'.  Python's str.lower() applies the
+    full SpecialCasing rule İ → 'i' + U+0307 (combining dot) instead;
+    pre-folding İ keeps us rune-for-rune identical with Go."""
+
+    _PRE = str.maketrans({"İ": "i"})
+
     def apply_terms(self, terms):
-        return [t.lower() for t in terms]
+        return [t.translate(self._PRE).lower() for t in terms]
 
     def _one(self, term):
-        return (term.lower(),)
+        return (term.translate(self._PRE).lower(),)
 
 
 class StopFilter(TokenFilter):

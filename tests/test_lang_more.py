@@ -183,3 +183,30 @@ def test_pl_stempel_stemmer_vectors():
         ("informacji", "informacja"), ("zakresu", "zakres"),
     ]:
         assert stem_pl(w) == e, (w, stem_pl(w), e)
+
+
+def test_tr_partial_pipeline():
+    """Turkish: apostrophe truncation before lowercase, Turkish stop
+    list, and Go per-rune İ→i lowering (analyzer_tr.go minus the
+    snowball stemmer — documented out of scope)."""
+    an = get_analyzer("tr")
+    assert [t for t, _ in an.analyze_terms("Kıbrıs'ta")] == ["kıbrıs"]
+    assert [t for t, _ in an.analyze_terms("dolayı")] == []
+    assert [t for t, _ in an.analyze_terms("İSTANBUL")] == ["istanbul"]
+
+
+def test_hu_ro_stop_pipelines():
+    assert [t for t, _ in get_analyzer("hu").analyze_terms(
+        "által babakocsi")] == ["babakocsi"]
+    assert [t for t, _ in get_analyzer("ro").analyze_terms(
+        "îl text")] == ["text"]
+
+
+def test_lowercase_matches_go_per_rune():
+    """lowercase.go:38-43 — İ (U+0130) must lower to a single 'i',
+    not Python's full-casing 'i' + combining dot."""
+    from bleve_spark.analysis.filters import LowercaseFilter
+
+    f = LowercaseFilter()
+    assert f.apply_terms(["İSTANBUL"]) == ["istanbul"]
+    assert len(f.apply_terms(["İ"])[0]) == 1
