@@ -23,6 +23,21 @@ _MERSENNE = (1 << 31) - 1
 SIMHASH_BITS = 60
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Heavy per-row ops (shingling, hashing, 64 minhash passes) are
+    compute-bound BEFORE any shuffle, so a source that arrives as a
+    single parquet row group (one scan task) serializes the whole
+    pipeline on one core.  If the plan has fewer partitions than the
+    cluster's default parallelism, round-robin repartition first —
+    a cheap narrow-ish shuffle of raw rows versus single-threading
+    the hash work.  At real scale inputs have thousands of splits and
+    this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _seeded_params(num: int, seed: int = 42):
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE - 1, size=num, dtype=np.int64)
@@ -92,6 +107,68 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_local(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(key, sig) MinHash signatures with ZERO shuffle.
+
+    A document's signature depends only on its own shingles, so the
+    whole computation is row-local: shingle → base-hash ONCE per
+    shingle (array<long>), then ``num_hashes`` cheap
+    array_min(transform(...)) passes. Identical values to
+    :func:`minhash_signatures` (same hash family, same distinct-
+    shingle set) — but the explode + groupBy shuffle of |shingles|
+    rows is gone entirely; at 100 TB the only shuffle left in LSH
+    dedup is the band-bucket join itself."""
+    a, b = _seeded_params(num_hashes, seed)
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    idx = F.sequence(
+        F.lit(0), F.greatest(F.size(words) - shingle_n, F.lit(0))
+    )
+    sh = F.filter(
+        F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", F.slice(words, i + 1, shingle_n)
+                ),
+            )
+        ),
+        lambda s: F.length(s) > 0,
+    )
+    base = F.transform(sh, lambda s: md5_hash60(s) % F.lit(_MERSENNE))
+    hashed = (
+        df.select(F.col(key_col).alias("key"), base.alias("__b"))
+        .where(F.size("__b") > 0)
+    )
+    # ONE aggregate expression folding every shingle hash into all
+    # num_hashes running minima at once (indexed transform over the
+    # accumulator) — compact codegen vs num_hashes separate
+    # array_min(transform(...)) trees, same arithmetic
+    a_lit = F.array(*[F.lit(int(v)) for v in a])
+    b_lit = F.array(*[F.lit(int(v)) for v in b])
+    sig = F.aggregate(
+        F.col("__b"),
+        F.array_repeat(F.lit(_MERSENNE).cast("long"), num_hashes),
+        lambda acc, x: F.zip_with(
+            acc,
+            F.transform(
+                a_lit,
+                lambda av, i: (
+                    av * x + F.element_at(b_lit, i + 1)
+                ) % F.lit(_MERSENNE),
+            ),
+            lambda m, h: F.least(m, h),
+        ),
+    )
+    return hashed.select("key", sig.alias("sig"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -108,8 +185,10 @@ def minhash_lsh_pairs(
     jaccard (fraction of agreeing minhashes) ≥ threshold. Band-bucket
     join keeps the self-join linear in bucket sizes."""
     rows_per_band = num_hashes // bands
-    sh = word_shingles(df, text_col, key_col, shingle_n)
-    sigs = minhash_signatures(sh, num_hashes, seed).persist()
+    sigs = minhash_signatures_local(
+        ensure_parallelism(df), text_col, key_col, shingle_n,
+        num_hashes, seed
+    ).persist()
 
     band_rows = sigs.select(
         "key",
@@ -208,7 +287,7 @@ def simhash_pairs(
     """Near-dup pairs with hamming(simhash) ≤ max_hamming, candidates
     via 4×15-bit chunk banding (a pair within hamming ≤3 must agree on
     ≥1 of 4 chunks — pigeonhole over the 60-bit hash)."""
-    sh = simhash(df, text_col, key_col).persist()
+    sh = simhash(ensure_parallelism(df), text_col, key_col).persist()
     chunks = sh.select(
         "key",
         "simhash",
@@ -266,7 +345,7 @@ def ngram_jaccard_pairs(
     docs is 10¹² pairs in a single reducer. Jaccard is then computed
     over the df-capped shingle sets (a well-defined, oracle-checkable
     semantics; standard practice for boilerplate suppression)."""
-    sh = word_shingles(df, text_col, key_col, n)
+    sh = word_shingles(ensure_parallelism(df), text_col, key_col, n)
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("shingle")

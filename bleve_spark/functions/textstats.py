@@ -126,6 +126,9 @@ def fingerprint(text_col: str) -> Column:
 
 def text_profile(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
     """One row per doc with the full stats bundle."""
+    from bleve_spark.functions.dedup import ensure_parallelism
+
+    df = ensure_parallelism(df)
     return df.select(
         F.col(key_col).alias("key"),
         token_count(text_col).cast("long").alias("n_tokens"),
