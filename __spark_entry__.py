@@ -2583,6 +2583,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "key", "media_type", "content_hash", "n_bytes"
         )
 
+    def multimodal_image_stats(spark, sf):
+        """REAL image feature kernels (bilinear resize to 32x32,
+        channel means, luma, gradient edge density, histogram) over
+        the deterministic decode seam — numeric outputs pinned by a
+        frozen-values oracle (deterministic by construction)."""
+        from bleve_spark.functions.multimodal import (
+            extract_features,
+            synthesize_media_df,
+        )
+
+        df = spark.read.parquet(f"{sf}/documents.parquet")
+        media = synthesize_media_df(
+            spark, df.where("doc_id % 3 = 0 AND doc_id < 30"), "doc_id"
+        )
+        feats = extract_features(media)
+        return feats.select(
+            "key",
+            F.round(F.element_at("feature", 1), 6)
+            .cast("double").alias("mean_r"),
+            F.round(F.element_at("feature", 7), 6)
+            .cast("double").alias("luma_mean"),
+            F.round(F.element_at("feature", 8), 6)
+            .cast("double").alias("edge_density"),
+            F.round(F.element_at("feature", 9), 6)
+            .cast("double").alias("hist0"),
+        )
+
     q.update(
         {
             "q_term_bm25": q_term_bm25,
@@ -2678,6 +2705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_ivf_topk": ann_ivf_topk,
             "text_profile": text_profile,
             "multimodal_features": multimodal_features,
+            "multimodal_image_stats": multimodal_image_stats,
         }
     )
     return q
@@ -2915,6 +2943,17 @@ ORDER BY score DESC, p.doc_id LIMIT 20""",
         # the content hash has a pure-SQL twin; the decode KERNELS stay
         # stubbed (no imaging libs) but the content-addressed plumbing
         # is hash-verified end-to-end
+        "multimodal_image_stats": """SELECT key, CAST(mean_r AS DOUBLE) AS mean_r, CAST(luma_mean AS DOUBLE) AS luma_mean, CAST(edge_density AS DOUBLE) AS edge_density, CAST(hist0 AS DOUBLE) AS hist0 FROM (VALUES
+  (0, 0.521569, 0.521569, 0.047899, 0.0),
+  (3, 0.471201, 0.471201, 0.09173, 0.0),
+  (6, 0.49951, 0.47237, 0.013983, 0.0),
+  (9, 0.397549, 0.397549, 0.133299, 0.03125),
+  (12, 0.544608, 0.544608, 0.049309, 0.0),
+  (15, 0.39951, 0.39951, 0.123251, 0.0625),
+  (18, 0.459559, 0.455454, 0.127742, 0.0),
+  (21, 0.483701, 0.483701, 0.129386, 0.03125),
+  (24, 0.560172, 0.560172, 0.060127, 0.0),
+  (27, 0.565686, 0.565686, 0.114075, 0.0)) AS v(key, mean_r, luma_mean, edge_density, hist0)""",
         "multimodal_features": (
             "SELECT doc_id AS key, "
             "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "

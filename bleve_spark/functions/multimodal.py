@@ -2,12 +2,15 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct;
 decode / feature-extraction are Arrow-batched ``mapInPandas`` stages.
-The decode kernels themselves are STUBBED (no imaging/audio libs in this
-container — clearly marked below); everything Spark-side is real and
-tested: schemas, batch shapes, partitioning, the UDF contract, and a
-deterministic fake "decoder" so downstream stages (dedup by content
-hash, resolution filtering, frame sampling plans) can be exercised
-end-to-end.
+Only the codec DECODE SEAMS are stubbed (JPEG/PNG/audio codecs need
+PIL/cv2/soundfile, absent in this container — each seam is one marked
+function producing a deterministic full-shape raster/waveform).
+Everything else is REAL and tested: the Spark plumbing (schemas,
+batch shapes, partitioning, the UDF contract) AND the feature kernels
+— vectorized bilinear resize, per-channel stats, gradient edge
+density, luma histograms, frame-cadence sampling, RMS/ZCR/FFT-band
+audio DSP — all plain numpy, operating on whatever the decode seam
+yields.
 """
 
 from __future__ import annotations
@@ -65,23 +68,95 @@ def synthesize_media_df(spark, df: DataFrame, key_col: str) -> DataFrame:
 
 
 def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB — real implementation requires an imaging library (PIL /
-    cv2), not present in this container. The deterministic fake below
-    keeps the pipeline testable; swap the body for
-    ``np.asarray(Image.open(io.BytesIO(payload)))`` in production."""
-    rng = np.frombuffer(
-        hashlib.sha256(payload[:32]).digest(), dtype=np.uint8
-    )
-    return np.resize(rng, (8, 8)).astype(np.float32)
+    """DECODE SEAM — real JPEG/PNG decoding requires an imaging
+    library (PIL / cv2), not present in this container; swap the body
+    for ``np.asarray(Image.open(io.BytesIO(payload)))`` in production.
+    Until then the payload deterministically expands into a full
+    (height, width, 3) uint8 raster (tiled sha256 stream), so every
+    DOWNSTREAM kernel (resize, stats, edge density, frame sampling)
+    operates on real image-shaped data."""
+    h = max(int(height) or 8, 1)
+    w = max(int(width) or 8, 1)
+    need = h * w * 3
+    stream = hashlib.sha256(payload[:64]).digest()
+    reps = need // len(stream) + 1
+    buf = (stream * reps)[:need]
+    return np.frombuffer(buf, dtype=np.uint8).reshape(h, w, 3)
 
 
-def _sample_frames(payload: bytes, duration_ms: int, fps: float = 1.0):
-    """STUB — frame sampling needs a video decoder (pyav/ffmpeg).
-    Returns deterministic fake frames at the real sampling cadence so
-    the batch-shape contract is exercised."""
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """REAL vectorized bilinear resize (no imaging libs needed) —
+    align-corners=False convention, float32 output."""
+    h, w = img.shape[:2]
+    arr = img.astype(np.float32)
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0).astype(np.float32)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0).astype(np.float32)[None, :, None]
+    top = arr[y0][:, x0] * (1 - wx) + arr[y0][:, x1] * wx
+    bot = arr[y1][:, x0] * (1 - wx) + arr[y1][:, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def image_stats(img: np.ndarray) -> np.ndarray:
+    """REAL image statistics over an (H, W, 3) raster: per-channel
+    mean/std, luma mean, gradient-magnitude edge density, and an
+    8-bin luma histogram — 16 float32 features."""
+    arr = img.astype(np.float32)
+    means = arr.mean(axis=(0, 1)) / 255.0
+    stds = arr.std(axis=(0, 1)) / 255.0
+    luma = (0.299 * arr[..., 0] + 0.587 * arr[..., 1]
+            + 0.114 * arr[..., 2]) / 255.0
+    gy, gx = np.gradient(luma)
+    edge = float(np.sqrt(gy * gy + gx * gx).mean())
+    hist, _ = np.histogram(luma, bins=8, range=(0.0, 1.0))
+    hist = hist.astype(np.float32) / max(luma.size, 1)
+    return np.concatenate(
+        [means, stds, [luma.mean(), edge], hist]
+    ).astype(np.float32)
+
+
+def _sample_frames(payload: bytes, duration_ms: int, fps: float = 1.0,
+                   width: int = 8, height: int = 8):
+    """Frame sampling at a real cadence (min(8, ceil(dur·fps))
+    frames); per-frame decode goes through the same decode seam."""
     n = max(1, int(duration_ms / 1000.0 * fps))
     n = min(n, 8)
-    return [_decode_image(payload + bytes([i]), 8, 8) for i in range(n)]
+    return [
+        _decode_image(payload + bytes([i]), width, height)
+        for i in range(n)
+    ]
+
+
+def _decode_audio(payload: bytes, duration_ms: int) -> np.ndarray:
+    """DECODE SEAM — real codecs need soundfile/ffmpeg; swap for a
+    proper PCM decode in production. Deterministic float32 waveform
+    (zero-mean, derived from the payload stream) keeps the downstream
+    DSP kernels real."""
+    n = max(int((duration_ms or 1000) * 16), 256)  # 16 samples/ms
+    n = min(n, 1 << 15)
+    stream = hashlib.sha256(payload[:64]).digest()
+    reps = n // len(stream) + 1
+    buf = np.frombuffer((stream * reps)[:n], dtype=np.uint8)
+    return (buf.astype(np.float32) - 127.5) / 127.5
+
+
+def audio_stats(wave: np.ndarray) -> np.ndarray:
+    """REAL DSP features: RMS, zero-crossing rate, and 8 log-energy
+    FFT bands — 10 float32 features."""
+    rms = float(np.sqrt(np.mean(wave * wave)))
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(wave)))))
+    spec = np.abs(np.fft.rfft(wave)) ** 2
+    bands = np.array_split(spec[1:], 8)
+    energy = np.array(
+        [np.log1p(b.mean()) if len(b) else 0.0 for b in bands],
+        dtype=np.float32,
+    )
+    return np.concatenate([[rms, zcr], energy]).astype(np.float32)
 
 
 def extract_features(media_df: DataFrame, batch_size_hint: int = 256
@@ -101,16 +176,31 @@ def extract_features(media_df: DataFrame, batch_size_hint: int = 256
                 payload = row["payload"] or b""
                 hashes.append(hashlib.sha256(payload).hexdigest())
                 nbytes.append(len(payload))
-                if row["media_type"] == "video":
+                mt = row["media_type"]
+                if mt == "video":
                     frames = _sample_frames(
-                        payload, int(row["duration_ms"] or 0)
+                        payload, int(row["duration_ms"] or 0),
+                        width=int(row["width"] or 8),
+                        height=int(row["height"] or 8),
                     )
-                    arr = np.mean([f.mean(axis=0) for f in frames], axis=0)
+                    small = [
+                        resize_bilinear(f, 32, 32) for f in frames
+                    ]
+                    arr = np.mean(
+                        [image_stats(s) for s in small], axis=0
+                    )
+                elif mt == "audio":
+                    arr = audio_stats(
+                        _decode_audio(
+                            payload, int(row["duration_ms"] or 0)
+                        )
+                    )
                 else:
-                    arr = _decode_image(
+                    img = _decode_image(
                         payload, int(row["width"] or 0),
                         int(row["height"] or 0),
-                    ).mean(axis=0)
+                    )
+                    arr = image_stats(resize_bilinear(img, 32, 32))
                 feats.append(arr.astype(np.float32).tolist())
             out = pd.DataFrame(
                 {
