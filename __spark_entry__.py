@@ -2583,6 +2583,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "key", "media_type", "content_hash", "n_bytes"
         )
 
+    def stream_sessionize(spark, sf):
+        """STATEFUL STREAMING through the correctness gate: the events
+        table replayed as a file stream -> applyInPandasWithState gap
+        sessionization (streaming/pipeline.py) -> memory sink, one
+        availableNow pass. Emitted rows are the CLOSED sessions (the
+        trailing open session per user stays in state); the oracle is
+        the batch gaps-and-islands twin minus each user's last island
+        — value-hash checked, proving the custom stateful operator
+        agrees with its relational semantics."""
+        import uuid
+
+        from bleve_spark.streaming.pipeline import sessionize_stream
+
+        schema = spark.read.parquet(f"{sf}/events.parquet").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf)
+            .select(
+                F.col("user_id").cast("string").alias("key"),
+                # TIMESTAMP_NTZ: hop through LTZ (session tz is
+                # UTC) to epoch seconds — matches DuckDB epoch(ts)
+                F.col("ts").cast("timestamp_ltz").cast("long")
+                .alias("t"),
+            )
+        )
+        sessions = sessionize_stream(stream, "key", "t", 86400)
+        qname = "sess_" + uuid.uuid4().hex[:8]
+        query = (
+            sessions.writeStream.format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        query.awaitTermination()
+        return spark.table(qname).select(
+            "key", "session_start", "session_end", "n_events"
+        )
+
     def multimodal_image_stats(spark, sf):
         """REAL image feature kernels (bilinear resize to 32x32,
         channel means, luma, gradient edge density, histogram) over
@@ -2706,6 +2746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_profile": text_profile,
             "multimodal_features": multimodal_features,
             "multimodal_image_stats": multimodal_image_stats,
+            "stream_sessionize": stream_sessionize,
         }
     )
     return q
@@ -2943,6 +2984,29 @@ ORDER BY score DESC, p.doc_id LIMIT 20""",
         # the content hash has a pure-SQL twin; the decode KERNELS stay
         # stubbed (no imaging libs) but the content-addressed plumbing
         # is hash-verified end-to-end
+        "stream_sessionize": """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events
+), o AS (
+  SELECT user_id, t,
+    CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+         > 86400 THEN 1 ELSE 0 END AS brk
+  FROM e
+), i AS (
+  SELECT user_id, t,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                   ROWS UNBOUNDED PRECEDING) AS island
+  FROM o
+), s AS (
+  SELECT user_id, island, min(t) AS session_start,
+         max(t) AS session_end, count(*) AS n_events
+  FROM i GROUP BY user_id, island
+), m AS (
+  SELECT user_id, max(island) AS last_island FROM s GROUP BY user_id
+)
+SELECT CAST(s.user_id AS VARCHAR) AS key, session_start, session_end,
+       n_events
+FROM s JOIN m USING (user_id) WHERE island < last_island""",
         "multimodal_image_stats": """SELECT key, CAST(mean_r AS DOUBLE) AS mean_r, CAST(luma_mean AS DOUBLE) AS luma_mean, CAST(edge_density AS DOUBLE) AS edge_density, CAST(hist0 AS DOUBLE) AS hist0 FROM (VALUES
   (0, 0.521569, 0.521569, 0.047899, 0.0),
   (3, 0.471201, 0.471201, 0.09173, 0.0),
