@@ -2583,6 +2583,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "key", "media_type", "content_hash", "n_bytes"
         )
 
+    def q_fields_locations(spark, sf):
+        """SearchRequest.Fields + IncludeLocations through the gate:
+        stored-field retrieval plus per-term {pos,start,end} term
+        locations (re-derived from the analyzer's byte offsets),
+        checked against an independent SQL twin that recomputes byte
+        offsets from the space-joined corpus (strlen prefix sums)."""
+        from bleve_spark.search.searcher import search
+
+        idx = _docs_index(spark, sf)
+        r = search(
+            idx, {"field": "text", "term": "spark"}, size=5,
+            fields=["n_chars"], include_locations=True, score="none",
+        )
+        rows = []
+        for h in r["hits"]:
+            occ = h["locations"]["text"]["spark"]
+            rows.append((
+                int(h["id"]), int(h["fields"]["n_chars"]), len(occ),
+                occ[0]["pos"], occ[0]["start"], occ[0]["end"],
+            ))
+        return spark.createDataFrame(
+            rows,
+            "doc_id long, n_chars long, n_occ long, first_pos long, "
+            "first_start long, first_end long",
+        )
+
+    def q_score_none(spark, sf):
+        """Score='none' (search.go:758-770): scoring skipped, hits in
+        index natural order with score 0."""
+        from bleve_spark.search.searcher import search
+
+        idx = _docs_index(spark, sf)
+        r = search(idx, {"field": "text", "term": "spark"}, size=20,
+                   score="none")
+        return spark.createDataFrame(
+            [(int(h["id"]), float(h["score"])) for h in r["hits"]],
+            "doc_id long, score double",
+        )
+
     def stream_sessionize(spark, sf):
         """STATEFUL STREAMING through the correctness gate: the events
         table replayed as a file stream -> applyInPandasWithState gap
@@ -2747,6 +2786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "multimodal_features": multimodal_features,
             "multimodal_image_stats": multimodal_image_stats,
             "stream_sessionize": stream_sessionize,
+            "q_fields_locations": q_fields_locations,
+            "q_score_none": q_score_none,
         }
     )
     return q
@@ -2984,6 +3025,32 @@ ORDER BY score DESC, p.doc_id LIMIT 20""",
         # the content hash has a pure-SQL twin; the decode KERNELS stay
         # stubbed (no imaging libs) but the content-addressed plumbing
         # is hash-verified end-to-end
+        "q_fields_locations": """
+WITH d AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks
+           FROM documents),
+t AS (SELECT doc_id, n_chars, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS i FROM d),
+s AS (SELECT doc_id, n_chars, tok, i,
+        COALESCE(sum(strlen(tok) + 1) OVER (
+          PARTITION BY doc_id ORDER BY i
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        AS st
+      FROM t),
+m AS (SELECT doc_id, n_chars, i AS pos, st, st + strlen(tok) AS fin
+      FROM s WHERE lower(tok) = 'spark'),
+r AS (SELECT doc_id, n_chars, pos, st, fin,
+        row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+        count(*) OVER (PARTITION BY doc_id) AS n_occ
+      FROM m)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_occ AS BIGINT) AS n_occ, CAST(pos AS BIGINT) AS first_pos,
+       CAST(st AS BIGINT) AS first_start, CAST(fin AS BIGINT) AS first_end
+FROM r WHERE rn = 1 ORDER BY doc_id LIMIT 5""",
+        "q_score_none": """
+SELECT doc_id, CAST(0.0 AS DOUBLE) AS score
+FROM documents
+WHERE list_contains(string_split(text, ' '), 'spark')
+ORDER BY doc_id LIMIT 20""",
         "stream_sessionize": """
 WITH e AS (
   SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events

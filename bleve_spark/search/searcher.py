@@ -1418,10 +1418,20 @@ def search(
     facets: dict | None = None,
     highlight_field: str | None = None,
     explain: bool = False,
+    fields: list[str] | None = None,
+    include_locations: bool = False,
+    score: str | None = None,
 ) -> dict:
     """Full SearchResult: hits + total + max_score (+facets/highlights/
-    explanations), assembled like indexImpl.SearchInContext
-    (/root/reference/index_impl.go:1039-1049)."""
+    explanations/stored fields/term locations), assembled like
+    indexImpl.SearchInContext (/root/reference/index_impl.go:1039-1049).
+
+    ``fields`` = stored source columns returned per hit ("*" for all,
+    SearchRequest.Fields); ``include_locations`` attaches per-term
+    {pos, start, end} occurrences for the query's terms
+    (SearchRequest.IncludeLocations); ``score="none"`` skips scoring —
+    hits come back in index natural order with score 0
+    (search.go req.Score == "none")."""
     scored = compile_query(idx, q)
     scored = scored.persist()
     try:
@@ -1430,18 +1440,79 @@ def search(
             F.max("score").alias("max_score"),
         ).collect()[0]
         total, max_score = int(agg["total"]), agg["max_score"]
-        order = [F.col("score").desc()] + [
-            F.col(k).asc() for k in idx.key_cols
-        ]
+        if score == "none":
+            max_score = 0.0
+            order = [F.col(k).asc() for k in idx.key_cols]
+        else:
+            order = [F.col("score").desc()] + [
+                F.col(k).asc() for k in idx.key_cols
+            ]
         rows = scored.orderBy(*order).limit(from_ + size).collect()
         rows = rows[from_:]
         hits = [
             {
                 "id": ":".join(str(r[k]) for k in idx.key_cols),
-                "score": float(r["score"]),
+                "score": 0.0 if score == "none" else float(r["score"]),
             }
             for r in rows
         ]
+        if fields and rows:
+            want = (
+                [c for c in idx.source.columns]
+                if fields == ["*"] or fields == "*"
+                else [c for c in fields if c in idx.source.columns]
+            )
+            key_tuples = [
+                tuple(r[k] for k in idx.key_cols) for r in rows
+            ]
+            pred = None
+            for kt in key_tuples:
+                one = F.lit(True)
+                for kcol, kval in zip(idx.key_cols, kt):
+                    one = one & (F.col(kcol) == F.lit(kval))
+                pred = one if pred is None else (pred | one)
+            fetched = {
+                tuple(fr[k] for k in idx.key_cols): fr
+                for fr in idx.source.where(pred)
+                .select(*idx.key_cols, *want).collect()
+            }
+            for h, kt in zip(hits, key_tuples):
+                fr = fetched.get(kt)
+                h["fields"] = (
+                    {c: fr[c] for c in want} if fr is not None else {}
+                )
+        if include_locations and rows:
+            from bleve_spark.search.highlight import _query_terms
+
+            qq = Q.parse_query(q) if isinstance(q, dict) else q
+            qf = getattr(qq, "field", None) or _default_field(idx)
+            terms = _query_terms(idx, qq, qf)
+            an = get_analyzer(idx.field_analyzers.get(qf, "standard"))
+            key_tuples = [
+                tuple(r[k] for k in idx.key_cols) for r in rows
+            ]
+            pred = None
+            for kt in key_tuples:
+                one = F.lit(True)
+                for kcol, kval in zip(idx.key_cols, kt):
+                    one = one & (F.col(kcol) == F.lit(kval))
+                pred = one if pred is None else (pred | one)
+            texts = {
+                tuple(tr[k] for k in idx.key_cols): tr[qf]
+                for tr in idx.source.where(pred)
+                .select(*idx.key_cols, qf).collect()
+            }
+            for h, kt in zip(hits, key_tuples):
+                locs: dict = {}
+                text = texts.get(kt)
+                if text is not None and terms:
+                    for t in an.analyze(str(text)):
+                        if t.term in terms:
+                            locs.setdefault(t.term, []).append(
+                                {"pos": t.pos, "start": t.start,
+                                 "end": t.end}
+                            )
+                h["locations"] = {qf: locs} if locs else {}
         if explain and rows:
             from bleve_spark.search.explain import explain_hits
 

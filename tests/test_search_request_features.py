@@ -1,0 +1,59 @@
+"""SearchRequest parity extras: Fields (stored-field retrieval),
+IncludeLocations (per-term {pos,start,end}), Score="none"
+(search.go:758-770 — scoring skipped, natural order)."""
+
+import pytest
+
+from bleve_spark.index.build import index_table
+from bleve_spark.search.searcher import search
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick spark engine runs spark jobs", 7),
+         (2, "a table scan", 3), (3, "spark again", 5),
+         (4, "nothing here", 9)],
+        "doc_id int, text string, n int",
+    )
+    return index_table(df, ["doc_id"], {"text": "standard"})
+
+
+def test_fields_returns_stored_columns(idx):
+    r = search(idx, {"field": "text", "term": "spark"}, size=5,
+               fields=["n"])
+    by_id = {h["id"]: h["fields"] for h in r["hits"]}
+    assert by_id == {"1": {"n": 7}, "3": {"n": 5}}
+    r2 = search(idx, {"field": "text", "term": "scan"}, size=5,
+                fields="*")
+    assert r2["hits"][0]["fields"]["text"] == "a table scan"
+    assert r2["hits"][0]["fields"]["n"] == 3
+
+
+def test_include_locations(idx):
+    r = search(idx, {"field": "text", "term": "spark"}, size=5,
+               include_locations=True)
+    locs = {h["id"]: h["locations"] for h in r["hits"]}
+    assert locs["3"] == {"text": {"spark": [
+        {"pos": 1, "start": 0, "end": 5}]}}
+    assert locs["1"]["text"]["spark"] == [
+        {"pos": 3, "start": 10, "end": 15},
+        {"pos": 6, "start": 28, "end": 33},
+    ]
+
+
+def test_include_locations_match_query(idx):
+    r = search(idx, {"field": "text", "match": "quick scan"}, size=5,
+               include_locations=True)
+    locs = {h["id"]: h["locations"] for h in r["hits"]}
+    assert locs["2"]["text"]["scan"][0]["pos"] == 3
+    assert locs["1"]["text"]["quick"][0]["start"] == 4
+
+
+def test_score_none_natural_order(idx):
+    r = search(idx, {"field": "text", "term": "spark"}, size=5,
+               score="none")
+    assert [h["id"] for h in r["hits"]] == ["1", "3"]   # key order
+    assert all(h["score"] == 0.0 for h in r["hits"])
+    assert r["max_score"] == 0.0
+    assert r["total_hits"] == 2
