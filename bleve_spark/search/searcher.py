@@ -1098,12 +1098,48 @@ class Compiler:
         """CIDR containment (search/query/ip_range.go:57, search/
         searcher/search_ip_range.go:43): the reference expands the CIDR
         over byte terms; with a native column the containment is just
-        an integer range predicate (constant-scored)."""
+        an integer range predicate (constant-scored). IPv4 stays
+        all-native arithmetic; IPv6 (128-bit) normalizes doc IPs to a
+        fixed 32-hex string via an Arrow-batched pandas UDF and
+        compares lexicographically against the network bounds —
+        matching net.Contains over the full 16-byte space."""
         import ipaddress
 
         f = self._field(q)
         net = ipaddress.ip_network(q.cidr, strict=False)
         lo, hi = int(net.network_address), int(net.broadcast_address)
+
+        if net.version == 6:
+            lo_hex = f"{lo:032x}"
+            hi_hex = f"{hi:032x}"
+
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("string")
+            def ip6_hex(col: pd.Series) -> pd.Series:
+                def norm(s):
+                    try:
+                        ip = ipaddress.ip_address(s)
+                    except (ValueError, TypeError):
+                        return None
+                    if ip.version == 4:
+                        # the reference stores every IP as its 16-byte
+                        # form (ip.To16()): v4 docs live at
+                        # ::ffff:a.b.c.d and can match a v6 CIDR
+                        ip = ipaddress.IPv6Address(
+                            "::ffff:" + str(ip)
+                        )
+                    return f"{int(ip):032x}"
+
+                return col.map(norm)
+
+            def df_fn6(ctx, f=f, lo_hex=lo_hex, hi_hex=hi_hex):
+                h = ip6_hex(F.col(f))
+                return ctx.idx.source.where(
+                    h.isNotNull() & h.between(lo_hex, hi_hex)
+                )
+
+            return SConst(df_fn6, q.boost)
 
         def df_fn(ctx, f=f, lo=lo, hi=hi):
             o = F.split(F.col(f), r"\.")

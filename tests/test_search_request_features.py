@@ -57,3 +57,25 @@ def test_score_none_natural_order(idx):
     assert all(h["score"] == 0.0 for h in r["hits"])
     assert r["max_score"] == 0.0
     assert r["total_hits"] == 2
+
+
+def test_ipv6_cidr_range(spark):
+    """IPv6 CIDR containment incl. v4-mapped docs (the reference
+    stores every IP as its 16-byte To16() form)."""
+    df = spark.createDataFrame(
+        [(1, "2001:db8::1"), (2, "2001:db8::ff00"),
+         (3, "2001:db9::1"), (4, "10.0.0.5"),
+         (5, "::ffff:10.0.0.5"), (6, "not-an-ip")],
+        "doc_id int, addr string",
+    )
+    idx = index_table(df, ["doc_id"], {"addr": "keyword"})
+    got = {h["id"] for h in search(
+        idx, {"field": "addr", "cidr": "2001:db8::/32"}, size=10
+    )["hits"]}
+    assert got == {"1", "2"}
+    # v4-mapped space: both the dotted-quad doc and its explicit
+    # mapped form fall inside ::ffff:10.0.0.0/104
+    got4 = {h["id"] for h in search(
+        idx, {"field": "addr", "cidr": "::ffff:10.0.0.0/104"}, size=10
+    )["hits"]}
+    assert got4 == {"4", "5"}
