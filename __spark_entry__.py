@@ -1419,6 +1419,44 @@ _QSHAPE_PTS = [(-20.5, -25.25), (30.5, -20.25), (25.5, 30.75),
 _QHOLE_PTS = [(-5.5, -5.25), (10.5, -6.25), (11.5, 8.75),
               (-6.5, 9.75)]
 
+# seam endpoints splitting the _QSHAPE_PTS quad A,B,C,D into two
+# TOUCHING polygon members (left: A,M_AB,M_DC,D; right: M_AB,B,C,M_DC)
+# whose union is exactly the quad. Dyadic parameters t=33/64 on AB and
+# t=29/64 on DC keep both points exactly representable in binary, so
+# the two members tile the quad with no float gap; the seam line
+# passes through no integer doc-lattice point (64y ≡ 770 mod 2221 has
+# no solution in the coordinate range).
+_QSEAM_AB = (5.796875, -22.671875)
+_QSEAM_DC = (3.078125, 29.3828125)
+
+_QUNION_SHAPE = {
+    "type": "multipolygon",
+    "coordinates": [
+        [[list(_QSHAPE_PTS[0]), list(_QSEAM_AB), list(_QSEAM_DC),
+          list(_QSHAPE_PTS[3]), list(_QSHAPE_PTS[0])]],
+        [[list(_QSEAM_AB), list(_QSHAPE_PTS[1]), list(_QSHAPE_PTS[2]),
+          list(_QSEAM_DC), list(_QSEAM_AB)]],
+    ],
+}
+
+
+def _sql_geo_shape_union_within() -> str:
+    """Independent oracle for within-the-UNION of the two members:
+    the union is exactly the CONVEX quad _QSHAPE_PTS, and a shape is
+    within a convex region iff all its vertices are (no edge-crossing
+    test needed) — so the oracle never touches the member
+    decomposition the engine evaluates."""
+    pts = _QSHAPE_PTS
+    pip_v = _pip_count_sql("v[1]", "v[2]", pts)
+    any_in = f"(len(list_filter(c, v -> {pip_v})) > 0)"
+    all_in = f"(len(list_filter(c, v -> {pip_v})) = len(c))"
+    pred = f"CASE WHEN kind = 'point' THEN {any_in} ELSE {all_in} END"
+    return (
+        _SQL_SHAPES_CTE
+        + "SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM shp "
+        f"WHERE {pred}"
+    )
+
 
 def _sql_geo_shape_hole(relation: str) -> str:
     """Independent donut-polygon oracle: region = outer minus hole;
@@ -1938,6 +1976,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              "coordinates": [[list(p) for p in _QSHAPE_PTS]]},
             "within",
             bbox_cols=bb,
+        )
+        return idx.source.where(pred).select(
+            "doc_id", F.lit(1.0).alias("score")
+        )
+
+    def q_geo_shape_union_within(spark, sf):
+        """Doc shapes within the UNION of two TOUCHING polygon
+        members (the _QSHAPE_PTS quad split along a dyadic seam):
+        shapes straddling the seam are within the union though within
+        neither member alone — geo_shape.go relation=within over a
+        multipolygon evaluates the query region as one s2 union, not
+        member-wise. Runs the parts engine's exact edge-splitting
+        union path (search/geoshape.py parts_relation_pred →
+        _union_within_pred)."""
+        from bleve_spark.search.geoshape import parts_relation_pred
+
+        idx = _docs_index(spark, sf)
+        parts = F.array(
+            F.struct(
+                F.col("shape_kind").alias("kind"),
+                F.col("shape_coords").alias("ring"),
+                F.lit(0.0).alias("radius"),
+                F.expr(
+                    "CAST(array() AS array<array<array<double>>>)"
+                ).alias("holes"),
+            )
+        )
+        bb = {
+            k: F.col(f"shape_bbox_{k.split('_', 1)[1]}")
+            for k in ("in_minlon", "in_minlat", "in_maxlon", "in_maxlat",
+                      "out_minlon", "out_minlat", "out_maxlon",
+                      "out_maxlat")
+        }
+        pred = parts_relation_pred(
+            parts, _QUNION_SHAPE, "within", bbox_cols=bb,
         )
         return idx.source.where(pred).select(
             "doc_id", F.lit(1.0).alias("score")
@@ -2731,6 +2804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_geo_shape_hole_within": q_geo_shape_hole_within,
             "q_geo_shape_hole_intersects": q_geo_shape_hole_intersects,
             "q_geo_shape_contains": q_geo_shape_contains,
+            "q_geo_shape_union_within": q_geo_shape_union_within,
             "q_ip_range": q_ip_range,
             "q_hybrid_rrf": q_hybrid_rrf,
             "q_hybrid_filtered": q_hybrid_filtered,
@@ -2913,6 +2987,7 @@ def oracle_sql() -> dict[str, str]:
             "intersects"
         ),
         "q_geo_shape_contains": _sql_geo_shape_contains_point(-35.5, -37.75),
+        "q_geo_shape_union_within": _sql_geo_shape_union_within(),
         "q_geo_bbox": (
             "SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM ("
             "SELECT doc_id, "

@@ -491,6 +491,10 @@ def parts_relation_pred(parts_col: Column, query_shape: dict,
             lambda p: _any_q(p, qparts, "intersects"),
         )
     if relation == "within":
+        if (len(qparts) > 1
+                and all(qp[0] == "polygon" for qp in qparts)):
+            # multi-member polygon union: exact edge-splitting test
+            return _union_within_pred(parts_col, qparts)
         return F.forall(
             parts_col,
             lambda p: _any_q(p, qparts, "within"),
@@ -503,6 +507,157 @@ def parts_relation_pred(parts_col: Column, query_shape: dict,
             )
         return pred
     raise ValueError(f"unsupported relation: {relation!r}")
+
+
+def _in_union(x, y, qparts) -> Column:
+    """Point column inside the UNION of polygon query members (each
+    member's region = outer minus its holes)."""
+    pred = F.lit(False)
+    for qk, qverts, qr, qholes in qparts:
+        pred = pred | _in_q_region(x, y, qverts, qholes)
+    return pred
+
+
+def _union_rings(qparts) -> list:
+    rings = []
+    for qk, qverts, qr, qholes in qparts:
+        rings.append(qverts)
+        rings.extend(h for h in qholes)
+    return rings
+
+
+def _edge_stays_in_union(ax, ay, bx, by, qparts) -> Column:
+    """True iff the segment a→b never leaves the union of the query
+    members: split it at every crossing with any member ring and test
+    each sub-segment's midpoint for union membership (a segment can
+    only change region membership at a ring crossing, so midpoints
+    decide exactly)."""
+    rx, ry = bx - ax, by - ay
+    ts = []
+    for ring in _union_rings(qparts):
+        for i in range(len(ring) - 1):
+            q1x, q1y = float(ring[i][0]), float(ring[i][1])
+            q2x, q2y = float(ring[i + 1][0]), float(ring[i + 1][1])
+            sx, sy = q2x - q1x, q2y - q1y
+            denom = rx * F.lit(sy) - ry * F.lit(sx)
+            qpx, qpy = F.lit(q1x) - ax, F.lit(q1y) - ay
+            # t along doc edge, u along query edge (guard ÷0: ANSI)
+            t = F.when(
+                denom != 0, (qpx * F.lit(sy) - qpy * F.lit(sx)) / denom
+            ).otherwise(F.lit(-1.0))
+            u = F.when(
+                denom != 0, (qpx * ry - qpy * rx) / denom
+            ).otherwise(F.lit(-1.0))
+            ts.append(
+                F.when(
+                    (t > 0) & (t < 1) & (u > 0) & (u < 1), t
+                ).otherwise(F.lit(-1.0))
+            )
+    if ts:
+        raw = F.array_sort(F.filter(F.array(*ts), lambda t: t > 0))
+        # merge near-duplicate cuts: a doc edge crossing the SHARED
+        # seam of two touching members yields one cut per member's
+        # copy of that edge (equal up to an ulp); keeping both leaves
+        # a zero-width interval whose midpoint sits exactly ON the
+        # seam, where float membership is ambiguous
+        cuts = F.element_at(
+            F.transform(
+                F.array(raw),
+                lambda s: F.filter(
+                    s,
+                    lambda t, i: (i == 0)
+                    | (t - F.element_at(s, i) > F.lit(1e-12)),
+                ),
+            ),
+            1,
+        )
+    else:
+        cuts = F.array().cast("array<double>")
+    # bind `cuts` ONCE as a lambda variable (transform-over-1-element
+    # trick) — inlining its expression at every midpoint reference
+    # multiplies the tree ~4× per interval and can exhaust the driver
+    # heap during planning; then materialize the midpoint t's as an
+    # array and test each against the union with a single-instance
+    # lambda body
+    def _mids(cb: Column) -> Column:
+        n = F.size(cb)
+        return F.transform(
+            F.sequence(F.lit(0), n),
+            lambda i: (
+                F.when(i == 0, F.lit(0.0))
+                .otherwise(F.element_at(cb, i))
+                + F.when(i == F.size(cb), F.lit(1.0))
+                .otherwise(F.element_at(cb, i + 1))
+            ) / 2,
+        )
+
+    return F.element_at(
+        F.transform(
+            F.array(cuts),
+            lambda cb: F.forall(
+                _mids(cb),
+                lambda m: _in_union(ax + rx * m, ay + ry * m, qparts),
+            ),
+        ),
+        1,
+    )
+
+
+def _ring_within_union(ring: Column, qparts) -> Column:
+    """Every vertex of the doc ring in the union AND every edge stays
+    inside it."""
+    vx = lambda v: F.element_at(v, 1)   # noqa: E731
+    vy = lambda v: F.element_at(v, 2)   # noqa: E731
+    verts_in = F.forall(
+        ring, lambda v: _in_union(vx(v), vy(v), qparts)
+    )
+    n_edges = F.size(ring) - 1
+    edges_in = F.forall(
+        F.sequence(F.lit(1), F.greatest(n_edges, F.lit(1))),
+        lambda i: _edge_stays_in_union(
+            F.element_at(F.element_at(ring, i), 1),
+            F.element_at(F.element_at(ring, i), 2),
+            F.element_at(
+                F.element_at(ring, F.least(i + 1, F.size(ring))), 1
+            ),
+            F.element_at(
+                F.element_at(ring, F.least(i + 1, F.size(ring))), 2
+            ),
+            qparts,
+        ),
+    )
+    return verts_in & edges_in
+
+
+def _union_within_pred(parts_col: Column, qparts) -> Column:
+    """EXACT within over a MULTI-member polygon query (multipolygon /
+    geometrycollection of polygons): a doc part straddling two
+    touching members is within the union even though it is within
+    neither member alone — the member-wise approximation the round-2
+    review documented. Circles keep the member-wise test (a disc
+    region spanning members is not vertex-decomposable)."""
+
+    def one(p: Column) -> Column:
+        k = p["kind"]
+        ring = p["ring"]
+        first = F.element_at(ring, 1)
+        return (
+            F.when(
+                k == "point",
+                _in_union(
+                    F.element_at(first, 1), F.element_at(first, 2),
+                    qparts,
+                ),
+            )
+            .when(
+                k.isin("linestring", "polygon"),
+                _ring_within_union(ring, qparts),
+            )
+            .when(k == "circle", _any_q(p, qparts, "within"))
+            .otherwise(F.lit(False))
+        )
+
+    return F.forall(parts_col, one) & (F.size(parts_col) > 0)
 
 
 def _any_q(p: Column, qparts, relation) -> Column:
