@@ -170,6 +170,78 @@ def _ann_layout(spark, sf: str, kind: str) -> str:
     return path
 
 
+def _mapped_docs_index(spark: SparkSession, sf_dir: str, variant: str):
+    """Documents indexed THROUGH the IndexMapping layer
+    (bleve_spark/index/mapping.py — mapping/index.go MapDocument):
+
+    * ``nested``  — doc_id + body{text,lang} + meta{n_chars} structs,
+      static mapping with explicit per-path field mappings; flattened
+      field names are dotted paths (body.text).
+    * ``typed``   — flat columns routed by type_field='source' with
+      type 'src7' DISABLED: its rows never reach the index (doc_count,
+      df, avgdl all shrink), everything else takes the default static
+      mapping.
+    * ``tags``    — tags = [lang, lang, source] as an array<string>
+      keyword field: per-element same-name instances merge (summed tf,
+      element-local positions, norm over Σ lengths).
+    """
+    from bleve_spark.index.mapping import IndexMapping, index_with_mapping
+
+    key = (spark.sparkContext.applicationId, sf_dir, "mapped", variant)
+    if key not in _INDEX_CACHE:
+        df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        if variant == "nested":
+            src = df.select(
+                "doc_id",
+                F.struct(
+                    F.col("text").alias("text"),
+                    F.col("lang").alias("lang"),
+                ).alias("body"),
+                F.struct(F.col("n_chars").alias("n_chars")).alias("meta"),
+            )
+            im = IndexMapping.from_dict({
+                "default_mapping": {"dynamic": False, "properties": {
+                    "body": {"properties": {
+                        "text": {"fields": [
+                            {"type": "text", "analyzer": "standard"},
+                        ]},
+                        "lang": {"fields": [
+                            {"type": "text", "analyzer": "keyword"},
+                        ]},
+                    }},
+                    "meta": {"properties": {"n_chars": {"fields": [
+                        {"type": "number"},
+                    ]}}},
+                }},
+                "scoring_model": "bm25",
+            })
+        elif variant == "typed":
+            src = df.select("doc_id", "text", "lang", "source")
+            im = IndexMapping.from_dict({
+                "type_field": "source",
+                "types": {"src7": {"enabled": False}},
+                "default_mapping": {"dynamic": False, "properties": {
+                    "text": {"fields": [{"type": "text"}]},
+                }},
+                "scoring_model": "bm25",
+            })
+        else:  # tags
+            src = df.select(
+                "doc_id",
+                F.array("lang", "lang", "source").alias("tags"),
+            )
+            im = IndexMapping.from_dict({
+                "default_mapping": {"dynamic": False, "properties": {
+                    "tags": {"fields": [
+                        {"type": "text", "analyzer": "keyword"},
+                    ]},
+                }},
+                "scoring_model": "bm25",
+            })
+        _INDEX_CACHE[key] = index_with_mapping(src, ["doc_id"], im)
+    return _INDEX_CACHE[key]
+
+
 def _topk(idx, q, k=20, from_=0) -> DataFrame:
     """Rounded-score top-k with deterministic (rounded score, key)
     ordering so engine and oracle select identical boundary rows."""
@@ -1440,6 +1512,47 @@ _QUNION_SHAPE = {
 }
 
 
+def _sql_mapping_typed() -> str:
+    """Oracle for the type-routed mapped index: the corpus WITHOUT the
+    disabled type ('src7') — postings, doc_count, df and avgdl are all
+    computed over the filtered view, independent of the routing
+    union."""
+    pre = _PRELUDE.replace("FROM documents", "FROM docs_f").replace(
+        "WITH raw AS (",
+        "WITH docs_f AS (SELECT * FROM documents "
+        "WHERE source <> 'src7'), raw AS (",
+    )
+    return _sql_single_term("spark", prelude=pre)
+
+
+def _sql_mapping_tags() -> str:
+    """Oracle for the array<string> keyword field: tags =
+    [lang, lang, source] → 3 one-token elements per doc, merged
+    same-name instances (tf=Σ per-element freq, flen=3)."""
+    idf = _IDF.format(df="coalesce(d.df,0)")
+    return f"""
+WITH tg AS (
+  SELECT doc_id, [lang, lang, source] AS tags FROM documents
+), post AS (
+  SELECT doc_id, t AS term, CAST(count(*) AS INT) AS tf,
+         CAST(CAST(1.0/sqrt(3) AS REAL) AS DOUBLE) AS norm
+  FROM (SELECT doc_id, unnest(tags) AS t FROM tg)
+  GROUP BY doc_id, t
+), ndocs AS (SELECT count(*) AS n FROM documents),
+avgl AS (
+  SELECT ceil(CAST(count(DISTINCT term) AS DOUBLE)
+              / (SELECT n FROM ndocs)) AS v
+  FROM post
+), dict AS (
+  SELECT term, count(*) AS df FROM post GROUP BY term
+),
+q AS (SELECT qt.term, {idf} AS idf
+      FROM (VALUES ('en')) qt(term) LEFT JOIN dict d USING (term))
+SELECT p.doc_id, round({_BASE}, 6) AS score
+FROM post p JOIN q USING (term)
+ORDER BY score DESC, p.doc_id LIMIT 20"""
+
+
 def _sql_geo_shape_union_within() -> str:
     """Independent oracle for within-the-UNION of the two members:
     the union is exactly the CONVEX quad _QSHAPE_PTS, and a shape is
@@ -1979,6 +2092,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return idx.source.where(pred).select(
             "doc_id", F.lit(1.0).alias("score")
+        )
+
+    def q_mapping_nested_term(spark, sf):
+        """Term query over a field FLATTENED BY THE MAPPING LAYER
+        (body.text): nested structs walk to dotted paths exactly like
+        bleve's encodePath (mapping/document.go), and scores must be
+        identical to the same content indexed flat — so the oracle is
+        the plain single-term BM25 twin."""
+        return _topk(
+            _mapped_docs_index(spark, sf, "nested"),
+            {"field": "body.text", "term": "spark"},
+        )
+
+    def q_mapping_typed_term(spark, sf):
+        """Per-type document mappings: rows whose type_field value
+        ('source') names a DISABLED type mapping never reach the index
+        — doc_count, df and avgdl all shrink (mapping/index.go
+        MapDocument only walks enabled mappings), which shifts every
+        BM25 score."""
+        return _topk(
+            _mapped_docs_index(spark, sf, "typed"),
+            {"field": "text", "term": "spark"},
+        )
+
+    def q_mapping_array_tags(spark, sf):
+        """array<string> keyword field through the mapping layer:
+        bleve indexes each element as a same-name field instance whose
+        term freqs merge and lengths sum (document/document.go:35,
+        173-181) — tf('en')=2 where lang='en' (it appears twice in the
+        tags array), norm=float32(1/√3) for every doc."""
+        return _topk(
+            _mapped_docs_index(spark, sf, "tags"),
+            {"field": "tags", "term": "en"},
         )
 
     def q_geo_shape_union_within(spark, sf):
@@ -2805,6 +2951,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_geo_shape_hole_intersects": q_geo_shape_hole_intersects,
             "q_geo_shape_contains": q_geo_shape_contains,
             "q_geo_shape_union_within": q_geo_shape_union_within,
+            "q_mapping_nested_term": q_mapping_nested_term,
+            "q_mapping_typed_term": q_mapping_typed_term,
+            "q_mapping_array_tags": q_mapping_array_tags,
             "q_ip_range": q_ip_range,
             "q_hybrid_rrf": q_hybrid_rrf,
             "q_hybrid_filtered": q_hybrid_filtered,
@@ -2988,6 +3137,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_geo_shape_contains": _sql_geo_shape_contains_point(-35.5, -37.75),
         "q_geo_shape_union_within": _sql_geo_shape_union_within(),
+        "q_mapping_nested_term": _sql_single_term("spark"),
+        "q_mapping_typed_term": _sql_mapping_typed(),
+        "q_mapping_array_tags": _sql_mapping_tags(),
         "q_geo_bbox": (
             "SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM ("
             "SELECT doc_id, "

@@ -42,6 +42,15 @@ BM25_K1 = 1.2  # /root/reference/search/util.go:275
 BM25_B = 0.75  # /root/reference/search/util.go:276
 
 
+def qcol(name: str) -> F.Column:
+    """Column ref that treats ``name`` as one literal column name even
+    when it contains dots — mapped nested paths flatten to dotted
+    field names (mapping/document.go pathSeparator '.')."""
+    if "." in name:
+        return F.col("`" + name + "`")
+    return F.col(name)
+
+
 @dataclass
 class IndexStats:
     doc_count: int
@@ -240,7 +249,7 @@ class IndexedTable:
 
 def _field_postings(
     df: DataFrame, keys: list[str], field_name: str, analyzer: str,
-    with_len: bool = False,
+    with_len: bool = False, src_col: str | None = None,
 ) -> DataFrame:
     """(field, term, keys..., tf, positions, norm) for one field.
 
@@ -254,7 +263,7 @@ def _field_postings(
 
     analyzer_obj = get_analyzer(analyzer)
     src = df.select(
-        *keys, F.col(field_name).cast("string").alias("_text")
+        *keys, qcol(src_col or field_name).cast("string").alias("_text")
     )
     key_fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
@@ -336,7 +345,7 @@ def _typed_member_postings(
     import numpy as np
 
     if kind == "boolean":
-        src = df.select(*keys, F.col(member).cast("boolean").alias("_v"))
+        src = df.select(*keys, qcol(member).cast("boolean").alias("_v"))
         return (
             src.where(F.col("_v").isNotNull())
             .select(
@@ -355,13 +364,13 @@ def _typed_member_postings(
         # bleve indexes time.UnixNano (field_datetime.go)
         src = df.select(
             *keys,
-            (F.unix_micros(F.col(member).cast("timestamp"))
+            (F.unix_micros(qcol(member).cast("timestamp"))
              * F.lit(1000)).alias("_v"),
         )
         to_sortable = None  # already an int64 payload
     elif kind == "numeric":
         src = df.select(
-            *keys, F.col(member).cast("double").alias("_v")
+            *keys, qcol(member).cast("double").alias("_v")
         )
         to_sortable = "float"
     else:
@@ -431,7 +440,7 @@ def _typed_member_postings(
 
 
 def _member_kind(df: DataFrame, member: str) -> str:
-    """text | numeric | datetime | boolean, from the column dtype."""
+    """text | text_array | numeric | datetime | boolean, from dtype."""
     from pyspark.sql import types as T
 
     dt = df.schema[member].dataType
@@ -441,7 +450,60 @@ def _member_kind(df: DataFrame, member: str) -> str:
         return "boolean"
     if isinstance(dt, T.NumericType):
         return "numeric"
+    if isinstance(dt, T.ArrayType):
+        return "text_array"
     return "text"
+
+
+def _array_text_postings(
+    df: DataFrame, keys: list[str], field_name: str, analyzer: str,
+    with_len: bool = False,
+) -> DataFrame:
+    """Postings for an ``array<string>`` field: bleve indexes each
+    array element as a separate same-name field instance
+    (document/document.go:35,173-181 ArrayPositions) whose term freqs
+    merge and whose lengths ACCUMULATE into one norm (scorch interim
+    analysis sums same-name instance lengths). So: term freqs sum
+    across elements, positions stay element-LOCAL (restart per element
+    — phrases never span elements, same as composite members), norm =
+    float32(1/√Σ element lengths)."""
+    elem = df.select(
+        *keys,
+        F.posexplode(qcol(field_name)).alias("_apos", "_elem"),
+    )
+    per = _field_postings(
+        elem, [*keys, "_apos"], field_name, analyzer,
+        with_len=True, src_col="_elem",
+    )
+    lens = (
+        per.select(*keys, "_apos", "_flen").distinct()
+        .groupBy(*keys).agg(F.sum("_flen").alias("_total_len"))
+    )
+    extra = (
+        [F.col("_total_len").cast("int").alias("_flen")]
+        if with_len else []
+    )
+    return (
+        per.groupBy(*keys, "term")
+        .agg(
+            F.sum("tf").cast("int").alias("tf"),
+            F.sort_array(
+                F.flatten(F.collect_list("positions"))
+            ).alias("positions"),
+        )
+        .join(lens, keys)
+        .select(
+            F.lit(field_name).alias("field"),
+            F.col("term"),
+            *keys,
+            "tf",
+            "positions",
+            (F.lit(1.0) / F.sqrt(F.col("_total_len")))
+            .cast("float")
+            .alias("norm"),
+            *extra,
+        )
+    )
 
 
 def _composite_postings(
@@ -463,6 +525,13 @@ def _composite_postings(
         if kind == "text":
             parts.append(
                 _field_postings(
+                    df, keys, m, analyzers.get(m, "standard"),
+                    with_len=True,
+                )
+            )
+        elif kind == "text_array":
+            parts.append(
+                _array_text_postings(
                     df, keys, m, analyzers.get(m, "standard"),
                     with_len=True,
                 )
@@ -526,7 +595,8 @@ def index_table(
     df2 = df
     fields_all = dict(fields)
     parts = [
-        _field_postings(df2, key_cols, f, a)
+        (_array_text_postings if _member_kind(df2, f) == "text_array"
+         else _field_postings)(df2, key_cols, f, a)
         for f, a in fields_all.items()
     ]
     for cname, members in (composite_fields or {}).items():

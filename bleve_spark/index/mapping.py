@@ -1,0 +1,575 @@
+"""IndexMapping / DocumentMapping / FieldMapping — the reference's
+``mapping`` package re-expressed over Spark schemas.
+
+The reference maps each document by REFLECTING over its JSON at index
+time (mapping/document.go:425 walkDocument, mapping/index.go:369
+MapDocument): every value is visited, the mapping tree decides which
+typed fields it becomes, and per-value type sniffing (a string that
+parses as a date becomes a datetime field) patches over JSON's missing
+types. A DataFrame is typed up front, so the Spark-native statement of
+the same contract walks the SCHEMA once on the driver and compiles the
+whole mapping to a flat projection + analyzer plan — zero per-row
+mapping work, every downstream stage stays native:
+
+* nested structs flatten to dotted field names exactly like bleve's
+  ``encodePath`` (mapping/document.go:32-39; pathSeparator "." in
+  mapping/mapping.go),
+* per-type document mappings route rows by the ``type_field`` column
+  (mapping/index.go:50,  determineType) as a union of per-type
+  projections over one shared flat schema,
+* dynamic mapping (document.go:43-54 ``Dynamic``) infers the field
+  type from the COLUMN type — the deterministic analogue of bleve's
+  per-value sniffing: a string column is text, a timestamp column is
+  datetime. (A string column holding RFC3339 dates should either be
+  loaded as TimestampType or mapped explicitly with
+  ``{"type": "datetime"}`` — per-row sniffing would put the same
+  column in two indexes at 100 TB, which bleve itself only tolerates
+  because it decides per document.)
+* arrays of strings become ONE field whose term frequencies merge
+  across elements with member-local positions and summed length —
+  bleve indexes each array element as a separate same-name field
+  instance whose lengths accumulate (document/document.go:35,173-181;
+  index/scorch analysis merges same-name instances), which is the
+  composite-field merge :func:`_composite_postings` already models.
+
+Unsupported (documented): ``nested: true`` sub-documents
+(mapping/document.go:48 — separate child documents with their own ids)
+and dynamic mapping over MapType columns with unknown runtime keys
+(explicitly-mapped keys work; bleve can enumerate JSON object keys per
+row, a static plan cannot).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from bleve_spark.index.build import qcol  # noqa: F401  (re-export)
+
+# defaults: mapping/mapping.go:24-43 + mapping/index.go:160-175
+DEFAULT_TYPE_FIELD = "_type"
+DEFAULT_TYPE = "_default"
+DEFAULT_ANALYZER = "standard"
+DEFAULT_FIELD = "_all"
+PATH_SEP = "."
+
+
+@dataclass
+class FieldMapping:
+    """mapping/field.go:41-89. ``name`` overrides the last path
+    element (field.go:395-405 getFieldName)."""
+
+    name: str = ""
+    type: str = ""
+    analyzer: str = ""
+    store: bool = True
+    index: bool = True
+    include_term_vectors: bool = True
+    include_in_all: bool = True
+    date_format: str = ""
+    docvalues: bool = True
+    skip_freq_norm: bool = False
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "FieldMapping":
+        return cls(
+            name=d.get("name", ""),
+            type=d.get("type", ""),
+            analyzer=d.get("analyzer", ""),
+            store=d.get("store", True),
+            index=d.get("index", True),
+            include_term_vectors=d.get("include_term_vectors", True),
+            include_in_all=d.get("include_in_all", True),
+            date_format=d.get("date_format", ""),
+            docvalues=d.get("docvalues", True),
+            skip_freq_norm=d.get("skip_freq_norm", False),
+        )
+
+
+@dataclass
+class DocumentMapping:
+    """mapping/document.go:43-54; JSON-absent enabled/dynamic default
+    to true (document.go UnmarshalJSON)."""
+
+    enabled: bool = True
+    dynamic: bool = True
+    properties: dict = dc_field(default_factory=dict)
+    fields: list = dc_field(default_factory=list)
+    default_analyzer: str = ""
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "DocumentMapping":
+        return cls(
+            enabled=d.get("enabled", True),
+            dynamic=d.get("dynamic", True),
+            properties={
+                k: DocumentMapping.from_dict(v)
+                for k, v in (d.get("properties") or {}).items()
+            },
+            fields=[
+                FieldMapping.from_dict(f) for f in (d.get("fields") or [])
+            ],
+            default_analyzer=d.get("default_analyzer", ""),
+        )
+
+    # mapping/document.go:184-215 documentMappingForPathElements:
+    # returns (exact, closest) — closest is the deepest mapping whose
+    # prefix matches the path
+    def mapping_for_path(self, path: list[str]):
+        current = self
+        for i, elem in enumerate(path):
+            nxt = current.properties.get(elem)
+            if nxt is None:
+                return None, current
+            current = nxt
+        return current, current
+
+    # mapping/document.go:380-395 defaultAnalyzerName: walk the path
+    # root→leaf, the LAST non-empty default_analyzer wins
+    def default_analyzer_for(self, path: list[str]) -> str:
+        rv = self.default_analyzer
+        current = self
+        for elem in path:
+            current = current.properties.get(elem)
+            if current is None:
+                break
+            if current.default_analyzer:
+                rv = current.default_analyzer
+        return rv
+
+
+@dataclass
+class IndexMapping:
+    """mapping/index.go:47-62 IndexMappingImpl."""
+
+    type_mapping: dict = dc_field(default_factory=dict)
+    default_mapping: DocumentMapping = dc_field(
+        default_factory=DocumentMapping
+    )
+    type_field: str = DEFAULT_TYPE_FIELD
+    default_type: str = DEFAULT_TYPE
+    default_analyzer: str = DEFAULT_ANALYZER
+    default_datetime_parser: str = ""
+    default_field: str = DEFAULT_FIELD
+    store_dynamic: bool = True
+    index_dynamic: bool = True
+    docvalues_dynamic: bool = True
+    scoring_model: str = ""  # "" → tfidf (index.go:55; util.go scoring)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "IndexMapping":
+        return cls(
+            type_mapping={
+                k: DocumentMapping.from_dict(v)
+                for k, v in (d.get("types") or {}).items()
+            },
+            default_mapping=DocumentMapping.from_dict(
+                d.get("default_mapping") or {}
+            ),
+            type_field=d.get("type_field", DEFAULT_TYPE_FIELD),
+            default_type=d.get("default_type", DEFAULT_TYPE),
+            default_analyzer=d.get("default_analyzer", DEFAULT_ANALYZER),
+            default_datetime_parser=d.get("default_datetime_parser", ""),
+            default_field=d.get("default_field", DEFAULT_FIELD),
+            store_dynamic=d.get("store_dynamic", True),
+            index_dynamic=d.get("index_dynamic", True),
+            docvalues_dynamic=d.get("docvalues_dynamic", True),
+            scoring_model=d.get("scoring_model", ""),
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "IndexMapping":
+        return cls.from_dict(json.loads(s))
+
+    # mapping/index.go mappingForType
+    def mapping_for_type(self, doc_type: str) -> DocumentMapping:
+        dm = self.type_mapping.get(doc_type)
+        if dm is not None:
+            return dm
+        return self.default_mapping
+
+    # mapping/index.go AnalyzerNameForPath — query-time analyzer
+    # resolution with only a field path (used by match/phrase query
+    # compilation): explicit field mapping first across all type
+    # mappings, then default chain
+    def analyzer_name_for_path(self, path: str) -> str:
+        elems = path.split(PATH_SEP)
+        for dm in [*self.type_mapping.values(), self.default_mapping]:
+            exact, _ = dm.mapping_for_path(elems)
+            if exact is not None:
+                for fm in exact.fields:
+                    if (fm.name in ("", elems[-1])) and fm.analyzer:
+                        return fm.analyzer
+        for dm in [*self.type_mapping.values(), self.default_mapping]:
+            da = dm.default_analyzer_for(elems[:-1])
+            if da:
+                return da
+        return self.default_analyzer
+
+
+@dataclass
+class PlannedField:
+    """One index field the mapping compiles to: a flattened source
+    expression + how to index it."""
+
+    name: str            # postings/source field name (dotted path)
+    ftype: str           # text|number|datetime|boolean
+    analyzer: str | None
+    expr: F.Column
+    is_array: bool = False
+    store: bool = True
+    index: bool = True
+    include_in_all: bool = True
+    date_format: str = ""
+    src_kind: str = ""   # spark column kind the plan reads from
+    src_dtype: T.DataType | None = None
+
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def _spark_kind(dt: T.DataType) -> str | None:
+    if isinstance(dt, T.StringType):
+        return "text"
+    if isinstance(dt, _NUMERIC):
+        return "number"
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, (T.TimestampType, T.DateType)):
+        return "datetime"
+    return None
+
+
+# which mapping field types can consume which column kinds — mirrors
+# processString/processFloat64/processBoolean/processTime silently
+# skipping incompatible (value, field-type) pairs
+# (mapping/field.go:407-470, document.go:552-616): e.g. a text field
+# mapping over a float value indexes nothing, a datetime field mapping
+# over a string PARSES it
+_COMPAT = {
+    "text": {"text"},
+    "number": {"number"},
+    "boolean": {"boolean"},
+    "datetime": {"datetime", "text"},
+    "IP": {"text"},
+}
+
+
+def plan_document_mapping(
+    schema: T.StructType, dm: DocumentMapping, im: IndexMapping,
+) -> list[PlannedField]:
+    """Compile one DocumentMapping against a Spark schema: the static
+    twin of walkDocument/processProperty
+    (mapping/document.go:425-520, 533-711)."""
+    plans: list[PlannedField] = []
+
+    def resolve_analyzer(fm: FieldMapping | None, path: list[str]) -> str:
+        if fm is not None and fm.analyzer:
+            return fm.analyzer
+        da = dm.default_analyzer_for(path[:-1] if path else [])
+        if da:
+            return da
+        return im.default_analyzer
+
+    def leaf(path: list[str], dtype: T.DataType, is_array: bool):
+        kind = _spark_kind(dtype)
+        if kind is None:
+            return
+        if is_array and kind != "text":
+            # v1 limitation: numeric/bool/datetime ARRays would need
+            # array-aware range predicates (bleve emits one numeric
+            # field instance per element); text arrays are the case
+            # real corpora hit (tags, authors)
+            return
+        exact, closest = dm.mapping_for_path(path)
+        if exact is not None and not exact.enabled:
+            return
+        path_str = PATH_SEP.join(path)
+        if exact is not None and exact.fields:
+            for fm in exact.fields:
+                if not fm.index:
+                    continue
+                ftype = fm.type or kind
+                if kind not in _COMPAT.get(ftype, {ftype}):
+                    continue  # silently skipped, like the reference
+                # getFieldName: explicit name replaces the LAST path
+                # element (field.go:395-405)
+                if fm.name:
+                    name = PATH_SEP.join([*path[:-1], fm.name])
+                else:
+                    name = path_str
+                plans.append(PlannedField(
+                    name=name,
+                    # IP fields index the literal address untokenized
+                    # (document/field_ip.go); ip_range queries compile
+                    # to native predicates on the flat column
+                    ftype=ftype if ftype != "IP" else "text",
+                    analyzer=(
+                        resolve_analyzer(fm, path) if ftype == "text"
+                        else ("keyword" if ftype == "IP" else None)
+                    ),
+                    expr=_path_expr(path),
+                    is_array=is_array,
+                    store=fm.store,
+                    index=fm.index,
+                    include_in_all=fm.include_in_all,
+                    date_format=fm.date_format,
+                    src_kind=kind,
+                    src_dtype=dtype,
+                ))
+        elif closest.dynamic:
+            # dynamic defaults: newTextFieldMappingDynamic et al.
+            # (field.go:103-140) — store/index follow the index
+            # mapping's *_dynamic flags
+            if not im.index_dynamic:
+                return
+            plans.append(PlannedField(
+                name=path_str,
+                ftype=kind,
+                analyzer=(
+                    resolve_analyzer(None, path) if kind == "text"
+                    else None
+                ),
+                expr=_path_expr(path),
+                is_array=is_array,
+                store=im.store_dynamic,
+                index=True,
+                include_in_all=True,
+                src_kind=kind,
+                src_dtype=dtype,
+            ))
+
+    def walk(st: T.StructType, path: list[str], in_array: bool):
+        for f in st.fields:
+            p = [*path, f.name]
+            exact, _ = dm.mapping_for_path(p)
+            if exact is not None and not exact.enabled:
+                continue
+            dt = f.dataType
+            if isinstance(dt, T.StructType):
+                walk(dt, p, in_array)
+            elif isinstance(dt, T.ArrayType):
+                el = dt.elementType
+                if isinstance(el, T.StructType):
+                    # array<struct>: Spark auto-projects a.b over the
+                    # array, so sub-leaves surface as array<atomic>
+                    walk(el, p, True)
+                else:
+                    leaf(p, el, True)
+            else:
+                leaf(p, dt, in_array)
+
+    if not dm.enabled:
+        return []
+    walk(schema, [], False)
+    return plans
+
+
+def _path_expr(path: list[str]) -> F.Column:
+    col = F.col(path[0])
+    for p in path[1:]:
+        col = col[p]
+    return col
+
+
+def _all_disabled(dm: DocumentMapping) -> bool:
+    # MapDocument checks documentMappingForPath("_all").Enabled
+    # (mapping/index.go:390-396)
+    exact, _ = dm.mapping_for_path(["_all"])
+    return exact is not None and not exact.enabled
+
+
+def map_table(
+    df: DataFrame, im: IndexMapping, key_cols: list[str] | None = None,
+) -> tuple[DataFrame, dict, dict, dict]:
+    """Compile ``im`` against ``df``: returns (flat_df, fields,
+    composite_fields, planned) where ``flat_df`` carries one column
+    per planned field (dotted names preserved), ``fields`` maps text
+    field → analyzer for :func:`index_table`, ``composite_fields``
+    holds the ``_all`` membership, and ``planned`` maps field name →
+    :class:`PlannedField` (store flags etc.).
+
+    Per-type document mappings (mapping/index.go:48 TypeMapping,
+    determineType) become a UNION of per-type projections: each row is
+    routed by the ``type_field`` column to exactly one DocumentMapping
+    — one scan per declared type plus one for the default; Catalyst
+    collapses the shared source scan, and at 100 TB this stays one
+    pass with per-type column pruning.
+    """
+    schema = df.schema
+    names = set(schema.fieldNames())
+
+    keys = set(key_cols or [])
+
+    def plan_for(dm: DocumentMapping):
+        plans = plan_document_mapping(schema, dm, im)
+        # key columns are the _id analogue: bleve's document DATA
+        # never contains the external id (index.go:46-65 — id and data
+        # are separate arguments), and _id is excluded from _all
+        # (newWalkContext). They pass through verbatim below.
+        plans = [p for p in plans if p.name not in keys]
+        for p in plans:
+            if p.name == "_id":
+                p.include_in_all = False
+        return plans
+
+    routed: list[tuple[F.Column | None, list[PlannedField], DocumentMapping]]
+    if im.type_mapping and im.type_field in names:
+        routed = []
+        declared = sorted(im.type_mapping)
+        for t in declared:
+            routed.append((
+                F.col(im.type_field) == t,
+                plan_for(im.type_mapping[t]),
+                im.type_mapping[t],
+            ))
+        default_dm = im.mapping_for_type(im.default_type)
+        routed.append((
+            ~F.col(im.type_field).isin(declared)
+            | F.col(im.type_field).isNull(),
+            plan_for(default_dm),
+            default_dm,
+        ))
+    else:
+        dm = im.mapping_for_type(im.default_type)
+        routed = [(None, plan_for(dm), dm)]
+
+    # shared flat schema = union of every route's planned fields
+    all_names: list[str] = []
+    by_name: dict[str, PlannedField] = {}
+    for _, plans, _dm in routed:
+        for p in plans:
+            if p.name not in by_name:
+                by_name[p.name] = p
+                all_names.append(p.name)
+            elif by_name[p.name].ftype != p.ftype:
+                raise ValueError(
+                    f"field {p.name!r} maps to {by_name[p.name].ftype} "
+                    f"in one type mapping and {p.ftype} in another — "
+                    "bleve shares one field namespace across types"
+                )
+
+    # original columns survive untouched unless a planned field claims
+    # the same name (identity mapping over an already-flat schema)
+    passthrough = [
+        f.name for f in schema.fields if f.name not in by_name
+    ]
+    # number fields keep their source Spark type (a long doc_id must
+    # stay a long — it is also the doc identity); routes disagreeing
+    # on the dtype widen to double
+    num_dtype: dict[str, T.DataType] = {}
+    for _, plans, _dm in routed:
+        for p in plans:
+            if p.ftype != "number" or p.src_dtype is None:
+                continue
+            prev = num_dtype.get(p.name)
+            if prev is None:
+                num_dtype[p.name] = p.src_dtype
+            elif prev != p.src_dtype:
+                num_dtype[p.name] = T.DoubleType()
+    frames = []
+    for cond, plans, _dm in routed:
+        if not _dm.enabled:
+            # a disabled document mapping indexes NOTHING for its type
+            # — the doc never reaches the index (MapDocument only
+            # walks when docMapping.Enabled, mapping/index.go:385-397)
+            continue
+        have = {p.name: p for p in plans}
+        cols = [F.col(k) for k in passthrough]
+        for n in all_names:
+            p = have.get(n)
+            if p is None:
+                ref = by_name[n]
+                if ref.is_array and ref.ftype == "text":
+                    null_t = "array<string>"
+                elif ref.ftype == "number":
+                    null_t = num_dtype.get(
+                        n, T.DoubleType()
+                    ).simpleString()
+                else:
+                    null_t = {"text": "string", "boolean": "boolean",
+                              "datetime": "timestamp"}[ref.ftype]
+                cols.append(F.lit(None).cast(null_t).alias(n))
+            else:
+                e = p.expr
+                if p.ftype == "text" and not p.is_array:
+                    e = e.cast("string")
+                elif p.ftype == "text" and p.is_array:
+                    e = e.cast("array<string>")
+                elif p.ftype == "number":
+                    e = e.cast(num_dtype[p.name].simpleString())
+                elif p.ftype == "datetime":
+                    if p.src_kind == "datetime":
+                        e = e.cast("timestamp")
+                    else:
+                        # ANSI-safe: a string column mapped datetime
+                        # is PARSED (processString case "datetime");
+                        # rows the parser rejects index nothing, like
+                        # the reference
+                        e = F.try_to_timestamp(e.cast("string"))
+                cols.append(e.alias(n))
+        # route filter runs BEFORE the projection: the type column may
+        # itself be re-planned (or absent) in this route's flat shape
+        part = (df.where(cond) if cond is not None else df).select(*cols)
+        frames.append(part)
+    if not frames:
+        raise ValueError(
+            "every document mapping is disabled — nothing to index"
+        )
+    flat = frames[0]
+    for fr in frames[1:]:
+        flat = flat.unionByName(fr)
+
+    fields = {
+        n: p.analyzer for n, p in by_name.items()
+        if p.ftype == "text" and p.index
+    }
+    if not fields:
+        raise ValueError("mapping plans no indexed text field")
+    # _all membership: include_in_all fields of any type — numeric /
+    # datetime / boolean members contribute their 16 prefix-coded trie
+    # terms through _typed_member_postings (field_numeric.go:94-116)
+    composite: dict[str, list[str]] = {}
+    if not _all_disabled(im.mapping_for_type(im.default_type)):
+        members = [
+            n for n, p in by_name.items()
+            if p.include_in_all and p.index
+        ]
+        if members:
+            composite[im.default_field] = members
+    return flat, fields, composite, by_name
+
+
+def index_with_mapping(
+    df: DataFrame,
+    key_cols: list[str],
+    im: IndexMapping,
+    scoring: str | None = None,
+    persist: bool = True,
+    **kw,
+):
+    """Index ``df`` through an IndexMapping — the Spark twin of
+    ``bleve.New(path, mapping)`` + ``Batch.Index``. Scoring defaults
+    to the mapping's ``scoring_model`` (empty = bleve's legacy tf-idf,
+    index.go:55 / util.go scoring models)."""
+    from bleve_spark.index.build import index_table
+
+    flat, fields, composite, planned = map_table(df, im, key_cols)
+    idx = index_table(
+        flat,
+        key_cols,
+        fields,
+        scoring=scoring or (im.scoring_model or "tfidf"),
+        persist=persist,
+        composite_fields=composite or None,
+        **kw,
+    )
+    idx.mapping = im
+    idx.planned_fields = planned
+    return idx

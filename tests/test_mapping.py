@@ -1,0 +1,279 @@
+"""IndexMapping / DocumentMapping / FieldMapping — Spark-schema twin
+of the reference's mapping package (mapping/index.go MapDocument,
+mapping/document.go walkDocument/processProperty)."""
+
+import glob
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from bleve_spark.index.build import index_table
+from bleve_spark.index.mapping import (
+    DocumentMapping,
+    FieldMapping,
+    IndexMapping,
+    index_with_mapping,
+    map_table,
+    plan_document_mapping,
+)
+from bleve_spark.search.searcher import search
+
+
+def _nested_df(spark):
+    rows = [
+        (1, "alpha report", ("the quick brown fox", "en"), (7,),
+         ["red tag", "blue"]),
+        (2, "beta memo", ("lazy dogs sleep", "de"), (3,), ["green"]),
+        (3, "gamma alpha", ("quick quick dogs", "en"), (9,), None),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, title string, "
+        "body struct<text:string, lang:string>, "
+        "meta struct<n:long>, tags array<string>",
+    )
+
+
+def _hits(res):
+    return sorted(h["id"] for h in res["hits"])
+
+
+# ---------------------------------------------------------------- parse
+
+
+def test_parse_every_reference_fixture_mapping():
+    """Every mapping.json the reference ships parses without loss of
+    the semantics the golden tests hand-coded."""
+    paths = sorted(glob.glob("/root/reference/test/tests/*/mapping.json"))
+    assert paths
+    parsed = {}
+    for p in paths:
+        with open(p) as f:
+            parsed[p.split("/")[-2]] = IndexMapping.from_dict(json.load(f))
+    basic = parsed["basic"]
+    assert basic.default_type == "person"
+    assert basic.analyzer_name_for_path("name") == "en"
+    person = basic.mapping_for_type("person")
+    exact, _ = person.mapping_for_path(["id"])
+    assert exact is not None and not exact.enabled
+    fosdem = parsed["fosdem"]
+    assert fosdem.analyzer_name_for_path("category") == "keyword"
+    assert fosdem.analyzer_name_for_path("description") == "en"
+    # sort/mapping.json is {} — everything defaults
+    srt = parsed["sort"]
+    assert srt.default_analyzer == "standard" and srt.default_mapping.dynamic
+
+
+def test_plan_skips_disabled_property(spark):
+    df = _nested_df(spark)
+    im = IndexMapping.from_dict({
+        "types": {"person": {"properties": {
+            "title": {"fields": [{"type": "text", "analyzer": "en"}]},
+            "body": {"enabled": False},
+        }}},
+        "default_type": "person",
+    })
+    plans = plan_document_mapping(
+        df.schema, im.mapping_for_type("person"), im
+    )
+    names = {p.name for p in plans}
+    assert "title" in names
+    assert not any(n.startswith("body") for n in names)
+
+
+def test_static_mapping_skips_unmapped(spark):
+    df = _nested_df(spark)
+    dm = DocumentMapping.from_dict({
+        "dynamic": False,
+        "properties": {
+            "title": {"fields": [{"type": "text"}]},
+        },
+    })
+    plans = plan_document_mapping(df.schema, dm, IndexMapping())
+    assert [p.name for p in plans] == ["title"]
+
+
+# ------------------------------------------------------------- flatten
+
+
+def test_nested_flatten_dynamic(spark):
+    df = _nested_df(spark)
+    flat, fields, composite, planned = map_table(df, IndexMapping())
+    assert set(fields) == {"title", "body.text", "body.lang", "tags"}
+    assert planned["meta.n"].ftype == "number"
+    assert planned["tags"].is_array
+    assert set(composite["_all"]) == {
+        "title", "body.text", "body.lang", "tags", "meta.n", "doc_id",
+    }
+    got = {
+        r["doc_id"]: r["body.text"]
+        for r in flat.select("doc_id", "`body.text`").collect()
+    }
+    assert got[1] == "the quick brown fox"
+
+
+def test_mapped_search_rank_identity_with_flat(spark):
+    """Scores through the mapping layer must equal the same data
+    indexed as pre-flattened columns."""
+    df = _nested_df(spark)
+    idx_m = index_with_mapping(
+        df, ["doc_id"], IndexMapping(), scoring="bm25", persist=False,
+    )
+    flat = df.select(
+        "doc_id", F.col("body.text").alias("body.text")
+    )
+    idx_f = index_table(
+        flat, ["doc_id"], {"body.text": "standard"},
+        scoring="bm25", persist=False,
+    )
+    q = {"field": "body.text", "match": "quick dogs"}
+    rm = search(idx_m, q, size=10)
+    rf = search(idx_f, q, size=10)
+    assert [(h["id"], round(h["score"], 6)) for h in rm["hits"]] == \
+        [(h["id"], round(h["score"], 6)) for h in rf["hits"]]
+    assert rm["total_hits"] == 3
+
+
+def test_type_routing_and_disabled_type(spark):
+    rows = [
+        (1, "a", "quick fox"),
+        (2, "b", "quick fox"),
+        (3, "c", "quick fox"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, _type string, t string")
+    im = IndexMapping.from_dict({
+        "types": {
+            "a": {"dynamic": False, "properties": {
+                "t": {"fields": [{"type": "text"}]},
+            }},
+            "b": {"enabled": False},
+        },
+        # unmapped type "c" falls to the default mapping (dynamic)
+    })
+    idx = index_with_mapping(df, ["doc_id"], im, scoring="bm25",
+                             persist=False)
+    # type b rows never reach the index: not in doc_count, not matched
+    assert idx.stats.doc_count == 2
+    res = search(idx, {"field": "t", "term": "quick"}, size=10)
+    assert _hits(res) == ["1", "3"]
+
+
+def test_field_name_override(spark):
+    df = _nested_df(spark)
+    im = IndexMapping.from_dict({
+        "default_mapping": {"dynamic": False, "properties": {
+            "title": {"fields": [
+                {"type": "text", "name": "headline"},
+            ]},
+        }},
+    })
+    idx = index_with_mapping(df, ["doc_id"], im, persist=False)
+    fields = [r["field"] for r in
+              idx.postings.select("field").distinct().collect()]
+    assert "headline" in fields and "title" not in fields
+
+
+def test_include_in_all_exclusion(spark):
+    df = _nested_df(spark)
+    im = IndexMapping.from_dict({
+        "default_mapping": {"dynamic": False, "properties": {
+            "title": {"fields": [
+                {"type": "text", "include_in_all": False},
+            ]},
+            "body": {"properties": {"text": {"fields": [
+                {"type": "text", "include_in_all": True},
+            ]}}},
+        }},
+    })
+    idx = index_with_mapping(df, ["doc_id"], im, scoring="bm25",
+                             persist=False)
+    # "alpha" only occurs in title (excluded): no _all hit
+    assert search(idx, {"field": "_all", "term": "alpha"})["total_hits"] == 0
+    # "fox" occurs in body.text (included)
+    assert search(idx, {"field": "_all", "term": "fox"})["total_hits"] == 1
+
+
+def test_analyzer_default_chain(spark):
+    """field.Analyzer empty → walk default_analyzer root→leaf, last
+    non-empty wins (document.go:380-395); else index default."""
+    df = _nested_df(spark)
+    im = IndexMapping.from_dict({
+        "default_mapping": {
+            "default_analyzer": "keyword",
+            "dynamic": False,
+            "properties": {
+                "title": {"fields": [{"type": "text"}]},
+                "body": {
+                    "default_analyzer": "standard",
+                    "properties": {"text": {"fields": [
+                        {"type": "text"},
+                    ]}},
+                },
+            },
+        },
+    })
+    _, fields, _, _ = map_table(df, im)
+    assert fields["title"] == "keyword"
+    assert fields["body.text"] == "standard"
+    assert im.analyzer_name_for_path("body.text") == "standard"
+    idx = index_with_mapping(df, ["doc_id"], im, persist=False)
+    # keyword analyzer keeps the whole title as one term
+    terms = {r["term"] for r in idx.postings
+             .where(F.col("field") == "title").collect()}
+    assert "alpha report" in terms
+
+
+def test_array_field_instance_merge(spark):
+    """array<string>: same-name instances merge — summed tf,
+    element-local positions, norm over the SUMMED length
+    (document/document.go:35,173-181; scorch same-name instance
+    accumulation)."""
+    df = _nested_df(spark)
+    idx = index_with_mapping(df, ["doc_id"], IndexMapping(),
+                             scoring="bm25", persist=False)
+    rows = {
+        r["term"]: r for r in idx.postings
+        .where((F.col("field") == "tags") & (F.col("doc_id") == 1))
+        .collect()
+    }
+    # doc 1 tags = ["red tag", "blue"] → 3 tokens total
+    assert set(rows) == {"red", "tag", "blue"}
+    import math
+    for r in rows.values():
+        assert r["norm"] == pytest.approx(1 / math.sqrt(3), rel=1e-6)
+    # element-local positions: "blue" restarts at 1
+    assert rows["blue"]["positions"] == [1]
+    assert rows["tag"]["positions"] == [2]
+    # phrases never span elements
+    res = search(idx, {"field": "tags", "terms": ["tag", "blue"]})
+    assert res["total_hits"] == 0
+    res = search(idx, {"field": "tags", "terms": ["red", "tag"]})
+    assert res["total_hits"] == 1
+
+
+def test_scoring_model_defaults_to_tfidf(spark):
+    df = _nested_df(spark)
+    idx = index_with_mapping(df, ["doc_id"], IndexMapping(),
+                             persist=False)
+    assert idx.stats.scoring == "tfidf"
+    im2 = IndexMapping(scoring_model="bm25")
+    idx2 = index_with_mapping(df, ["doc_id"], im2, persist=False)
+    assert idx2.stats.scoring == "bm25"
+
+
+def test_datetime_string_column_parses(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-05T00:00:00", "x"), (2, "not a date", "y")],
+        "doc_id long, ts string, t string",
+    )
+    im = IndexMapping.from_dict({
+        "default_mapping": {"dynamic": False, "properties": {
+            "ts": {"fields": [{"type": "datetime"}]},
+            "t": {"fields": [{"type": "text"}]},
+        }},
+    })
+    flat, _, _, planned = map_table(df, im)
+    assert planned["ts"].ftype == "datetime"
+    vals = {r["doc_id"]: r["ts"] for r in flat.collect()}
+    assert vals[1] is not None and vals[2] is None
