@@ -225,7 +225,7 @@ def _mapped_docs_index(spark: SparkSession, sf_dir: str, variant: str):
                 }},
                 "scoring_model": "bm25",
             })
-        else:  # tags
+        elif variant == "tags":
             src = df.select(
                 "doc_id",
                 F.array("lang", "lang", "source").alias("tags"),
@@ -234,6 +234,28 @@ def _mapped_docs_index(spark: SparkSession, sf_dir: str, variant: str):
                 "default_mapping": {"dynamic": False, "properties": {
                     "tags": {"fields": [
                         {"type": "text", "analyzer": "keyword"},
+                    ]},
+                }},
+                "scoring_model": "bm25",
+            })
+        else:  # custom — `analysis` section: edge_ngram autocomplete
+            src = df.select("doc_id", "source")
+            im = IndexMapping.from_dict({
+                "analysis": {
+                    "token_filters": {
+                        "eng23": {"type": "edge_ngram",
+                                  "min": 2, "max": 3},
+                    },
+                    "analyzers": {
+                        "autocomplete": {
+                            "type": "custom", "tokenizer": "single",
+                            "token_filters": ["to_lower", "eng23"],
+                        },
+                    },
+                },
+                "default_mapping": {"dynamic": False, "properties": {
+                    "source": {"fields": [
+                        {"type": "text", "analyzer": "autocomplete"},
                     ]},
                 }},
                 "scoring_model": "bm25",
@@ -1553,6 +1575,25 @@ FROM post p JOIN q USING (term)
 ORDER BY score DESC, p.doc_id LIMIT 20"""
 
 
+def _sql_mapping_custom_ngram() -> str:
+    """Closed-form oracle for the edge_ngram(2,3) autocomplete field:
+    every doc's source ('srcN', single token) yields exactly
+    {'sr','src'} → tf=1, flen=2, df('src')=ndocs, avgdl=ceil(2/n)=1;
+    the BM25 score is one constant and ordering falls to doc_id."""
+    return """
+WITH ndocs AS (SELECT count(*) AS n FROM documents),
+nrm AS (SELECT CAST(CAST(1.0/sqrt(2.0) AS REAL) AS DOUBLE) AS v),
+c AS (
+  SELECT ln(1 + 0.5 / ((SELECT n FROM ndocs) + 0.5))
+         * (1.0 * 1.2)
+         / (1.0 + 1.2 * (0.25
+            + (0.75 * (1.0 / ((SELECT v FROM nrm)*(SELECT v FROM nrm))))
+              / ceil(2.0 / (SELECT n FROM ndocs)))) AS sc
+)
+SELECT doc_id, round((SELECT sc FROM c), 6) AS score
+FROM documents ORDER BY score DESC, doc_id LIMIT 20"""
+
+
 def _sql_geo_shape_union_within() -> str:
     """Independent oracle for within-the-UNION of the two members:
     the union is exactly the CONVEX quad _QSHAPE_PTS, and a shape is
@@ -2125,6 +2166,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _topk(
             _mapped_docs_index(spark, sf, "tags"),
             {"field": "tags", "term": "en"},
+        )
+
+    def q_mapping_custom_ngram(spark, sf):
+        """Custom `analysis` section through the mapping layer: an
+        edge_ngram(2,3) autocomplete analyzer defined in mapping JSON
+        (mapping/analysis.go; token/edgengram) indexes source values
+        ('srcN') as terms {'sr','src'} — tf=1, flen=2 for every doc,
+        so the oracle computes the closed-form BM25 constant."""
+        return _topk(
+            _mapped_docs_index(spark, sf, "custom"),
+            {"field": "source", "term": "src"},
         )
 
     def q_geo_shape_union_within(spark, sf):
@@ -2954,6 +3006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_mapping_nested_term": q_mapping_nested_term,
             "q_mapping_typed_term": q_mapping_typed_term,
             "q_mapping_array_tags": q_mapping_array_tags,
+            "q_mapping_custom_ngram": q_mapping_custom_ngram,
             "q_ip_range": q_ip_range,
             "q_hybrid_rrf": q_hybrid_rrf,
             "q_hybrid_filtered": q_hybrid_filtered,
@@ -3140,6 +3193,7 @@ def oracle_sql() -> dict[str, str]:
         "q_mapping_nested_term": _sql_single_term("spark"),
         "q_mapping_typed_term": _sql_mapping_typed(),
         "q_mapping_array_tags": _sql_mapping_tags(),
+        "q_mapping_custom_ngram": _sql_mapping_custom_ngram(),
         "q_geo_bbox": (
             "SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM ("
             "SELECT doc_id, "

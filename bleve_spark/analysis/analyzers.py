@@ -134,6 +134,41 @@ class Analyzer:
         import pyarrow.compute as pc
 
         n = len(texts)
+        if any(
+            getattr(f, "WHOLE_STREAM", False)
+            or getattr(f, "STREAM_WISE", False)
+            for f in self.token_filters
+        ):
+            # stream-wise filters (shingle/unique/hierarchy) need the
+            # whole token sequence per doc — generic per-doc path,
+            # same flat-array contract
+            flens = np.zeros(n, dtype=np.int64)
+            di: list[int] = []
+            terms_l: list[str] = []
+            pos_l: list[int] = []
+            for i, t in enumerate(texts):
+                pairs = self.analyze_terms(t)
+                flens[i] = len(pairs)
+                for term, p in pairs:
+                    di.append(i)
+                    terms_l.append(term)
+                    pos_l.append(p)
+            enc = pa.array(terms_l, type=pa.string()).dictionary_encode()
+            codes_raw = np.asarray(enc.indices, dtype=np.int32)
+            vocab_raw = np.asarray(
+                enc.dictionary.to_pylist(), dtype=object
+            )
+            order = np.argsort(vocab_raw, kind="stable")
+            rank = np.empty(len(order), dtype=np.int32)
+            rank[order] = np.arange(len(order), dtype=np.int32)
+            codes = rank[codes_raw] if len(codes_raw) else codes_raw
+            return (
+                flens,
+                np.asarray(di, dtype=np.int32),
+                codes,
+                vocab_raw[order],
+                np.asarray(pos_l, dtype=np.int32),
+            )
         tokenize = self.tokenizer.terms
         cfs = self.char_filters
         tok_lists = []
@@ -177,22 +212,46 @@ class Analyzer:
                 doc_idx = doc_idx[km]
                 pos = pos[km]
             else:
-                # 1:1 map filters (porter, possessive, boolean T/F):
-                # apply once per unique term via dictionary encoding
+                # term-local filters, applied once per UNIQUE term via
+                # dictionary encoding. 1:1 (porter, possessive, …) is
+                # a plain take; 1:N (ngram/edge_ngram/camelCase/
+                # compound) and droppers (length) expand/contract the
+                # stream — mapped tokens inherit the source token's
+                # position, exactly like analyze_terms
                 enc = arr.dictionary_encode()
                 vocab = enc.dictionary.to_pylist()
-                mapped = []
-                for u in vocab:
-                    out = f.apply_terms([u])
-                    if len(out) != 1:
-                        raise NotImplementedError(
-                            f"filter {type(f).__name__} is not 1:1; "
-                            "batch path unsupported"
-                        )
-                    mapped.append(out[0])
-                arr = pc.take(
-                    pa.array(mapped, type=pa.string()), enc.indices
+                mapped = [list(f.apply_terms([u])) for u in vocab]
+                lens = np.fromiter(
+                    (len(m) for m in mapped), dtype=np.int64,
+                    count=len(mapped),
                 )
+                if len(lens) and (lens == 1).all():
+                    arr = pc.take(
+                        pa.array([m[0] for m in mapped],
+                                 type=pa.string()),
+                        enc.indices,
+                    )
+                else:
+                    idxs = np.asarray(enc.indices, dtype=np.int64)
+                    reps = (
+                        lens[idxs] if len(idxs)
+                        else np.array([], dtype=np.int64)
+                    )
+                    pool = pa.array(
+                        [s for m in mapped for s in m],
+                        type=pa.string(),
+                    )
+                    off = np.concatenate(
+                        ([0], np.cumsum(lens))
+                    ).astype(np.int64)
+                    tot = int(reps.sum())
+                    intra = np.arange(tot, dtype=np.int64) - np.repeat(
+                        np.cumsum(reps) - reps, reps
+                    )
+                    gather = np.repeat(off[idxs], reps) + intra
+                    arr = pc.take(pool, pa.array(gather))
+                    doc_idx = np.repeat(doc_idx, reps)
+                    pos = np.repeat(pos, reps)
 
         flens = np.bincount(doc_idx, minlength=n).astype(np.int64)
 

@@ -1,0 +1,272 @@
+"""Config-driven custom analysis — the reference's ``analysis``
+mapping section (mapping/analysis.go customAnalysis + the registry
+constructors under analysis/char, analysis/tokenizer, analysis/token,
+analysis/tokenmap): users define char filters, tokenizers, token maps,
+token filters, and analyzers as JSON and reference them by name from
+field mappings.
+
+:func:`build_custom_analysis` compiles one such section into Analyzer
+objects from this package's components, using the reference's
+registered type names and config keys verbatim (e.g. a token filter
+``{"type": "edge_ngram", "min": 2, "max": 4}``, an analyzer
+``{"type": "custom", "tokenizer": "unicode", "token_filters":
+["to_lower", "my_stop"]}``). Build order resolves custom components
+before built-ins so a section can shadow a built-in name, matching the
+registry's cache precedence.
+"""
+
+from __future__ import annotations
+
+from bleve_spark.analysis.analyzers import (
+    Analyzer,
+    HTMLCharFilter,
+    RegexpCharFilter,
+    get_analyzer,
+)
+from bleve_spark.analysis.extras import (
+    DictCompoundFilter,
+    ExceptionTokenizer,
+    KeywordMarkerFilter,
+    UnicodeNormFilter,
+    ZeroWidthNonJoinerCharFilter,
+)
+from bleve_spark.analysis.filters import (
+    ApostropheFilter,
+    AsciiFoldingFilter,
+    CamelCaseFilter,
+    EdgeNgramFilter,
+    LengthFilter,
+    LowercaseFilter,
+    NgramFilter,
+    PorterFilter,
+    PossessiveEnFilter,
+    ReverseFilter,
+    ShingleFilter,
+    StopFilter,
+    TruncateFilter,
+    UniqueFilter,
+)
+from bleve_spark.analysis.lang import ElisionFilter, SnowballStemmerFilter
+from bleve_spark.analysis.stopwords import ENGLISH_STOP_WORDS
+from bleve_spark.analysis.tokenizers import (
+    LetterTokenizer,
+    RegexpTokenizer,
+    SingleTokenTokenizer,
+    UnicodeTokenizer,
+    WebTokenizer,
+    WhitespaceTokenizer,
+)
+
+_TOKENIZERS = {
+    "unicode": UnicodeTokenizer,
+    "letter": LetterTokenizer,
+    "whitespace": WhitespaceTokenizer,
+    "single": SingleTokenTokenizer,
+    "web": WebTokenizer,
+}
+
+_SNOWBALL_LANGS = {
+    "danish": "da", "dutch": "nl", "finnish": "fi",
+    "norwegian": "no", "russian": "ru", "swedish": "sv",
+    "english": "porter",
+}
+
+
+def _mk_char_filter(cfg: dict):
+    t = cfg.get("type")
+    if t == "regexp":
+        # char/regexp/regexp.go:44-57
+        return RegexpCharFilter(cfg["regexp"], cfg.get("replace", " "))
+    if t == "html":
+        return HTMLCharFilter()
+    if t == "zero_width_spaces":
+        return ZeroWidthNonJoinerCharFilter()
+    if t == "asciifolding":
+        # folding before tokenization == folding each token here
+        raise ValueError(
+            "asciifolding as a CHAR filter is unsupported; use the "
+            "asciifolding TOKEN filter"
+        )
+    raise ValueError(f"unknown char filter type: {t!r}")
+
+
+def _mk_tokenizer(cfg: dict, tokenizers: dict):
+    t = cfg.get("type")
+    if t == "regexp":
+        # tokenizer/regexp/regexp.go:60-66
+        return RegexpTokenizer(cfg["regexp"])
+    if t == "exception":
+        # tokenizer/exception/exception.go:106-135: exception patterns
+        # pass through whole, the named tokenizer splits the rest
+        inner = tokenizers.get(cfg["tokenizer"])
+        if inner is None:
+            inner = _TOKENIZERS[cfg["tokenizer"]]()
+        return ExceptionTokenizer(list(cfg["exceptions"]), inner)
+    if t in _TOKENIZERS:
+        return _TOKENIZERS[t]()
+    raise ValueError(f"unknown tokenizer type: {t!r}")
+
+
+def _token_map(cfg: dict) -> frozenset:
+    # tokenmap/custom.go:41-55 (filename loading is a filesystem
+    # concern the caller resolves; inline tokens are the JSON path)
+    if "tokens" not in cfg:
+        raise ValueError("token_map requires inline 'tokens'")
+    return frozenset(cfg["tokens"])
+
+
+def _mk_token_filter(cfg: dict, token_maps: dict):
+    t = cfg.get("type")
+    if t == "to_lower":
+        return LowercaseFilter()
+    if t == "stop_tokens":
+        # token/stop/stop.go:57-66
+        name = cfg.get("stop_token_map")
+        stopset = (
+            token_maps[name] if name is not None
+            else frozenset(ENGLISH_STOP_WORDS)
+        )
+        return StopFilter(stopset)
+    if t == "length":
+        return LengthFilter(int(cfg.get("min", 3)),
+                            int(cfg.get("max", 255)))
+    if t == "truncate_token":
+        return TruncateFilter(int(cfg["length"]))
+    if t == "ngram":
+        return NgramFilter(int(cfg["min"]), int(cfg["max"]))
+    if t == "edge_ngram":
+        return EdgeNgramFilter(int(cfg["min"]), int(cfg["max"]),
+                               back=bool(cfg.get("back", False)))
+    if t == "shingle":
+        if cfg.get("output_original") or cfg.get("filler"):
+            raise ValueError(
+                "shingle output_original/filler unsupported"
+            )
+        return ShingleFilter(int(cfg["min"]), int(cfg["max"]),
+                             cfg.get("separator", " "))
+    if t == "stemmer_porter":
+        return PorterFilter()
+    if t == "stemmer_snowball":
+        # token/snowball/snowball.go:50-56
+        from bleve_spark.analysis import snowball as sb
+
+        lang = _SNOWBALL_LANGS.get(str(cfg["language"]).lower())
+        if lang is None:
+            raise ValueError(
+                f"snowball language {cfg['language']!r} not ported"
+            )
+        if lang == "porter":
+            return PorterFilter()
+        return SnowballStemmerFilter(getattr(sb, f"stem_{lang}"))
+    if t == "elision":
+        return ElisionFilter(token_maps[cfg["articles_token_map"]])
+    if t == "keyword_marker":
+        # wraps nothing here: KeywordMarkerFilter protects tokens from
+        # the NEXT filter in the chain, so it is applied by composing
+        # at analyzer build time (see _mk_analyzer)
+        return ("keyword_marker", token_maps[cfg["keywords_token_map"]])
+    if t == "dict_compound":
+        return DictCompoundFilter(
+            token_maps[cfg["dict_token_map"]],
+            min_word_size=int(cfg.get("min_word_size", 5)),
+            min_sub_size=int(cfg.get("min_subword_size", 2)),
+            max_sub_size=int(cfg.get("max_subword_size", 15)),
+            only_longest=bool(cfg.get("only_longest_match", False)),
+        )
+    if t == "normalize_unicode":
+        return UnicodeNormFilter(str(cfg["form"]).upper())
+    if t == "apostrophe":
+        return ApostropheFilter()
+    if t == "possessive_en":
+        return PossessiveEnFilter()
+    if t == "unique":
+        return UniqueFilter()
+    if t == "reverse":
+        return ReverseFilter()
+    if t == "camelCase":
+        return CamelCaseFilter()
+    if t == "asciifolding":
+        return AsciiFoldingFilter()
+    raise ValueError(f"unknown token filter type: {t!r}")
+
+
+def _mk_analyzer(name: str, cfg: dict, char_filters: dict,
+                 tokenizers: dict, token_filters: dict) -> Analyzer:
+    if cfg.get("type") != "custom":
+        raise ValueError(
+            f"analyzer {name!r}: only type 'custom' is configurable "
+            f"(got {cfg.get('type')!r}); non-custom analyzers are "
+            "referenced by name"
+        )
+
+    def cf(n):
+        if n in char_filters:
+            return char_filters[n]
+        if n == "html":
+            return HTMLCharFilter()
+        if n == "zero_width_spaces":
+            return ZeroWidthNonJoinerCharFilter()
+        raise ValueError(f"unknown char filter: {n!r}")
+
+    tok_name = cfg["tokenizer"]
+    tok = tokenizers.get(tok_name)
+    if tok is None:
+        tok = _TOKENIZERS[tok_name]()
+
+    filters = []
+    pending_keywords = None
+    for n in cfg.get("token_filters", []):
+        f = token_filters.get(n)
+        if f is None:
+            f = _mk_token_filter({"type": n}, {})
+        if isinstance(f, tuple) and f[0] == "keyword_marker":
+            pending_keywords = f[1]
+            continue
+        if pending_keywords is not None:
+            f = KeywordMarkerFilter(pending_keywords, f)
+            pending_keywords = None
+        filters.append(f)
+
+    return Analyzer(
+        name=name,
+        tokenizer=tok,
+        token_filters=filters,
+        char_filters=[cf(n) for n in cfg.get("char_filters", [])],
+    )
+
+
+def build_custom_analysis(analysis_cfg: dict) -> dict[str, Analyzer]:
+    """Compile a mapping's ``analysis`` section into named Analyzer
+    objects (mapping/analysis.go customAnalysis registration order:
+    char filters → tokenizers → token maps → token filters →
+    analyzers)."""
+    if not analysis_cfg:
+        return {}
+    char_filters = {
+        n: _mk_char_filter(c)
+        for n, c in (analysis_cfg.get("char_filters") or {}).items()
+    }
+    tokenizers = {}
+    for n, c in (analysis_cfg.get("tokenizers") or {}).items():
+        tokenizers[n] = _mk_tokenizer(c, tokenizers)
+    token_maps = {
+        n: _token_map(c)
+        for n, c in (analysis_cfg.get("token_maps") or {}).items()
+    }
+    token_filters = {
+        n: _mk_token_filter(c, token_maps)
+        for n, c in (analysis_cfg.get("token_filters") or {}).items()
+    }
+    analyzers = {}
+    for n, c in (analysis_cfg.get("analyzers") or {}).items():
+        analyzers[n] = _mk_analyzer(
+            n, c, char_filters, tokenizers, token_filters
+        )
+    return analyzers
+
+
+def resolve_analyzer(name: str, custom: dict[str, Analyzer]):
+    """Custom analyzers shadow built-ins, like the registry cache."""
+    if name in custom:
+        return custom[name]
+    return get_analyzer(name)

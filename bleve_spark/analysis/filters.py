@@ -166,6 +166,8 @@ class TruncateFilter(TokenFilter):
 class UniqueFilter(TokenFilter):
     """Keep first occurrence of each term."""
 
+    STREAM_WISE = True
+
     def apply_terms(self, terms):
         seen: set[str] = set()
         out = []
@@ -227,6 +229,8 @@ class EdgeNgramFilter(TokenFilter):
 class ShingleFilter(TokenFilter):
     """Word shingles joined by a separator (reference:
     analysis/token/shingle; used by MinHash dedup)."""
+
+    STREAM_WISE = True
 
     def __init__(self, min_n: int, max_n: int, sep: str = " "):
         self.min_n, self.max_n, self.sep = min_n, max_n, sep

@@ -32,6 +32,12 @@ mapping work, every downstream stage stays native:
   index/scorch analysis merges same-name instances), which is the
   composite-field merge :func:`_composite_postings` already models.
 
+The mapping's custom ``analysis`` section (char filters, tokenizers,
+token maps, token filters, analyzers defined as JSON config —
+mapping/analysis.go) compiles through
+:mod:`bleve_spark.analysis.custom`; custom analyzer names shadow
+built-ins like the registry cache.
+
 Unsupported (documented): ``nested: true`` sub-documents
 (mapping/document.go:48 — separate child documents with their own ids)
 and dynamic mapping over MapType columns with unknown runtime keys
@@ -158,6 +164,17 @@ class IndexMapping:
     index_dynamic: bool = True
     docvalues_dynamic: bool = True
     scoring_model: str = ""  # "" → tfidf (index.go:55; util.go scoring)
+    # the mapping's custom `analysis` section (mapping/analysis.go):
+    # config dicts compiled lazily by custom_analyzers()
+    analysis: dict = dc_field(default_factory=dict)
+    _custom: dict | None = dc_field(default=None, repr=False)
+
+    def custom_analyzers(self) -> dict:
+        if self._custom is None:
+            from bleve_spark.analysis.custom import build_custom_analysis
+
+            self._custom = build_custom_analysis(self.analysis)
+        return self._custom
 
     @classmethod
     def from_dict(cls, d: dict) -> "IndexMapping":
@@ -178,6 +195,7 @@ class IndexMapping:
             index_dynamic=d.get("index_dynamic", True),
             docvalues_dynamic=d.get("docvalues_dynamic", True),
             scoring_model=d.get("scoring_model", ""),
+            analysis=d.get("analysis") or {},
         )
 
     @classmethod
@@ -204,7 +222,10 @@ class IndexMapping:
                     if (fm.name in ("", elems[-1])) and fm.analyzer:
                         return fm.analyzer
         for dm in [*self.type_mapping.values(), self.default_mapping]:
-            da = dm.default_analyzer_for(elems[:-1])
+            # full path: the leaf property's own default_analyzer
+            # counts (index.go AnalyzerNameForPath → defaultAnalyzerName
+            # with the full decoded path)
+            da = dm.default_analyzer_for(elems)
             if da:
                 return da
         return self.default_analyzer
@@ -272,7 +293,9 @@ def plan_document_mapping(
     def resolve_analyzer(fm: FieldMapping | None, path: list[str]) -> str:
         if fm is not None and fm.analyzer:
             return fm.analyzer
-        da = dm.default_analyzer_for(path[:-1] if path else [])
+        # full path, leaf included — field.go analyzerForField passes
+        # the whole path to defaultAnalyzerName
+        da = dm.default_analyzer_for(path)
         if da:
             return da
         return im.default_analyzer
@@ -526,8 +549,13 @@ def map_table(
     for fr in frames[1:]:
         flat = flat.unionByName(fr)
 
+    # custom analyzers from the mapping's `analysis` section shadow
+    # built-in names (registry cache precedence); fields carry the
+    # compiled Analyzer OBJECT so no global registration is needed
+    custom = im.custom_analyzers()
     fields = {
-        n: p.analyzer for n, p in by_name.items()
+        n: custom.get(p.analyzer, p.analyzer)
+        for n, p in by_name.items()
         if p.ftype == "text" and p.index
     }
     if not fields:
@@ -570,6 +598,15 @@ def index_with_mapping(
         composite_fields=composite or None,
         **kw,
     )
+    # QUERY-time analyzer for the composite resolves through the
+    # mapping like any other path: AnalyzerNameForPath("_all") finds
+    # no field mapping and falls through the default-analyzer chain to
+    # the index default (how a default_analyzer:"en" mapping makes
+    # match queries over _all stem their terms — fosdem fixture)
+    custom = im.custom_analyzers()
+    for cname in composite:
+        an = im.analyzer_name_for_path(cname)
+        idx.field_analyzers[cname] = custom.get(an, an)
     idx.mapping = im
     idx.planned_fields = planned
     return idx

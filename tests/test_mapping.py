@@ -277,3 +277,81 @@ def test_datetime_string_column_parses(spark):
     assert planned["ts"].ftype == "datetime"
     vals = {r["doc_id"]: r["ts"] for r in flat.collect()}
     assert vals[1] is not None and vals[2] is None
+
+
+# ------------------------------------------------- custom analysis
+
+
+def test_custom_analysis_edge_ngram(spark):
+    """mapping `analysis` section: config-defined token filter +
+    custom analyzer referenced by a field mapping
+    (mapping/analysis.go; token/edgengram/edgengram.go:95-108)."""
+    df = _nested_df(spark)
+    im = IndexMapping.from_dict({
+        "analysis": {
+            "token_filters": {
+                "eng23": {"type": "edge_ngram", "min": 2, "max": 3},
+            },
+            "analyzers": {
+                "autocomplete": {
+                    "type": "custom", "tokenizer": "unicode",
+                    "token_filters": ["to_lower", "eng23"],
+                },
+            },
+        },
+        "default_mapping": {"dynamic": False, "properties": {
+            "title": {"fields": [
+                {"type": "text", "analyzer": "autocomplete"},
+            ]},
+        }},
+    })
+    idx = index_with_mapping(df, ["doc_id"], im, scoring="bm25",
+                             persist=False)
+    terms = {
+        r["term"] for r in idx.postings
+        .where((F.col("field") == "title") & (F.col("doc_id") == 1))
+        .collect()
+    }
+    assert terms == {"al", "alp", "re", "rep"}   # "alpha report"
+    res = search(idx, {"field": "title", "term": "alp"}, size=10)
+    assert _hits(res) == ["1", "3"]              # both contain alpha
+
+
+def test_custom_analysis_stop_map_and_char_filter(spark):
+    """custom token_map-backed stop filter + regexp char filter
+    (tokenmap/custom.go:47-55, token/stop/stop.go:57-66,
+    char/regexp/regexp.go:44-57)."""
+    df = _nested_df(spark)
+    im = IndexMapping.from_dict({
+        "analysis": {
+            "char_filters": {
+                "digits_out": {"type": "regexp", "regexp": "[0-9]+",
+                               "replace": " "},
+            },
+            "token_maps": {
+                "my_stops": {"type": "custom", "tokens": ["quick"]},
+            },
+            "token_filters": {
+                "my_stop": {"type": "stop_tokens",
+                            "stop_token_map": "my_stops"},
+            },
+            "analyzers": {
+                "clean": {
+                    "type": "custom", "tokenizer": "unicode",
+                    "char_filters": ["digits_out"],
+                    "token_filters": ["to_lower", "my_stop"],
+                },
+            },
+        },
+        "default_mapping": {"dynamic": False, "properties": {
+            "body": {"properties": {"text": {"fields": [
+                {"type": "text", "analyzer": "clean"},
+            ]}}},
+        }},
+    })
+    idx = index_with_mapping(df, ["doc_id"], im, scoring="bm25",
+                             persist=False)
+    assert search(idx, {"field": "body.text", "term": "quick"},
+                  )["total_hits"] == 0
+    assert search(idx, {"field": "body.text", "term": "fox"},
+                  )["total_hits"] == 1

@@ -23,7 +23,19 @@ BASIC = "/root/reference/test/tests/basic"
 
 @pytest.fixture(scope="module")
 def basic_idx(spark):
+    """Index driven by the suite's OWN mapping.json through the
+    IndexMapping layer (bleve_spark/index/mapping.py): id disabled,
+    name → en, everything else dynamic (title/tags text standard, age
+    number, birthday datetime — typed columns stand in for bleve's
+    per-value date sniffing), include_in_all default → the `_all`
+    composite carries 16 trie terms per age/birthday value. tags stays
+    an array<string>: same merged freqs and summed length as bleve's
+    same-name instances. scoring stays bm25 (the configuration the
+    whole golden harness runs under; the suite asserts total_hits +
+    hit ids, identical under both models for these fixtures)."""
     import glob
+
+    from bleve_spark.index.mapping import IndexMapping, index_with_mapping
 
     docs = [json.load(open(f)) for f in sorted(glob.glob(f"{BASIC}/data/*.json"))]
     rows = [
@@ -31,28 +43,19 @@ def basic_idx(spark):
             d["id"], d["name"], d.get("title"),
             int(d["age"]) if "age" in d else None,
             d.get("birthday"),
-            " ".join(d.get("tags", [])) or None,
+            d.get("tags"),
         )
         for d in docs
     ]
     df = spark.createDataFrame(
         rows,
         "id string, name string, title string, age long, "
-        "birthday_s string, tags string",
+        "birthday_s string, tags array<string>",
     ).withColumn(
         "birthday", F.to_timestamp("birthday_s")
     ).drop("birthday_s")
-    # mapping.json: id disabled; name en; everything else dynamic
-    # default (standard text / numeric / datetime, include_in_all) —
-    # so bleve's `_all` carries 16 trie terms per age/birthday value
-    return index_table(
-        df,
-        key_cols=["id"],
-        fields={"name": "en", "title": "standard", "tags": "standard"},
-        composite_fields={
-            "_all": ["name", "title", "tags", "age", "birthday"],
-        },
-    )
+    im = IndexMapping.from_dict(json.load(open(f"{BASIC}/mapping.json")))
+    return index_with_mapping(df, ["id"], im, scoring="bm25")
 
 
 SEARCHES = json.load(open(f"{BASIC}/searches.json"))

@@ -77,22 +77,24 @@ def test_reference_facet_golden(facet_idx, i, case):
 
 @pytest.fixture(scope="module")
 def fosdem_idx(spark):
+    """Driven by the suite's OWN mapping.json through the
+    IndexMapping layer: category → keyword, description → en (the
+    fixture's actual analyzer), unmapped summary/url properties have
+    no matching columns and plan nothing, the `_all` composite comes
+    from include_in_all."""
+    import json as _json
+
+    from bleve_spark.index.mapping import IndexMapping, index_with_mapping
+
     rows = [(d["id"], d.get("category"), d.get("description"))
             for d in _docs("fosdem")]
     df = spark.createDataFrame(
         rows, "id string, category string, description string"
     )
-    idx = index_table(
-        df, key_cols=["id"],
-        fields={"category": "keyword", "description": "standard"},
-        composite_fields={"_all": ["category", "description"]},
+    im = IndexMapping.from_dict(
+        _json.load(open(f"{T}/fosdem/mapping.json"))
     )
-    idx.field_analyzers = {
-        "_all": idx.field_analyzers["_all"],
-        **{k: v for k, v in idx.field_analyzers.items()
-           if k != "_all"},
-    }
-    return idx
+    return index_with_mapping(df, ["id"], im, scoring="bm25")
 
 
 FOSDEM_SEARCHES = json.load(open(f"{T}/fosdem/searches.json"))
