@@ -42,6 +42,11 @@ BM25_K1 = 1.2  # /root/reference/search/util.go:275
 BM25_B = 0.75  # /root/reference/search/util.go:276
 
 
+# array-element position stride: positions of array-field tokens are
+# apos*STRIDE + element-local pos (see _array_text_postings)
+ARRAY_POSITION_STRIDE = 1 << 20
+
+
 def qcol(name: str) -> F.Column:
     """Column ref that treats ``name`` as one literal column name even
     when it contains dots — mapped nested paths flatten to dotted
@@ -474,6 +479,21 @@ def _array_text_postings(
     per = _field_postings(
         elem, [*keys, "_apos"], field_name, analyzer,
         with_len=True, src_col="_elem",
+    )
+    # encode the array element into the position: bleve's phrase
+    # adjacency requires EQUAL ArrayPositions
+    # (/root/reference/search/search.go:108-114), so "bad call" +
+    # "defenseless receiver" must NOT match the phrase "bad receiver".
+    # pos' = apos*STRIDE + pos keeps within-element offsets (phrase +
+    # slop arithmetic unchanged) while cross-element terms are never
+    # within any realistic slop. Bounds: ≤2047 elements × ≤1M tokens
+    # per element in int32.
+    per = per.withColumn(
+        "positions",
+        F.transform(
+            "positions",
+            lambda p: p + F.col("_apos") * F.lit(ARRAY_POSITION_STRIDE),
+        ),
     )
     lens = (
         per.select(*keys, "_apos", "_flen").distinct()

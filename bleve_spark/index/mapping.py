@@ -368,6 +368,53 @@ def plan_document_mapping(
                 src_dtype=dtype,
             ))
 
+    def geopoint(path: list[str], dtype: T.DataType,
+                 fm: FieldMapping) -> None:
+        """Explicit geopoint field mapping (document.go processProperty
+        struct/map cases → processGeoPoint): the value may be a
+        struct{lat,lon}, an array [lon, lat] (GeoJSON order), or a
+        'lat,lon' string (geo/parse.go ExtractGeoPoint). Emits the
+        engine's flat <name>_lat / <name>_lon columns."""
+        name = (
+            PATH_SEP.join([*path[:-1], fm.name]) if fm.name
+            else PATH_SEP.join(path)
+        )
+        e = _path_expr(path)
+        if isinstance(dtype, T.StructType):
+            members = {f.name.lower(): f.name for f in dtype.fields}
+            lon_k = next(
+                (members[k] for k in ("lon", "lng", "longitude")
+                 if k in members), None,
+            )
+            lat_k = next(
+                (members[k] for k in ("lat", "latitude")
+                 if k in members), None,
+            )
+            if lon_k is None or lat_k is None:
+                return
+            lat, lon = e[lat_k], e[lon_k]
+        elif isinstance(dtype, T.ArrayType):
+            lon, lat = F.element_at(e, 1), F.element_at(e, 2)
+        elif isinstance(dtype, T.StringType):
+            parts = F.split(e, ",")
+            # Column.try_cast: ANSI-safe (unparseable → null)
+            lat = F.trim(F.element_at(parts, 1)).try_cast("double")
+            lon = F.trim(F.element_at(parts, 2)).try_cast("double")
+        else:
+            return
+        plans.append(PlannedField(
+            name=name, ftype="geopoint", analyzer=None,
+            expr=F.struct(
+                lat.cast("double").alias("lat"),
+                lon.cast("double").alias("lon"),
+            ),
+            store=fm.store, index=fm.index,
+            # geopoint's morton terms are not modeled in _all
+            # (documented approximation — see module docstring)
+            include_in_all=False,
+            src_kind="geopoint", src_dtype=dtype,
+        ))
+
     def walk(st: T.StructType, path: list[str], in_array: bool):
         for f in st.fields:
             p = [*path, f.name]
@@ -375,7 +422,13 @@ def plan_document_mapping(
             if exact is not None and not exact.enabled:
                 continue
             dt = f.dataType
+            for fm in (exact.fields if exact is not None else []):
+                if fm.type == "geopoint" and fm.index:
+                    geopoint(p, dt, fm)
             if isinstance(dt, T.StructType):
+                # the reference KEEPS walking a struct that carried a
+                # geopoint mapping (processProperty sets walkDocument
+                # true) — members still index per dynamic rules
                 walk(dt, p, in_array)
             elif isinstance(dt, T.ArrayType):
                 el = dt.elementType
@@ -507,6 +560,17 @@ def map_table(
         cols = [F.col(k) for k in passthrough]
         for n in all_names:
             p = have.get(n)
+            if by_name[n].ftype == "geopoint":
+                # geopoints surface as the engine's flat lat/lon pair
+                if p is None:
+                    cols.append(
+                        F.lit(None).cast("double").alias(f"{n}_lat"))
+                    cols.append(
+                        F.lit(None).cast("double").alias(f"{n}_lon"))
+                else:
+                    cols.append(p.expr["lat"].alias(f"{n}_lat"))
+                    cols.append(p.expr["lon"].alias(f"{n}_lon"))
+                continue
             if p is None:
                 ref = by_name[n]
                 if ref.is_array and ref.ftype == "text":

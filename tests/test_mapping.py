@@ -242,8 +242,11 @@ def test_array_field_instance_merge(spark):
     import math
     for r in rows.values():
         assert r["norm"] == pytest.approx(1 / math.sqrt(3), rel=1e-6)
-    # element-local positions: "blue" restarts at 1
-    assert rows["blue"]["positions"] == [1]
+    # element-local positions, element encoded via the stride
+    # (phrase adjacency needs equal array positions — search.go:113)
+    from bleve_spark.index.build import ARRAY_POSITION_STRIDE as S
+
+    assert rows["blue"]["positions"] == [S + 1]
     assert rows["tag"]["positions"] == [2]
     # phrases never span elements
     res = search(idx, {"field": "tags", "terms": ["tag", "blue"]})
@@ -355,3 +358,42 @@ def test_custom_analysis_stop_map_and_char_filter(spark):
                   )["total_hits"] == 0
     assert search(idx, {"field": "body.text", "term": "fox"},
                   )["total_hits"] == 1
+
+
+# ----------------------------------------------------------- geopoint
+
+
+def test_geopoint_field_formats(spark):
+    """geopoint field mapping over the three source shapes bleve's
+    ExtractGeoPoint accepts (geo/parse.go): struct{lat,lon}, GeoJSON
+    [lon, lat] array, 'lat,lon' string — all flatten to the engine's
+    <name>_lat/<name>_lon columns and serve geo queries."""
+    rows = [
+        (1, (10.0, 20.0), [20.0, 10.0], "10.0, 20.0"),
+        (2, (55.0, 66.0), [66.0, 55.0], "55.0, 66.0"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, a struct<lat:double, lon:double>, "
+        "b array<double>, c string",
+    )
+    im = IndexMapping.from_dict({
+        "default_mapping": {"dynamic": False, "properties": {
+            "a": {"fields": [{"type": "geopoint"}]},
+            "b": {"fields": [{"type": "geopoint"}]},
+            "c": {"fields": [{"type": "geopoint"}]},
+            # a text field so the index has postings
+            "_anchor": {"fields": [{"type": "text"}]},
+        }},
+    })
+    df = df.withColumn("_anchor", F.lit("x"))
+    idx = index_with_mapping(df, ["doc_id"], im, persist=False)
+    row = {r["doc_id"]: r for r in idx.source.collect()}
+    for f in ("a", "b", "c"):
+        assert row[1][f"{f}_lat"] == 10.0 and row[1][f"{f}_lon"] == 20.0
+        assert row[2][f"{f}_lat"] == 55.0 and row[2][f"{f}_lon"] == 66.0
+    # geo bbox query over the mapped field
+    res = search(idx, {"field": "a",
+                       "top_left": {"lon": 15.0, "lat": 12.0},
+                       "bottom_right": {"lon": 25.0, "lat": 8.0}})
+    assert _hits(res) == ["1"]

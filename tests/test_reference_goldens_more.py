@@ -43,10 +43,12 @@ def facet_idx(spark):
         rows, "id string, category string, type string, rating long, "
         "updated_s string",
     ).withColumn("updated", F.to_timestamp("updated_s")).drop("updated_s")
-    return index_table(
-        df, key_cols=["id"],
-        fields={"category": "standard", "type": "keyword"},
-    )
+    # mapping.json is {} → default dynamic mapping (facet buckets read
+    # the source columns natively, so bucket terms are exact values)
+    from bleve_spark.index.mapping import IndexMapping, index_with_mapping
+
+    return index_with_mapping(df, ["id"], IndexMapping(),
+                              scoring="bm25")
 
 
 FACET_SEARCHES = json.load(open(f"{T}/facet/searches.json"))
@@ -120,15 +122,27 @@ def test_reference_fosdem_golden(fosdem_idx, i, case):
 
 @pytest.fixture(scope="module")
 def geo_idx(spark):
+    """Driven by the suite's OWN mapping.json: type 'brewery' (the
+    default_type, no _type column needed) maps name → keyword text and
+    geo → geopoint; the geopoint plan flattens the {lat, lon} struct
+    to the engine's geo_lat/geo_lon columns."""
+    import json as _json
+
+    from bleve_spark.index.mapping import IndexMapping, index_with_mapping
+
     rows = [
-        (d["id"], d.get("name"), float(d["geo"]["lat"]),
-         float(d["geo"]["lon"]))
+        (d["id"], d.get("name"),
+         (float(d["geo"]["lat"]), float(d["geo"]["lon"])))
         for d in _docs("geo")
     ]
     df = spark.createDataFrame(
-        rows, "id string, name string, geo_lat double, geo_lon double"
+        rows,
+        "id string, name string, geo struct<lat:double, lon:double>",
     )
-    return index_table(df, key_cols=["id"], fields={"name": "keyword"})
+    im = IndexMapping.from_dict(
+        _json.load(open(f"{T}/geo/mapping.json"))
+    )
+    return index_with_mapping(df, ["id"], im, scoring="bm25")
 
 
 GEO_SEARCHES = json.load(open(f"{T}/geo/searches.json"))
@@ -162,8 +176,17 @@ def alias_idx(spark):
             d.setdefault("id", os.path.basename(f)[:-5])
             docs.append((d["id"], d["name"]))
         df = spark.createDataFrame(docs, "id string, name string")
+        # mapping.json: default_analyzer "keyword" → every dynamic
+        # text field (name) analyzes keyword, per shard
+        from bleve_spark.index.mapping import (
+            IndexMapping, index_with_mapping,
+        )
+
+        im = IndexMapping.from_dict(
+            json.load(open(f"{T}/alias/mapping.json"))
+        )
         shards.append(
-            index_table(df, key_cols=["id"], fields={"name": "keyword"})
+            index_with_mapping(df, ["id"], im, scoring="bm25")
         )
     return AliasIndex(shards)
 
@@ -192,24 +215,25 @@ def test_reference_alias_golden(alias_idx, i, case):
 
 
 def test_reference_employee_golden(spark):
+    """mapping.json is {} → dynamic default over the NESTED document:
+    manages.reports (an array under a struct) flattens to the dotted
+    field name the search request uses VERBATIM — no rename shim."""
+    from bleve_spark.index.mapping import IndexMapping, index_with_mapping
+
     docs = _docs("employee")
     rows = [
         (d["id"], d["name"], d["dept"],
-         " ".join(d.get("manages", {}).get("reports", [])) or None)
+         (d.get("manages", {}).get("reports"),))
         for d in docs
     ]
     df = spark.createDataFrame(
         rows, "id string, name string, dept string, "
-        "manages_reports string",
+        "manages struct<reports: array<string>>",
     )
-    idx = index_table(
-        df, key_cols=["id"],
-        fields={"name": "standard", "manages_reports": "standard"},
-    )
+    idx = index_with_mapping(df, ["id"], IndexMapping(),
+                             scoring="bm25")
     case = json.load(open(f"{T}/employee/searches.json"))[0]
-    q = dict(case["search"]["query"])
-    q["field"] = q["field"].replace(".", "_")
-    out = compile_query(idx, q).collect()
+    out = compile_query(idx, case["search"]["query"]).collect()
     assert len(out) == case["result"]["total_hits"]
     assert {r["id"] for r in out} == {
         h["id"] for h in case["result"]["hits"]

@@ -40,18 +40,19 @@ def sort_idx(spark):
         "id string, name string, age long, born_s string, "
         "title string, tags array<string>",
     ).withColumn("born", F.to_timestamp("born_s")).drop("born_s")
-    # mapping.json is EMPTY → bleve's default dynamic mapping: every
-    # field indexed (id included), include_in_all, default tf-idf
-    # scoring; `_all` = text members + 16 trie terms per numeric
-    # (age) / datetime (born) value
-    return index_table(
-        df, key_cols=["id"],
-        fields={"title": "standard", "name": "keyword"},
-        composite_fields={
-            "_all": ["id", "name", "title", "tags", "age", "born"],
-        },
-        scoring="tfidf",
-    )
+    # mapping.json is EMPTY → bleve's default dynamic mapping through
+    # the IndexMapping layer: every DATA field indexed (the docs'
+    # "id" property included — bleve's excludedFromAll covers only
+    # "_id", so a separate `_id_key` carries doc identity while "id"
+    # stays a mapped field), include_in_all everywhere, default
+    # tf-idf scoring; `_all` = text members + 16 trie terms per
+    # numeric (age) / datetime (born) value, so searches 16/17's
+    # absolute score cursors land exactly where bleve's do
+    from bleve_spark.index.mapping import IndexMapping, index_with_mapping
+
+    df = df.withColumn("_id_key", F.col("id"))
+    idx = index_with_mapping(df, ["_id_key"], IndexMapping())
+    return idx
 
 
 SORT_SEARCHES = json.load(open(f"{SORT_DIR}/searches.json"))
@@ -73,7 +74,8 @@ def test_reference_sort_golden(sort_idx, i, case):
         search_after=req.get("search_after"),
         search_before=req.get("search_before"),
     ).collect()
-    got = [r["id"] for r in out[int(req.get("from", 0)):]]
+    key = sort_idx.key_cols[0]
+    got = [r[key] for r in out[int(req.get("from", 0)):]]
     want = [h["id"] for h in case["result"].get("hits", [])]
     assert got == want, f"search {i}: got {got}"
 
@@ -83,15 +85,24 @@ def phrase_idx(spark):
     import glob
     import os
 
+    # mapping.json: types.book body → en (default_type book). Doc b's
+    # body is a 2-element ARRAY — through the mapping layer it indexes
+    # as same-name instances (merged freqs, element-local positions),
+    # bleve's actual array semantics, not a pre-joined string.
+    from bleve_spark.index.mapping import IndexMapping, index_with_mapping
+
     rows = []
     for f in sorted(glob.glob(f"{PHRASE_DIR}/data/*.json")):
         d = json.load(open(f))
         body = d["body"]
-        if isinstance(body, list):
-            body = " ".join(body)
+        if not isinstance(body, list):
+            body = [body]
         rows.append((os.path.basename(f)[:-5], body))
-    df = spark.createDataFrame(rows, "id string, body string")
-    return index_table(df, key_cols=["id"], fields={"body": "en"})
+    df = spark.createDataFrame(rows, "id string, body array<string>")
+    im = IndexMapping.from_dict(
+        json.load(open(f"{PHRASE_DIR}/mapping.json"))
+    )
+    return index_with_mapping(df, ["id"], im, scoring="bm25")
 
 
 PHRASE_SEARCHES = json.load(open(f"{PHRASE_DIR}/searches.json"))
