@@ -78,6 +78,7 @@ class FieldMapping:
     date_format: str = ""
     docvalues: bool = True
     skip_freq_norm: bool = False
+    synonym_source: str = ""   # mapping/field.go:85 SynonymSource
 
     @classmethod
     def from_dict(cls, d: dict) -> "FieldMapping":
@@ -92,6 +93,7 @@ class FieldMapping:
             date_format=d.get("date_format", ""),
             docvalues=d.get("docvalues", True),
             skip_freq_norm=d.get("skip_freq_norm", False),
+            synonym_source=d.get("synonym_source", ""),
         )
 
 
@@ -105,6 +107,7 @@ class DocumentMapping:
     properties: dict = dc_field(default_factory=dict)
     fields: list = dc_field(default_factory=list)
     default_analyzer: str = ""
+    default_synonym_source: str = ""
 
     @classmethod
     def from_dict(cls, d: dict) -> "DocumentMapping":
@@ -119,6 +122,7 @@ class DocumentMapping:
                 FieldMapping.from_dict(f) for f in (d.get("fields") or [])
             ],
             default_analyzer=d.get("default_analyzer", ""),
+            default_synonym_source=d.get("default_synonym_source", ""),
         )
 
     # mapping/document.go:184-215 documentMappingForPathElements:
@@ -144,6 +148,18 @@ class DocumentMapping:
                 break
             if current.default_analyzer:
                 rv = current.default_analyzer
+        return rv
+
+    # mapping/document.go:397-410 defaultSynonymSource — same walk
+    def default_synonym_source_for(self, path: list[str]) -> str:
+        rv = self.default_synonym_source
+        current = self
+        for elem in path:
+            current = current.properties.get(elem)
+            if current is None:
+                break
+            if current.default_synonym_source:
+                rv = current.default_synonym_source
         return rv
 
 
@@ -247,6 +263,7 @@ class PlannedField:
     date_format: str = ""
     src_kind: str = ""   # spark column kind the plan reads from
     src_dtype: T.DataType | None = None
+    synonym_source: str = ""
 
 
 _NUMERIC = (
@@ -345,6 +362,10 @@ def plan_document_mapping(
                     date_format=fm.date_format,
                     src_kind=kind,
                     src_dtype=dtype,
+                    synonym_source=(
+                        fm.synonym_source
+                        or dm.default_synonym_source_for(path)
+                    ),
                 ))
         elif closest.dynamic:
             # dynamic defaults: newTextFieldMappingDynamic et al.
@@ -653,6 +674,23 @@ def index_with_mapping(
     from bleve_spark.index.build import index_table
 
     flat, fields, composite, planned = map_table(df, im, key_cols)
+    # synonym sources (mapping/synonym.go + analysis.synonym_sources):
+    # a field's synonym_source names a {collection, analyzer} config;
+    # the collection keys the index-time thesaurus the caller passes
+    # as `thesaurus=` (index/thesaurus.py)
+    ss_cfg = (im.analysis or {}).get("synonym_sources") or {}
+    syn_cols = {}
+    for n, p in planned.items():
+        if p.synonym_source:
+            try:
+                syn_cols[n] = ss_cfg[p.synonym_source]["collection"]
+            except KeyError:
+                raise ValueError(
+                    f"field {n!r} names unknown synonym source "
+                    f"{p.synonym_source!r}"
+                ) from None
+    if syn_cols:
+        kw.setdefault("synonym_collections", syn_cols)
     idx = index_table(
         flat,
         key_cols,

@@ -397,3 +397,51 @@ def test_geopoint_field_formats(spark):
                        "top_left": {"lon": 15.0, "lat": 12.0},
                        "bottom_right": {"lon": 25.0, "lat": 8.0}})
     assert _hits(res) == ["1"]
+
+
+# ----------------------------------------------------- synonym source
+
+
+def test_synonym_source_via_mapping(spark):
+    """mapping/synonym.go: a field's synonym_source names a
+    {collection, analyzer} config in analysis.synonym_sources; the
+    collection keys the index-time thesaurus, and term queries expand
+    through it."""
+    from bleve_spark.index.thesaurus import build_thesaurus
+
+    df = spark.createDataFrame(
+        [(1, "the quick spark engine"), (2, "a table scan runs"),
+         (3, "spark and scan together"), (4, "nothing relevant")],
+        "doc_id int, text string",
+    )
+    thes = build_thesaurus(
+        spark, [{"input": ["spark"], "synonyms": ["scan"]}],
+        collection="c1",
+    )
+    im = IndexMapping.from_dict({
+        "analysis": {"synonym_sources": {
+            "my_src": {"collection": "c1", "analyzer": "standard"},
+        }},
+        "default_mapping": {"dynamic": False, "properties": {
+            "text": {"fields": [
+                {"type": "text", "synonym_source": "my_src"},
+            ]},
+        }},
+        "scoring_model": "bm25",
+    })
+    idx = index_with_mapping(df, ["doc_id"], im, persist=False,
+                             thesaurus=thes)
+    got = {h["id"] for h in
+           search(idx, {"field": "text", "term": "spark"},
+                  size=10)["hits"]}
+    assert got == {"1", "2", "3"}
+    # unknown source name fails validation
+    bad = IndexMapping.from_dict({
+        "default_mapping": {"dynamic": False, "properties": {
+            "text": {"fields": [
+                {"type": "text", "synonym_source": "nope"},
+            ]},
+        }},
+    })
+    with pytest.raises(ValueError, match="unknown synonym source"):
+        index_with_mapping(df, ["doc_id"], bad, persist=False)
