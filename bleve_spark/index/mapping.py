@@ -50,6 +50,7 @@ from __future__ import annotations
 import json
 from dataclasses import dataclass, field as dc_field
 
+import pandas as pd  # noqa: F401 — pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
@@ -430,10 +431,30 @@ def plan_document_mapping(
                 lon.cast("double").alias("lon"),
             ),
             store=fm.store, index=fm.index,
-            # geopoint's morton terms are not modeled in _all
-            # (documented approximation — see module docstring)
-            include_in_all=False,
+            # recorded honestly (drives the _all member-wise geoshape/
+            # geopoint fallback), but excluded from the _all composite
+            # TERM membership below — morton/cell terms not modeled
+            include_in_all=fm.include_in_all,
             src_kind="geopoint", src_dtype=dtype,
+        ))
+
+    def geoshape(path: list[str], dtype: T.DataType,
+                 fm: FieldMapping) -> None:
+        """Explicit geoshape field mapping: a GeoJSON STRING column
+        plans a ``<name>_parts`` column (parts engine,
+        search/geoshape.py) parsed once at index time. Like geopoint,
+        its terms are not modeled in _all."""
+        if not isinstance(dtype, T.StringType):
+            return
+        name = (
+            PATH_SEP.join([*path[:-1], fm.name]) if fm.name
+            else PATH_SEP.join(path)
+        )
+        plans.append(PlannedField(
+            name=name, ftype="geoshape", analyzer=None,
+            expr=_path_expr(path), store=fm.store, index=fm.index,
+            include_in_all=fm.include_in_all,
+            src_kind="geoshape", src_dtype=dtype,
         ))
 
     def walk(st: T.StructType, path: list[str], in_array: bool):
@@ -446,6 +467,8 @@ def plan_document_mapping(
             for fm in (exact.fields if exact is not None else []):
                 if fm.type == "geopoint" and fm.index:
                     geopoint(p, dt, fm)
+                elif fm.type == "geoshape" and fm.index:
+                    geoshape(p, dt, fm)
             if isinstance(dt, T.StructType):
                 # the reference KEEPS walking a struct that carried a
                 # geopoint mapping (processProperty sets walkDocument
@@ -466,6 +489,28 @@ def plan_document_mapping(
         return []
     walk(schema, [], False)
     return plans
+
+
+def _geojson_parts_udf():
+    """GeoJSON string → parts column (Arrow-batched; the reference
+    also parses GeoJSON per document at index time —
+    document/field_geoshape.go via geo/geojson). Heterogeneous
+    coordinate nesting across shape kinds rules out a static struct
+    schema, so geoshape source columns are JSON strings."""
+    import json as _json
+
+    from pyspark.sql.functions import pandas_udf
+
+    from bleve_spark.search.geoshape import PARTS_SCHEMA, geojson_to_parts
+
+    @pandas_udf(PARTS_SCHEMA)
+    def parse(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: None if v is None
+            else geojson_to_parts(_json.loads(v))
+        )
+
+    return parse
 
 
 def _path_expr(path: list[str]) -> F.Column:
@@ -581,6 +626,20 @@ def map_table(
         cols = [F.col(k) for k in passthrough]
         for n in all_names:
             p = have.get(n)
+            if by_name[n].ftype == "geoshape":
+                from bleve_spark.search.geoshape import PARTS_SCHEMA
+
+                if p is None:
+                    cols.append(
+                        F.lit(None).cast(PARTS_SCHEMA)
+                        .alias(f"{n}_parts")
+                    )
+                else:
+                    cols.append(
+                        _geojson_parts_udf()(p.expr.cast("string"))
+                        .alias(f"{n}_parts")
+                    )
+                continue
             if by_name[n].ftype == "geopoint":
                 # geopoints surface as the engine's flat lat/lon pair
                 if p is None:
@@ -633,6 +692,15 @@ def map_table(
     flat = frames[0]
     for fr in frames[1:]:
         flat = flat.unionByName(fr)
+    # coarse-pruning bbox columns for geoshape fields, derived in a
+    # SEPARATE projection layer: CollapseProject will not duplicate
+    # the (expensive, Python) parts-parsing expression, so the parse
+    # runs once per row while the 8 bbox columns stay native
+    for n, p0 in by_name.items():
+        if p0.ftype == "geoshape":
+            from bleve_spark.search.geobbox import with_parts_bbox
+
+            flat = with_parts_bbox(flat, f"{n}_parts", f"{n}_parts")
 
     # custom analyzers from the mapping's `analysis` section shadow
     # built-in names (registry cache precedence); fields carry the
@@ -653,6 +721,10 @@ def map_table(
         members = [
             n for n, p in by_name.items()
             if p.include_in_all and p.index
+            # geo fields' cell/morton terms are not modeled as _all
+            # TOKENS; their _all queries take the member-wise
+            # fallback in the searcher instead
+            and p.ftype not in ("geoshape", "geopoint")
         ]
         if members:
             composite[im.default_field] = members

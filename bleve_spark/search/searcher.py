@@ -1061,14 +1061,69 @@ class Compiler:
         coords_c = q.coords_col or f"{f}_coords"
 
         def df_fn(ctx, q=q, f=f, kind_c=kind_c, coords_c=coords_c):
-            from bleve_spark.search.geobbox import flat_bbox_cols_if_present
+            from bleve_spark.search.geobbox import (
+                flat_bbox_cols_if_present,
+                parts_bbox_cols_if_present,
+            )
 
+            src = ctx.idx.source
+            parts_c = f"{f}_parts"
+            if (
+                parts_c not in src.columns
+                and f"{f}_kind" not in src.columns
+            ):
+                # field resolves to a composite (bleve's default _all)
+                # or names no geoshape column: bleve's _all carries
+                # the s2 cell terms of every include_in_all geoshape
+                # member (document/field_geoshape.go +
+                # field_composite.go), so the relation matches if ANY
+                # member field matches — member-wise OR here
+                from bleve_spark.search.geoshape import (
+                    parts_relation_pred,
+                )
+
+                planned = getattr(ctx.idx, "planned_fields", None)
+                pred = None
+                for c in src.columns:
+                    if not c.endswith("_parts"):
+                        continue
+                    base = c[: -len("_parts")]
+                    if (
+                        planned is not None
+                        and base in planned
+                        and not planned[base].include_in_all
+                    ):
+                        continue
+                    one = parts_relation_pred(
+                        F.col(c), q.shape, q.relation,
+                        bbox_cols=parts_bbox_cols_if_present(src, c),
+                    )
+                    pred = one if pred is None else (pred | one)
+                if pred is not None:
+                    return src.where(pred)
+            if parts_c in src.columns:
+                # PARTS-model field (the mapping layer's geoshape
+                # type): full GeoJSON kinds incl. circle/multi*/
+                # collections, with the materialized parts bbox
+                # pre-filter
+                from bleve_spark.search.geoshape import (
+                    parts_relation_pred,
+                )
+
+                return src.where(
+                    parts_relation_pred(
+                        F.col(parts_c), q.shape, q.relation,
+                        bbox_cols=parts_bbox_cols_if_present(
+                            src, parts_c
+                        ),
+                    )
+                )
             # materialized <field>_bbox_* columns (written at index
             # time) give parquet row-group pruning; otherwise the bbox
             # pre-filter is computed inline (still short-circuits the
             # exact geometry per row)
-            bbox = flat_bbox_cols_if_present(ctx.idx.source, f)
-            return ctx.idx.source.where(
+            bbox = flat_bbox_cols_if_present(src, f)
+            return src.where(
                 shape_relation_pred(
                     F.col(kind_c), F.col(coords_c), q.shape, q.relation,
                     bbox_cols=bbox,

@@ -15,20 +15,27 @@ T = "/root/reference/test/tests/geoshapes"
 
 
 @pytest.fixture(scope="module")
-def shapes_df(spark):
-    from bleve_spark.search.geoshape import (
-        PARTS_SCHEMA,
-        geojson_to_parts,
-    )
+def shapes_idx(spark):
+    """Driven by the suite's OWN mapping.json through the mapping
+    layer: region is a geoshape field — the GeoJSON string parses to
+    the parts column once at index time (Arrow batch), the 8 parts
+    bbox columns materialize for coarse pruning, and queries route
+    through compile_query's geoshape branch end-to-end."""
+    from bleve_spark.index.mapping import IndexMapping, index_with_mapping
 
     rows = []
     for f in sorted(glob.glob(f"{T}/data/*.json")):
         d = json.load(open(f))
-        parts = geojson_to_parts(d["region"])
-        rows.append((os.path.basename(f)[:-5], parts))
-    return spark.createDataFrame(
-        rows, f"id string, parts {PARTS_SCHEMA}"
-    ).cache()
+        rows.append((
+            os.path.basename(f)[:-5],
+            d.get("name"),
+            json.dumps(d["region"]),
+        ))
+    df = spark.createDataFrame(
+        rows, "id string, name string, region string"
+    )
+    im = IndexMapping.from_dict(json.load(open(f"{T}/mapping.json")))
+    return index_with_mapping(df, ["id"], im, scoring="bm25")
 
 
 SEARCHES = json.load(open(f"{T}/searches.json"))
@@ -39,13 +46,12 @@ SEARCHES = json.load(open(f"{T}/searches.json"))
     ids=[f"{i:02d}-{c.get('comment', '')[:40]}"
          for i, c in enumerate(SEARCHES)],
 )
-def test_reference_geoshapes_golden(shapes_df, i, case):
-    from bleve_spark.search.geoshape import parts_relation_pred
+def test_reference_geoshapes_golden(shapes_idx, i, case):
+    from bleve_spark.search.searcher import compile_query
 
-    g = case["search"]["query"]["geometry"]
-    pred = parts_relation_pred(
-        F.col("parts"), g["shape"], g["relation"]
-    )
-    got = {r["id"] for r in shapes_df.where(pred).collect()}
+    got = {
+        r["id"] for r in
+        compile_query(shapes_idx, case["search"]["query"]).collect()
+    }
     want = {h["id"] for h in case["result"]["hits"]}
     assert got == want, f"search {i}: got {sorted(got)}"
