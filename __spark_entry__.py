@@ -238,6 +238,29 @@ def _mapped_docs_index(spark: SparkSession, sf_dir: str, variant: str):
                 }},
                 "scoring_model": "bm25",
             })
+        elif variant == "knn":
+            # embeddings table mapped with a VECTOR field
+            # (mapping_vectors.go): dims-guarded, dot_product metric
+            src = (
+                spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+                .withColumn(
+                    "tag",
+                    F.concat(F.lit("v"), F.col("label").cast("string")),
+                )
+                .select("vec_id", "embedding", "tag", "label")
+            )
+            im = IndexMapping.from_dict({
+                "default_mapping": {"dynamic": False, "properties": {
+                    "embedding": {"fields": [
+                        {"type": "vector", "dims": 64,
+                         "similarity": "dot_product"},
+                    ]},
+                    "tag": {"fields": [{"type": "text"}]},
+                }},
+                "scoring_model": "bm25",
+            })
+            _INDEX_CACHE[key] = index_with_mapping(src, ["vec_id"], im)
+            return _INDEX_CACHE[key]
         else:  # custom — `analysis` section: edge_ngram autocomplete
             src = df.select("doc_id", "source")
             im = IndexMapping.from_dict({
@@ -1575,6 +1598,41 @@ FROM post p JOIN q USING (term)
 ORDER BY score DESC, p.doc_id LIMIT 20"""
 
 
+def _sql_knn_request() -> str:
+    """Oracle for the SearchRequest.KNN entry: boosted dot-product
+    top-10 (rounded per-leg like the engine) + the closed-form BM25
+    constant for the single-token tag field (tf=1, flen=1, norm=1,
+    avgdl=ceil(#labels/n)), summed per doc."""
+    return """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT vec_id, unnest(embedding) AS x, unnest((SELECT qv FROM q)) AS y
+  FROM embeddings
+), dots AS (
+  SELECT vec_id,
+         round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) * 2.0, 6) AS s
+  FROM pairs GROUP BY vec_id
+), knn AS (
+  SELECT vec_id, s FROM dots ORDER BY s DESC, vec_id LIMIT 10
+), nd AS (SELECT count(*) AS n FROM embeddings),
+dfq AS (SELECT count(*) AS c FROM embeddings WHERE label = 3),
+avgl AS (
+  SELECT ceil(CAST(count(DISTINCT label) AS DOUBLE)
+              / (SELECT n FROM nd)) AS v
+  FROM embeddings
+), bm AS (
+  SELECT ln(1 + ((SELECT n FROM nd) - (SELECT c FROM dfq) + 0.5)
+               / ((SELECT c FROM dfq) + 0.5))
+         * 1.2 / (1 + 1.2 * (0.25 + 0.75 / (SELECT v FROM avgl))) AS s
+), fts AS (
+  SELECT vec_id, (SELECT s FROM bm) AS s FROM embeddings
+  WHERE label = 3
+)
+SELECT vec_id, round(coalesce(f.s, 0) + coalesce(k.s, 0), 6) AS score
+FROM fts f FULL OUTER JOIN knn k USING (vec_id)
+ORDER BY score DESC, vec_id LIMIT 10"""
+
+
 def _sql_mapping_custom_ngram() -> str:
     """Closed-form oracle for the edge_ngram(2,3) autocomplete field:
     every doc's source ('srcN', single token) yields exactly
@@ -2177,6 +2235,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _topk(
             _mapped_docs_index(spark, sf, "custom"),
             {"field": "source", "term": "src"},
+        )
+
+    def q_knn_request(spark, sf):
+        """SearchRequest.KNN over a MAPPED vector field
+        (search_knn.go:460-530): one dot-product clause (vec 0's
+        embedding, k=10, boost 2) plus an fts term leg on the tag
+        field; a doc's final score is fts + Σ matched KNN legs
+        (setKnnHitsInCollector: ftsMatch.Score += knnMatch.Score)."""
+        from bleve_spark.search.hybrid import knn_request_df
+
+        idx = _mapped_docs_index(spark, sf, "knn")
+        qv = (
+            spark.read.parquet(f"{sf}/embeddings.parquet")
+            .where(F.col("vec_id") == 0).select("embedding").first()[0]
+        )
+        return knn_request_df(
+            idx,
+            [{"field": "embedding", "vector": qv, "k": 10,
+              "boost": 2.0}],
+            q={"field": "tag", "term": "v3"},
+            size=10,
         )
 
     def q_geo_shape_union_within(spark, sf):
@@ -3007,6 +3086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_mapping_typed_term": q_mapping_typed_term,
             "q_mapping_array_tags": q_mapping_array_tags,
             "q_mapping_custom_ngram": q_mapping_custom_ngram,
+            "q_knn_request": q_knn_request,
             "q_ip_range": q_ip_range,
             "q_hybrid_rrf": q_hybrid_rrf,
             "q_hybrid_filtered": q_hybrid_filtered,
@@ -3194,6 +3274,7 @@ def oracle_sql() -> dict[str, str]:
         "q_mapping_typed_term": _sql_mapping_typed(),
         "q_mapping_array_tags": _sql_mapping_tags(),
         "q_mapping_custom_ngram": _sql_mapping_custom_ngram(),
+        "q_knn_request": _sql_knn_request(),
         "q_geo_bbox": (
             "SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM ("
             "SELECT doc_id, "

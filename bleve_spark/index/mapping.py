@@ -80,6 +80,8 @@ class FieldMapping:
     docvalues: bool = True
     skip_freq_norm: bool = False
     synonym_source: str = ""   # mapping/field.go:85 SynonymSource
+    dims: int = 0              # mapping/field.go:75 (vector fields)
+    similarity: str = ""       # l2_norm | dot_product | cosine
 
     @classmethod
     def from_dict(cls, d: dict) -> "FieldMapping":
@@ -95,6 +97,8 @@ class FieldMapping:
             docvalues=d.get("docvalues", True),
             skip_freq_norm=d.get("skip_freq_norm", False),
             synonym_source=d.get("synonym_source", ""),
+            dims=int(d.get("dims", 0)),
+            similarity=d.get("similarity", ""),
         )
 
 
@@ -265,6 +269,8 @@ class PlannedField:
     src_kind: str = ""   # spark column kind the plan reads from
     src_dtype: T.DataType | None = None
     synonym_source: str = ""
+    dims: int = 0
+    similarity: str = ""
 
 
 _NUMERIC = (
@@ -457,6 +463,27 @@ def plan_document_mapping(
             src_kind="geoshape", src_dtype=dtype,
         ))
 
+    def vector(path: list[str], dtype: T.DataType,
+               fm: FieldMapping) -> None:
+        """Explicit vector field mapping (mapping_vectors.go:139-171):
+        similarity defaults to l2_norm; cosine NORMALIZES the raw
+        vector at index time (mapping_vectors.go:160-163) so cosine
+        queries are plain dot products."""
+        if not (isinstance(dtype, T.ArrayType)
+                and isinstance(dtype.elementType, _NUMERIC)):
+            return
+        name = (
+            PATH_SEP.join([*path[:-1], fm.name]) if fm.name
+            else PATH_SEP.join(path)
+        )
+        plans.append(PlannedField(
+            name=name, ftype="vector", analyzer=None,
+            expr=_path_expr(path), store=fm.store, index=fm.index,
+            include_in_all=False,
+            src_kind="vector", src_dtype=dtype,
+            dims=fm.dims, similarity=fm.similarity or "l2_norm",
+        ))
+
     def walk(st: T.StructType, path: list[str], in_array: bool):
         for f in st.fields:
             p = [*path, f.name]
@@ -469,6 +496,8 @@ def plan_document_mapping(
                     geopoint(p, dt, fm)
                 elif fm.type == "geoshape" and fm.index:
                     geoshape(p, dt, fm)
+                elif fm.type == "vector" and fm.index:
+                    vector(p, dt, fm)
             if isinstance(dt, T.StructType):
                 # the reference KEEPS walking a struct that carried a
                 # geopoint mapping (processProperty sets walkDocument
@@ -626,6 +655,28 @@ def map_table(
         cols = [F.col(k) for k in passthrough]
         for n in all_names:
             p = have.get(n)
+            if by_name[n].ftype == "vector":
+                if p is None:
+                    cols.append(
+                        F.lit(None).cast("array<float>").alias(n))
+                else:
+                    e = p.expr.cast("array<float>")
+                    if p.dims > 0:
+                        # wrong-dimensionality rows index nothing,
+                        # like the reference's dims validation
+                        e = F.when(F.size(e) == p.dims, e)
+                    if p.similarity == "cosine":
+                        # mapping_vectors.go:160-163: normalize at
+                        # index time; cosine becomes a dot product
+                        nrm = F.sqrt(F.aggregate(
+                            e, F.lit(0.0),
+                            lambda a, x: a + x.cast("double") * x,
+                        ))
+                        e = F.transform(
+                            e, lambda x: (x / nrm).cast("float")
+                        )
+                    cols.append(e.alias(n))
+                continue
             if by_name[n].ftype == "geoshape":
                 from bleve_spark.search.geoshape import PARTS_SCHEMA
 
@@ -722,9 +773,9 @@ def map_table(
             n for n, p in by_name.items()
             if p.include_in_all and p.index
             # geo fields' cell/morton terms are not modeled as _all
-            # TOKENS; their _all queries take the member-wise
-            # fallback in the searcher instead
-            and p.ftype not in ("geoshape", "geopoint")
+            # TOKENS (their _all queries take the member-wise
+            # fallback in the searcher); vectors never carry terms
+            and p.ftype not in ("geoshape", "geopoint", "vector")
         ]
         if members:
             composite[im.default_field] = members

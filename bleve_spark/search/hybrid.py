@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from bleve_spark.index.build import IndexedTable
+from bleve_spark.index.build import IndexedTable, qcol
 from bleve_spark.search import query as Q
 from bleve_spark.search.fusion import rrf_fuse, rsf_fuse
 from bleve_spark.search.searcher import compile_query
@@ -84,5 +84,123 @@ def hybrid_search_df(
     return (
         fused.select(key, F.round(F.col("score"), 6).alias("score"))
         .orderBy(*order)
+        .limit(size)
+    )
+
+
+def _leg_score_expr(vec_col: F.Column, qv: list, similarity: str):
+    """Per-row similarity of the stored vector vs the query vector.
+
+    * ``dot_product`` — plain inner product.
+    * ``cosine`` — vectors are NORMALIZED at index time
+      (mapping_vectors.go:160-163), so the query vector is normalized
+      here and the score is again a dot product.
+    * ``l2_norm`` (the reference default) — scored as 1/(1+d²), a
+      monotone inverse of the squared euclidean distance: identical
+      ranking to faiss's L2 metric with a bounded, descending score.
+    """
+    import math
+
+    if similarity == "cosine":
+        n = math.sqrt(sum(float(x) * float(x) for x in qv)) or 1.0
+        qv = [float(x) / n for x in qv]
+    lit = F.array(*[F.lit(float(x)) for x in qv])
+    if similarity in ("dot_product", "cosine"):
+        return F.aggregate(
+            F.zip_with(vec_col, lit,
+                       lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda a, x: a + x,
+        )
+    if similarity == "l2_norm":
+        d2 = F.aggregate(
+            F.zip_with(vec_col, lit,
+                       lambda x, y: (x.cast("double") - y)
+                       * (x.cast("double") - y)),
+            F.lit(0.0), lambda a, x: a + x,
+        )
+        return F.lit(1.0) / (F.lit(1.0) + d2)
+    raise ValueError(f"unknown similarity: {similarity!r}")
+
+
+def knn_request_df(
+    idx: IndexedTable,
+    knn: list[dict],
+    q: Q.Query | dict | None = None,
+    size: int = 10,
+    knn_operator: str = "or",
+) -> DataFrame:
+    """The reference's SearchRequest.KNN contract
+    (/root/reference/search_knn.go:41-97, 460-530): each clause is
+    ``{"field": ..., "vector": [...], "k": ..., "boost": ...}`` over a
+    MAPPED vector field (mapping_vectors.go; the field's similarity
+    metric was fixed at mapping time); every clause contributes its
+    top-k, a doc's KNN score is the SUM of its matched legs
+    (finalizeKNNResults), ``knn_operator: "and"`` keeps only docs
+    matched by EVERY clause, and an optional query's score ADDS to
+    the KNN score (setKnnHitsInCollector: ftsMatch.Score +=
+    knnMatch.Score).
+
+    All-native: one scan per clause, TakeOrdered top-k, outer-join
+    merge on the doc key — no shuffle beyond the top-k exchanges.
+    """
+    if len(idx.key_cols) != 1:
+        raise ValueError("knn_request_df needs a single-column key")
+    key = idx.key_cols[0]
+    planned = getattr(idx, "planned_fields", {}) or {}
+
+    legs = []
+    for clause in knn:
+        f = clause["field"]
+        p = planned.get(f)
+        sim = clause.get("similarity") or (
+            p.similarity if p is not None else "l2_norm"
+        )
+        k = int(clause.get("k", 10))
+        boost = float(clause.get("boost", 1.0))
+        sc = _leg_score_expr(qcol(f), clause["vector"], sim) * boost
+        legs.append(
+            idx.source
+            .where(qcol(f).isNotNull())
+            .select(F.col(key), F.round(sc, 6).alias("_s"))
+            .orderBy(F.col("_s").desc(), F.col(key).asc())
+            .limit(k)
+        )
+
+    merged = None
+    for i, leg in enumerate(legs):
+        leg = leg.withColumnRenamed("_s", f"_s{i}")
+        merged = leg if merged is None else merged.join(
+            leg, key, "full_outer"
+        )
+    score_cols = [F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+                  for i in range(len(legs))]
+    if knn_operator == "and":
+        # finalizeKNNResults: keep docs with a breakdown entry for
+        # EVERY clause
+        cond = None
+        for i in range(len(legs)):
+            c = F.col(f"_s{i}").isNotNull()
+            cond = c if cond is None else (cond & c)
+        merged = merged.where(cond)
+    knn_scored = merged.select(
+        F.col(key),
+        sum(score_cols[1:], score_cols[0]).alias("_knn"),
+    )
+
+    if q is not None:
+        fts = compile_query(idx, q).select(
+            F.col(key), F.col("score").alias("_fts")
+        )
+        out = fts.join(knn_scored, key, "full_outer").select(
+            F.col(key),
+            (F.coalesce(F.col("_fts"), F.lit(0.0))
+             + F.coalesce(F.col("_knn"), F.lit(0.0))).alias("score"),
+        )
+    else:
+        out = knn_scored.select(F.col(key),
+                                F.col("_knn").alias("score"))
+    return (
+        out.select(key, F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(key).asc())
         .limit(size)
     )

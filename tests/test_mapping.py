@@ -445,3 +445,73 @@ def test_synonym_source_via_mapping(spark):
     })
     with pytest.raises(ValueError, match="unknown synonym source"):
         index_with_mapping(df, ["doc_id"], bad, persist=False)
+
+
+# ------------------------------------------------------------- vector
+
+
+def test_vector_field_and_knn_request(spark):
+    """vector field mapping (mapping_vectors.go:139-171) + the
+    SearchRequest.KNN contract (search_knn.go:460-530): per-clause
+    top-k, leg-score sum, knn_operator=and, fts score addition."""
+    from bleve_spark.search.hybrid import knn_request_df
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], [3.0, 4.0, 0.0, 0.0], "y"),
+        (2, [0.5, 0.0, 0.0, 0.0], [1.0, 0.0, 0.0, 0.0], "y"),
+        (3, [0.0, 1.0, 0.0, 0.0], [0.0, 2.0, 0.0, 0.0], "x"),
+        (4, [1.0, 0.0], None, "y"),          # wrong dims
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, emb array<float>, embc array<float>, tag string",
+    )
+    im = IndexMapping.from_dict({
+        "default_mapping": {"dynamic": False, "properties": {
+            "emb": {"fields": [
+                {"type": "vector", "dims": 4,
+                 "similarity": "dot_product"},
+            ]},
+            "embc": {"fields": [
+                {"type": "vector", "dims": 4, "similarity": "cosine"},
+            ]},
+            "tag": {"fields": [{"type": "text"}]},
+        }},
+        "scoring_model": "bm25",
+    })
+    idx = index_with_mapping(df, ["doc_id"], im, persist=False)
+    src = {r["doc_id"]: r for r in idx.source.collect()}
+    assert src[4]["emb"] is None               # dims guard
+    # cosine: stored vectors are unit-normalized at index time
+    assert src[1]["embc"] == pytest.approx([0.6, 0.8, 0.0, 0.0])
+    assert idx.planned_fields["emb"].similarity == "dot_product"
+
+    qv = [1.0, 0.0, 0.0, 0.0]
+    top = knn_request_df(
+        idx, [{"field": "emb", "vector": qv, "k": 2}], size=10
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in top] == [
+        (1, 1.0), (2, 0.5)
+    ]
+    # two legs, operator=and: only docs in BOTH top-k lists survive,
+    # scores sum
+    both = knn_request_df(
+        idx,
+        [{"field": "emb", "vector": qv, "k": 2},
+         {"field": "embc", "vector": qv, "k": 2, "boost": 2.0}],
+        knn_operator="and", size=10,
+    ).collect()
+    # embc top2 by cosine: doc2 (1.0), doc1 (0.6) → and-overlap {1,2}
+    assert [(r["doc_id"], r["score"]) for r in both] == [
+        (2, 0.5 + 2.0), (1, 1.0 + 1.2)
+    ]
+    # fts score ADDS (setKnnHitsInCollector)
+    from bleve_spark.search.searcher import search
+
+    s3 = search(idx, {"field": "tag", "term": "x"})["hits"][0]["score"]
+    mixed = {r["doc_id"]: r["score"] for r in knn_request_df(
+        idx, [{"field": "emb", "vector": qv, "k": 2}],
+        q={"field": "tag", "term": "x"}, size=10,
+    ).collect()}
+    assert mixed[3] == pytest.approx(round(s3, 6))
+    assert mixed[1] == 1.0
