@@ -270,3 +270,73 @@ def resolve_analyzer(name: str, custom: dict[str, Analyzer]):
     if name in custom:
         return custom[name]
     return get_analyzer(name)
+
+
+# ---- date_time_parsers (analysis/datetime/*) ------------------------
+
+# Go reference-time tokens → Spark (java.time) datetime pattern tokens,
+# longest-first (analysis/datetime/flexible/flexible.go parses with Go
+# layouts; Spark parses natively with DateTimeFormatter patterns)
+_GO_TO_JAVA = [
+    ("2006", "yyyy"), ("01", "MM"), ("02", "dd"), ("15", "HH"),
+    ("04", "mm"), ("05", "ss"), (".999999999", ".SSSSSSSSS"),
+    (".999999", ".SSSSSS"), (".999", ".SSS"), (".000000000",
+    ".SSSSSSSSS"), (".000000", ".SSSSSS"), (".000", ".SSS"),
+    ("-07:00", "XXX"), ("-0700", "XX"), ("Z07:00", "XXX"),
+    ("Z0700", "XX"), ("MST", "zz"), ("January", "MMMM"),
+    ("Jan", "MMM"), ("Monday", "EEEE"), ("Mon", "EEE"), ("PM", "a"),
+    ("03", "hh"), ("06", "yy"), ("_2", "d"),
+]
+
+_PERCENT_TO_JAVA = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%H": "HH",
+    "%I": "hh", "%M": "mm", "%S": "ss", "%f": "SSSSSS", "%z": "XX",
+    "%Z": "zz", "%b": "MMM", "%B": "MMMM", "%a": "EEE", "%A": "EEEE",
+    "%p": "a", "%j": "DDD", "%%": "%",
+}
+
+
+def go_layout_to_spark(layout: str) -> str:
+    out = layout
+    for go, java in _GO_TO_JAVA:
+        out = out.replace(go, java)
+    return out
+
+
+def percent_layout_to_spark(layout: str) -> str:
+    out = []
+    i = 0
+    while i < len(layout):
+        if layout[i] == "%" and i + 1 < len(layout):
+            tok = layout[i : i + 2]
+            out.append(_PERCENT_TO_JAVA.get(tok, tok))
+            i += 2
+        else:
+            out.append(layout[i])
+            i += 1
+    return "".join(out)
+
+
+def build_date_time_parsers(analysis_cfg: dict) -> dict[str, list[str]]:
+    """Compile the `date_time_parsers` section to named lists of Spark
+    datetime patterns, cascaded at parse time like the reference tries
+    each layout in order (flexible.go ParseDateTime). Types:
+    flexiblego / sanitizedgo (Go reference-time layouts) and
+    percentstyle (strptime-style)."""
+    out: dict[str, list[str]] = {}
+    for name, cfg in (
+        (analysis_cfg or {}).get("date_time_parsers") or {}
+    ).items():
+        t = cfg.get("type")
+        layouts = list(cfg.get("layouts") or [])
+        if not layouts:
+            raise ValueError(f"date parser {name!r}: layouts required")
+        if t in ("flexiblego", "sanitizedgo"):
+            out[name] = [go_layout_to_spark(la) for la in layouts]
+        elif t == "percentstyle":
+            out[name] = [percent_layout_to_spark(la) for la in layouts]
+        else:
+            raise ValueError(
+                f"date parser {name!r}: unknown type {t!r}"
+            )
+    return out

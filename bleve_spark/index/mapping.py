@@ -197,6 +197,11 @@ class IndexMapping:
             self._custom = build_custom_analysis(self.analysis)
         return self._custom
 
+    def custom_date_parsers(self) -> dict:
+        from bleve_spark.analysis.custom import build_date_time_parsers
+
+        return build_date_time_parsers(self.analysis)
+
     @classmethod
     def from_dict(cls, d: dict) -> "IndexMapping":
         return cls(
@@ -644,6 +649,7 @@ def map_table(
                 num_dtype[p.name] = p.src_dtype
             elif prev != p.src_dtype:
                 num_dtype[p.name] = T.DoubleType()
+    date_parsers = im.custom_date_parsers()
     frames = []
     for cond, plans, _dm in routed:
         if not _dm.enabled:
@@ -729,8 +735,18 @@ def map_table(
                         # ANSI-safe: a string column mapped datetime
                         # is PARSED (processString case "datetime");
                         # rows the parser rejects index nothing, like
-                        # the reference
-                        e = F.try_to_timestamp(e.cast("string"))
+                        # the reference. date_format naming a custom
+                        # date_time_parsers entry cascades ITS layouts
+                        # (flexible.go ParseDateTime tries in order).
+                        s = e.cast("string")
+                        pats = date_parsers.get(p.date_format)
+                        if pats:
+                            e = F.coalesce(*[
+                                F.try_to_timestamp(s, F.lit(pt))
+                                for pt in pats
+                            ])
+                        else:
+                            e = F.try_to_timestamp(s)
                 cols.append(e.alias(n))
         # route filter runs BEFORE the projection: the type column may
         # itself be re-planned (or absent) in this route's flat shape

@@ -515,3 +515,41 @@ def test_vector_field_and_knn_request(spark):
     ).collect()}
     assert mixed[3] == pytest.approx(round(s3, 6))
     assert mixed[1] == 1.0
+
+
+# ----------------------------------------------------- date parsers
+
+
+def test_custom_date_time_parsers(spark):
+    """`analysis.date_time_parsers`: flexiblego (Go reference-time
+    layouts) and percentstyle (strptime) compile to cascaded native
+    parses; a field's date_format picks its parser
+    (analysis/datetime/flexible/flexible.go, percent/percent.go)."""
+    df = spark.createDataFrame(
+        [(1, "25/12/2023 10:30", "31.01.2024", "x"),
+         (2, "not a date", "also not", "y")],
+        "doc_id long, d1 string, d2 string, t string",
+    )
+    im = IndexMapping.from_dict({
+        "analysis": {"date_time_parsers": {
+            "uk": {"type": "flexiblego",
+                   "layouts": ["02/01/2006 15:04"]},
+            "dots": {"type": "percentstyle",
+                     "layouts": ["%d.%m.%Y"]},
+        }},
+        "default_mapping": {"dynamic": False, "properties": {
+            "d1": {"fields": [
+                {"type": "datetime", "date_format": "uk"},
+            ]},
+            "d2": {"fields": [
+                {"type": "datetime", "date_format": "dots"},
+            ]},
+            "t": {"fields": [{"type": "text"}]},
+        }},
+    })
+    flat, _, _, planned = map_table(df, im)
+    assert planned["d1"].ftype == "datetime"
+    vals = {r["doc_id"]: (r["d1"], r["d2"]) for r in flat.collect()}
+    assert vals[1][0].month == 12 and vals[1][0].day == 25
+    assert vals[1][1].month == 1 and vals[1][1].day == 31
+    assert vals[2] == (None, None)
