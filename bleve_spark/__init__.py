@@ -13,12 +13,15 @@ Tungsten decide HOW.
 """
 
 from bleve_spark.index.build import IndexedTable, index_table
+from bleve_spark.index.mapping import IndexMapping, index_with_mapping
 from bleve_spark.search.query import parse_query
 from bleve_spark.search.searcher import search, search_df
 
 __all__ = [
+    "IndexMapping",
     "IndexedTable",
     "index_table",
+    "index_with_mapping",
     "parse_query",
     "search",
     "search_df",

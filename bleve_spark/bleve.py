@@ -1,0 +1,354 @@
+"""bleve-style top-level Index API — the reference's ``bleve.New`` /
+``bleve.Open`` / ``Index`` contract (index_impl.go, index.go Batch)
+over this engine.
+
+Scope: this facade serves bleve-STYLE usage — documents arrive as
+Python dicts through ``index``/``batch`` (the reference's
+``Index(id, data)``), the mapping lives WITH the index
+(``mapping.json`` inside the index path, like the reference persists
+its mapping in the index meta — index_meta.go), and searches take full
+SearchRequest dicts. Document storage is parquet (generation-stamped
+appends + id tombstones — the delete-then-introduce shape of
+index.go:35-65); the searchable view compiles lazily through the
+IndexMapping layer, so every mapping feature (nested paths, per-type
+routing, custom analysis, vectors, geo) applies. Web-scale corpora
+should use the DataFrame-native APIs directly
+(:func:`bleve_spark.index.mapping.index_with_mapping`,
+:mod:`bleve_spark.index.segments`); this class is the drop-in surface
+a bleve user switches to first.
+"""
+
+from __future__ import annotations
+
+import builtins
+import json
+import os
+
+from pyspark.sql import SparkSession, functions as F
+
+from bleve_spark.index.mapping import IndexMapping, index_with_mapping
+
+_ID = "_id_key"  # internal doc-identity column (bleve's external _id)
+_open = builtins.open  # `open` below shadows the builtin in this module
+
+
+class Batch:
+    """index.go:35-80 Batch: buffered index/delete ops applied
+    atomically by :meth:`Index.batch`."""
+
+    def __init__(self):
+        self._index: dict[str, dict] = {}
+        self._delete: list[str] = []
+
+    def index(self, id: str, data: dict) -> None:
+        if not id:
+            raise ValueError("batch: empty document id")
+        self._index[str(id)] = data
+
+    def delete(self, id: str) -> None:
+        self._delete.append(str(id))
+
+    def __len__(self) -> int:
+        return len(self._index) + len(self._delete)
+
+
+def new(path: str, mapping: IndexMapping | dict | None = None,
+        spark: SparkSession | None = None) -> "Index":
+    """bleve.New: create an index at ``path`` with ``mapping``
+    (default: an all-dynamic default mapping)."""
+    if os.path.exists(os.path.join(path, "mapping.json")):
+        raise FileExistsError(f"index already exists at {path!r}")
+    os.makedirs(path, exist_ok=True)
+    if mapping is None:
+        mapping = IndexMapping()
+    elif isinstance(mapping, dict):
+        mapping = IndexMapping.from_dict(mapping)
+    with _open(os.path.join(path, "mapping.json"), "w") as f:
+        json.dump(mapping_to_dict(mapping), f)
+    return Index(path, mapping, spark)
+
+
+def open(path: str, spark: SparkSession | None = None) -> "Index":
+    """bleve.Open: open an existing index; the PERSISTED mapping wins
+    (index_meta.go — the mapping travels with the index)."""
+    mp = os.path.join(path, "mapping.json")
+    if not os.path.exists(mp):
+        raise FileNotFoundError(f"no index at {path!r}")
+    with _open(mp) as f:
+        mapping = IndexMapping.from_dict(json.load(f))
+    return Index(path, mapping, spark)
+
+
+def mapping_to_dict(im: IndexMapping) -> dict:
+    """Serialize an IndexMapping back to the reference's JSON shape."""
+    def dm(d):
+        out = {"enabled": d.enabled, "dynamic": d.dynamic}
+        if d.default_analyzer:
+            out["default_analyzer"] = d.default_analyzer
+        if d.default_synonym_source:
+            out["default_synonym_source"] = d.default_synonym_source
+        if d.properties:
+            out["properties"] = {k: dm(v) for k, v in d.properties.items()}
+        if d.fields:
+            out["fields"] = [fm(x) for x in d.fields]
+        return out
+
+    def fm(x):
+        out = {}
+        for k in ("name", "type", "analyzer", "date_format",
+                  "synonym_source", "similarity"):
+            v = getattr(x, k)
+            if v:
+                out[k] = v
+        for k in ("store", "index", "include_term_vectors",
+                  "include_in_all", "docvalues"):
+            out[k] = getattr(x, k)
+        if x.dims:
+            out["dims"] = x.dims
+        return out
+
+    out = {
+        "default_mapping": dm(im.default_mapping),
+        "type_field": im.type_field,
+        "default_type": im.default_type,
+        "default_analyzer": im.default_analyzer,
+        "default_field": im.default_field,
+        "store_dynamic": im.store_dynamic,
+        "index_dynamic": im.index_dynamic,
+    }
+    if im.type_mapping:
+        out["types"] = {k: dm(v) for k, v in im.type_mapping.items()}
+    if im.scoring_model:
+        out["scoring_model"] = im.scoring_model
+    if im.analysis:
+        out["analysis"] = im.analysis
+    return out
+
+
+class Index:
+    """The reference's Index interface (index_impl.go) — see module
+    docstring for scope.
+
+    Liveness model: every batch gets a GENERATION number; an index op
+    writes a tombstone AND a doc row at that generation (the
+    delete-then-introduce of index.go:35-65), a delete writes only the
+    tombstone. An id is live iff its newest doc generation ≥ its
+    newest tombstone generation — so delete→reindex revives and
+    index→delete kills, independent of parquet file order.
+    """
+
+    def __init__(self, path: str, mapping: IndexMapping,
+                 spark: SparkSession | None = None):
+        self.path = path
+        self._mapping = mapping
+        self._spark = spark or SparkSession.builder.getOrCreate()
+        self._idx = None  # compiled searchable view, rebuilt on write
+        self._closed = False
+
+    # ------------------------------------------------------- writes --
+
+    def index(self, id: str, data: dict) -> None:
+        """index_impl.go:311 Index(id, data)."""
+        b = Batch()
+        b.index(id, data)
+        self.batch(b)
+
+    def delete(self, id: str) -> None:
+        b = Batch()
+        b.delete(id)
+        self.batch(b)
+
+    def _next_gen(self) -> int:
+        gp = os.path.join(self.path, "gen.txt")
+        g = 0
+        if os.path.exists(gp):
+            with _open(gp) as f:
+                g = int(f.read().strip() or 0)
+        with _open(gp, "w") as f:
+            f.write(str(g + 1))
+        return g + 1
+
+    def batch(self, b: Batch) -> None:
+        """index_impl.go:422 Batch."""
+        self._check_open()
+        ids = list(b._index) + b._delete
+        if not ids:
+            return
+        gen = self._next_gen()
+        self._spark.createDataFrame(
+            [(i, gen) for i in ids], f"{_ID} string, _gen long"
+        ).write.mode("append").parquet(
+            os.path.join(self.path, "deletes")
+        )
+        if b._index:
+            rows = [
+                json.dumps({**data, _ID: i, "_gen": gen})
+                for i, data in b._index.items()
+            ]
+            df = self._spark.read.json(
+                self._spark.sparkContext.parallelize(rows)
+            )
+            df.write.mode("append").option("mergeSchema", "true") \
+                .parquet(os.path.join(self.path, "docs"))
+        self._idx = None
+
+    # -------------------------------------------------------- reads --
+
+    def _live_docs(self):
+        d = os.path.join(self.path, "docs")
+        if not os.path.isdir(d):
+            return None
+        from pyspark.sql.window import Window
+
+        docs = self._spark.read.option("mergeSchema", "true").parquet(d)
+        w = Window.partitionBy(_ID).orderBy(F.col("_gen").desc())
+        newest = (
+            docs.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).drop("_rn")
+        )
+        dels = (
+            self._spark.read.parquet(os.path.join(self.path, "deletes"))
+            .groupBy(_ID).agg(F.max("_gen").alias("_delgen"))
+        )
+        return (
+            newest.join(dels, _ID, "left_outer")
+            .where(
+                F.col("_delgen").isNull()
+                | (F.col("_gen") >= F.col("_delgen"))
+            )
+            .drop("_delgen", "_gen")
+        )
+
+    def _compiled(self):
+        self._check_open()
+        if self._idx is None:
+            docs = self._live_docs()
+            if docs is None:
+                raise ValueError("index is empty — nothing indexed yet")
+            self._idx = index_with_mapping(docs, [_ID], self._mapping)
+        return self._idx
+
+    def search(self, req: dict) -> dict:
+        """index_impl.go:488 Search with a SearchRequest dict: query,
+        size, from, fields, facets, sort, search_after/before,
+        highlight, explain, includeLocations, score, knn +
+        knn_operator."""
+        from bleve_spark.search.searcher import search, search_df
+
+        idx = self._compiled()
+        size = int(req.get("size", 10))
+        from_ = int(req.get("from", 0))
+        if req.get("knn"):
+            from bleve_spark.search.hybrid import knn_request_df
+
+            out = knn_request_df(
+                idx, req["knn"], q=req.get("query"), size=from_ + size,
+                knn_operator=req.get("knn_operator", "or"),
+            ).collect()[from_:]
+            return {
+                "total_hits": len(out),
+                "hits": [
+                    {"id": r[_ID], "score": float(r["score"])}
+                    for r in out
+                ],
+            }
+        if req.get("sort") or req.get("search_after") \
+                or req.get("search_before"):
+            rows = search_df(
+                idx, req["query"], size=size, from_=from_,
+                sort=req.get("sort"),
+                search_after=req.get("search_after"),
+                search_before=req.get("search_before"),
+            ).collect()
+            return {
+                "total_hits": len(rows),
+                "hits": [
+                    {
+                        "id": r[_ID],
+                        "score": (
+                            float(r["score"])
+                            if "score" in r.__fields__ else 0.0
+                        ),
+                    }
+                    for r in rows[from_:]
+                ],
+            }
+        hl = (req.get("highlight") or {}).get("fields") or []
+        return search(
+            idx, req["query"], size=size, from_=from_,
+            facets=req.get("facets"),
+            fields=req.get("fields"),
+            highlight_field=hl[0] if hl else None,
+            explain=bool(req.get("explain")),
+            include_locations=bool(req.get("includeLocations")),
+            score=req.get("score"),
+        )
+
+    def doc_count(self) -> int:
+        """index_impl.go:463 DocCount — live docs."""
+        self._check_open()
+        docs = self._live_docs()
+        return 0 if docs is None else docs.count()
+
+    def document(self, id: str) -> dict | None:
+        """index_impl.go:437 Document: stored fields of one doc."""
+        self._check_open()
+        docs = self._live_docs()
+        if docs is None:
+            return None
+        rows = docs.where(F.col(_ID) == str(id)).collect()
+        if not rows:
+            return None
+        d = rows[0].asDict(recursive=True)
+        d.pop(_ID, None)
+        return d
+
+    def fields(self) -> list[str]:
+        """index_impl.go:1223 Fields — indexed field names."""
+        idx = self._compiled()
+        return sorted(
+            k if isinstance(k, str) else str(k)
+            for k in idx.field_analyzers
+        )
+
+    def field_dict(self, field: str, prefix: str | None = None,
+                   start: str | None = None,
+                   end: str | None = None) -> list[tuple[str, int]]:
+        """FieldDict / FieldDictPrefix / FieldDictRange
+        (index_impl.go:1248-1328): (term, doc_freq) sorted by term."""
+        idx = self._compiled()
+        d = idx.dictionary.where(F.col("field") == field)
+        if prefix is not None:
+            d = d.where(F.col("term").startswith(prefix))
+        if start is not None:
+            d = d.where(F.col("term") >= start)
+        if end is not None:
+            d = d.where(F.col("term") < end)
+        return [
+            (r["term"], int(r["doc_freq"]))
+            for r in d.select("term", "doc_freq")
+            .orderBy("term").collect()
+        ]
+
+    def mapping(self) -> IndexMapping:
+        return self._mapping
+
+    def stats_map(self) -> dict:
+        """index_impl.go:1343 StatsMap (subset)."""
+        idx = self._compiled()
+        return {
+            "doc_count": idx.stats.doc_count,
+            "field_cardinality": dict(idx.stats.field_cardinality),
+            "scoring": idx.stats.scoring,
+        }
+
+    def name(self) -> str:
+        return os.path.basename(self.path.rstrip("/"))
+
+    def close(self) -> None:
+        self._idx = None
+        self._closed = True
+
+    def _check_open(self):
+        if self._closed:
+            raise ValueError("index is closed")

@@ -1,0 +1,127 @@
+"""Top-level bleve-style Index API (bleve_spark/bleve.py) — the
+reference's bleve.New/Open + Index contract (index_impl.go,
+index.go Batch)."""
+
+import pytest
+
+from bleve_spark import bleve
+
+
+@pytest.fixture()
+def idx_path(tmp_path):
+    return str(tmp_path / "idx")
+
+
+MAPPING = {
+    "default_mapping": {
+        "properties": {
+            "name": {"fields": [{"type": "text", "analyzer": "en"}]},
+        },
+    },
+    "scoring_model": "bm25",
+}
+
+
+def _seed(ix):
+    b = bleve.Batch()
+    b.index("a", {"name": "quick brown fox", "age": 7,
+                  "body": {"lang": "en"}})
+    b.index("b", {"name": "lazy dogs", "age": 3,
+                  "body": {"lang": "de"}})
+    ix.batch(b)
+
+
+def test_new_batch_search_roundtrip(spark, idx_path):
+    ix = bleve.new(idx_path, MAPPING, spark)
+    _seed(ix)
+    res = ix.search({"query": {"field": "name", "term": "quick"}})
+    assert res["total_hits"] == 1
+    assert res["hits"][0]["id"] == "a"
+    # dynamic nested path (body.lang) indexed too
+    res = ix.search({"query": {"field": "body.lang", "term": "de"}})
+    assert [h["id"] for h in res["hits"]] == ["b"]
+    # numeric dynamic field serves range queries
+    res = ix.search({"query": {"field": "age", "min": 5}})
+    assert [h["id"] for h in res["hits"]] == ["a"]
+    assert ix.doc_count() == 2
+
+
+def test_delete_update_revive(spark, idx_path):
+    ix = bleve.new(idx_path, MAPPING, spark)
+    _seed(ix)
+    ix.delete("a")
+    assert ix.doc_count() == 1
+    assert ix.search(
+        {"query": {"field": "name", "term": "quick"}}
+    )["total_hits"] == 0
+    # delete -> reindex revives with the new revision
+    ix.index("a", {"name": "quick red panda", "age": 9,
+                   "body": {"lang": "en"}})
+    assert ix.doc_count() == 2
+    assert ix.document("a")["name"] == "quick red panda"
+    # update replaces the old revision (old term gone)
+    ix.index("b", {"name": "sleepy cats", "age": 3,
+                   "body": {"lang": "de"}})
+    assert ix.search(
+        {"query": {"field": "name", "term": "lazi"}}
+    )["total_hits"] == 0  # en-stemmed 'lazy' from revision 1 is gone
+    assert ix.doc_count() == 2
+
+
+def test_open_reads_persisted_mapping(spark, idx_path):
+    ix = bleve.new(idx_path, MAPPING, spark)
+    _seed(ix)
+    ix.close()
+    with pytest.raises(ValueError, match="closed"):
+        ix.doc_count()
+    re = bleve.open(idx_path, spark)
+    assert re.mapping().scoring_model == "bm25"
+    assert re.mapping().analyzer_name_for_path("name") == "en"
+    res = re.search({"query": {"field": "name", "match": "foxes"}})
+    assert res["hits"][0]["id"] == "a"     # en stemming persisted
+    # new() refuses to clobber an existing index
+    with pytest.raises(FileExistsError):
+        bleve.new(idx_path, MAPPING, spark)
+
+
+def test_field_dict_and_stats(spark, idx_path):
+    ix = bleve.new(idx_path, MAPPING, spark)
+    _seed(ix)
+    terms = dict(ix.field_dict("name"))
+    assert terms["quick"] == 1 and terms["fox"] == 1   # en-stemmed
+    assert ix.field_dict("name", prefix="qu") == [("quick", 1)]
+    assert [t for t, _ in ix.field_dict("name", start="d", end="g")] \
+        == ["dog", "fox"]
+    assert "name" in ix.fields() and "_all" in ix.fields()
+    sm = ix.stats_map()
+    assert sm["doc_count"] == 2 and sm["scoring"] == "bm25"
+
+
+def test_search_request_sort_and_facets(spark, idx_path):
+    ix = bleve.new(idx_path, MAPPING, spark)
+    _seed(ix)
+    res = ix.search({
+        "query": {"match_all": {}},
+        "sort": ["-age"],
+        "size": 10,
+    })
+    assert [h["id"] for h in res["hits"]] == ["a", "b"]
+    res = ix.search({
+        "query": {"match_all": {}},
+        "facets": {"langs": {"field": "body.lang"}},
+    })
+    buckets = {t["term"]: t["count"]
+               for t in res["facets"]["langs"]["terms"]}
+    assert buckets == {"en": 1, "de": 1}
+
+
+def test_mapping_json_roundtrip():
+    from bleve_spark.index.mapping import IndexMapping
+
+    im = IndexMapping.from_dict(MAPPING)
+    d = bleve.mapping_to_dict(im)
+    im2 = IndexMapping.from_dict(d)
+    assert im2.scoring_model == "bm25"
+    assert im2.analyzer_name_for_path("name") == "en"
+    assert im2.default_mapping.properties["name"].fields[0].analyzer \
+        == "en"
