@@ -202,6 +202,67 @@ class IndexMapping:
 
         return build_date_time_parsers(self.analysis)
 
+    # mapping/document.go:56-105 Validate + validateFieldType +
+    # mapping_vectors.go validation — fail fast on unknown analyzer /
+    # field type / date parser / synonym source names
+    _FIELD_TYPES = {"text", "datetime", "number", "boolean",
+                    "geopoint", "geoshape", "IP", "vector"}
+    _SIMILARITIES = {"", "l2_norm", "dot_product", "cosine"}
+
+    def validate(self) -> None:
+        from bleve_spark.analysis.analyzers import get_analyzer
+
+        custom = self.custom_analyzers()
+        parsers = self.custom_date_parsers()
+        ss = (self.analysis or {}).get("synonym_sources") or {}
+
+        def check_analyzer(name, where):
+            if not name or name in custom:
+                return
+            try:
+                get_analyzer(name)
+            except KeyError:
+                raise ValueError(
+                    f"{where}: unknown analyzer {name!r}"
+                ) from None
+
+        def walk(dm: DocumentMapping, path: str):
+            check_analyzer(dm.default_analyzer, path or "<root>")
+            for fm in dm.fields:
+                where = f"field {path or fm.name or '<anon>'!r}"
+                if fm.type and fm.type not in self._FIELD_TYPES:
+                    raise ValueError(
+                        f"{where}: unknown field type {fm.type!r}"
+                    )
+                check_analyzer(fm.analyzer, where)
+                if fm.date_format and fm.date_format not in parsers:
+                    raise ValueError(
+                        f"{where}: unknown date parser "
+                        f"{fm.date_format!r}"
+                    )
+                if fm.synonym_source and fm.synonym_source not in ss:
+                    raise ValueError(
+                        f"{where}: unknown synonym source "
+                        f"{fm.synonym_source!r}"
+                    )
+                if fm.type == "vector":
+                    if fm.dims <= 0:
+                        raise ValueError(
+                            f"{where}: vector field needs dims > 0"
+                        )
+                    if fm.similarity not in self._SIMILARITIES:
+                        raise ValueError(
+                            f"{where}: unknown similarity "
+                            f"{fm.similarity!r}"
+                        )
+            for k, sub in dm.properties.items():
+                walk(sub, f"{path}.{k}" if path else k)
+
+        check_analyzer(self.default_analyzer, "index default_analyzer")
+        walk(self.default_mapping, "")
+        for t, dm in self.type_mapping.items():
+            walk(dm, f"types.{t}")
+
     @classmethod
     def from_dict(cls, d: dict) -> "IndexMapping":
         return cls(

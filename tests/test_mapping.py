@@ -553,3 +553,51 @@ def test_custom_date_time_parsers(spark):
     assert vals[1][0].month == 12 and vals[1][0].day == 25
     assert vals[1][1].month == 1 and vals[1][1].day == 31
     assert vals[2] == (None, None)
+
+
+# ----------------------------------------------------------- validate
+
+
+def test_validate_catches_config_errors():
+    """mapping/document.go:56-105 Validate: unknown analyzers, field
+    types, date parsers, synonym sources, bad vector configs all fail
+    fast — and every reference fixture mapping validates clean."""
+    import glob
+
+    ok = IndexMapping.from_dict({
+        "default_mapping": {"properties": {
+            "t": {"fields": [{"type": "text", "analyzer": "en"}]},
+        }},
+    })
+    ok.validate()
+    for p in sorted(glob.glob("/root/reference/test/tests/*/mapping.json")):
+        IndexMapping.from_dict(json.load(open(p))).validate()
+
+    cases = [
+        ({"default_analyzer": "nope"}, "unknown analyzer"),
+        ({"default_mapping": {"properties": {"t": {"fields": [
+            {"type": "texty"}]}}}}, "unknown field type"),
+        ({"default_mapping": {"properties": {"t": {"fields": [
+            {"type": "text", "analyzer": "nope"}]}}}},
+         "unknown analyzer"),
+        ({"default_mapping": {"properties": {"t": {"fields": [
+            {"type": "datetime", "date_format": "nope"}]}}}},
+         "unknown date parser"),
+        ({"default_mapping": {"properties": {"t": {"fields": [
+            {"type": "vector"}]}}}}, "dims"),
+        ({"default_mapping": {"properties": {"t": {"fields": [
+            {"type": "vector", "dims": 4, "similarity": "wat"}]}}}},
+         "unknown similarity"),
+    ]
+    for cfg, msg in cases:
+        with pytest.raises(ValueError, match=msg):
+            IndexMapping.from_dict(cfg).validate()
+    # a custom analyzer defined in the analysis section IS known
+    IndexMapping.from_dict({
+        "analysis": {"analyzers": {"my": {
+            "type": "custom", "tokenizer": "unicode",
+            "token_filters": ["to_lower"],
+        }}},
+        "default_mapping": {"properties": {"t": {"fields": [
+            {"type": "text", "analyzer": "my"}]}}},
+    }).validate()
