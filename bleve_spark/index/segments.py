@@ -310,7 +310,21 @@ def build_segments(
     # selected here is serialized twice (shuffle write/read) and once
     # more over Arrow into the Python worker
     needed = list(dict.fromkeys([*key_cols, *fields]))
-    with_seg = df.select(*needed).withColumn(
+    # qcol: dotted field names (mapping-layer flattened paths) must
+    # resolve the LITERAL column, not a same-named nested path — and
+    # mapInArrow's internal `self[col]` re-resolution chokes on dots,
+    # so dotted columns ride under safe aliases and rename back to
+    # their field names inside the task
+    from bleve_spark.index.build import qcol
+
+    safe = {
+        c: (f"_dotted_{i}" if "." in c else c)
+        for i, c in enumerate(needed)
+    }
+    unsafe = {v: k for k, v in safe.items()}
+    with_seg = df.select(
+        *[qcol(c).alias(safe[c]) for c in needed]
+    ).withColumn(
         "_seg",
         (
             F.pmod(F.xxhash64(key_concat), F.lit(n_segments))
@@ -337,6 +351,9 @@ def build_segments(
         if not bl:
             return
         tbl = _pa.Table.from_batches(bl)
+        tbl = tbl.rename_columns(
+            [unsafe.get(c, c) for c in tbl.column_names]
+        )
         segs = tbl.column("_seg")
         out_schema = _pa.schema(
             [
@@ -685,8 +702,8 @@ class SegmentStore:
             *[x for fname in fields for x in (
                 F.lit(fname),
                 F.when(
-                    F.col(f"len_{fname}") > 0,
-                    (F.lit(1.0) / F.sqrt(F.col(f"len_{fname}")))
+                    F.col(f"`len_{fname}`") > 0,
+                    (F.lit(1.0) / F.sqrt(F.col(f"`len_{fname}`")))
                     .cast("float"),
                 ).otherwise(F.lit(None).cast("float")),
             )]

@@ -36,13 +36,25 @@ class IncrementalIndexer:
         self,
         root: str,
         key_cols: list[str],
-        fields: dict[str, str],
+        fields: dict[str, str] | None = None,
         segments_per_batch: int = 1,
         snapshot_every: int | None = None,
+        mapping=None,
     ):
+        """``fields`` names flat text columns directly; ``mapping``
+        (an :class:`bleve_spark.index.mapping.IndexMapping`) instead
+        compiles each micro-batch through the mapping layer first —
+        nested paths flatten, per-type routing and custom analyzers
+        apply — and the resulting text fields stream into segments.
+        (Composite ``_all`` and vector/geo columns are query-time
+        concerns of the source DataFrame, not of the at-rest postings
+        — same as the non-streaming segment path.)"""
+        if (fields is None) == (mapping is None):
+            raise ValueError("pass exactly one of fields / mapping")
         self.root = root
         self.key_cols = list(key_cols)
-        self.fields = dict(fields)
+        self.fields = dict(fields) if fields else None
+        self.mapping = mapping
         self.segments_per_batch = segments_per_batch
         # auto-commit a snapshot epoch every N micro-batches: readers
         # pin stable `at_epoch` views while the stream appends (the
@@ -57,10 +69,25 @@ class IncrementalIndexer:
         (resume=True skips already-manifested segments)."""
         n = self.segments_per_batch
         base = int(batch_id) * BATCH_SEG_STRIDE
+        df, fields = batch_df, self.fields
+        if self.mapping is not None:
+            from bleve_spark.index.mapping import map_table
+
+            flat, mfields, _composite, planned = map_table(
+                batch_df, self.mapping, self.key_cols
+            )
+            # at-rest postings carry the SCALAR text fields; arrays
+            # (instance-merge postings) and other planned columns are
+            # source-table concerns, not segment postings, in v1
+            mfields = {
+                n: a for n, a in mfields.items()
+                if not planned[n].is_array
+            }
+            df, fields = flat, mfields
         build_segments(
-            batch_df,
+            df,
             self.key_cols,
-            self.fields,
+            fields,
             self.root,
             n_segments=n,
             resume=True,

@@ -601,3 +601,59 @@ def test_validate_catches_config_errors():
         "default_mapping": {"properties": {"t": {"fields": [
             {"type": "text", "analyzer": "my"}]}}},
     }).validate()
+
+
+# ---------------------------------------------------- streaming hook
+
+
+def test_incremental_indexer_with_mapping(spark, tmp_path):
+    """IncrementalIndexer(mapping=...) compiles each micro-batch
+    through the mapping layer before the segment build: nested paths
+    flatten to dotted at-rest fields."""
+    from bleve_spark.streaming.pipeline import IncrementalIndexer
+
+    root = str(tmp_path / "seg")
+    df1 = spark.createDataFrame(
+        [(1, ("quick fox", "en")), (2, ("lazy dogs", "de"))],
+        "doc_id long, body struct<text:string, lang:string>",
+    )
+    df2 = spark.createDataFrame(
+        [(3, ("quick panda", "en"))],
+        "doc_id long, body struct<text:string, lang:string>",
+    )
+    im = IndexMapping.from_dict({
+        "default_mapping": {"dynamic": False, "properties": {
+            "body": {"properties": {
+                "text": {"fields": [{"type": "text"}]},
+                "lang": {"fields": [
+                    {"type": "text", "analyzer": "keyword"},
+                ]},
+            }},
+        }},
+        "scoring_model": "bm25",
+    })
+    ixer = IncrementalIndexer(root, ["doc_id"], mapping=im)
+    ixer.process_batch(df1, 0)
+    ixer.process_batch(df2, 1)
+    assert ixer.segment_count() == 2
+    store = ixer.store(spark)
+    from bleve_spark.index.mapping import map_table
+
+    flat, fields, _, planned = map_table(
+        spark.createDataFrame(
+            [(1, ("quick fox", "en")), (2, ("lazy dogs", "de")),
+             (3, ("quick panda", "en"))],
+            "doc_id long, body struct<text:string, lang:string>",
+        ),
+        im, ["doc_id"],
+    )
+    idx = store.to_indexed_table(flat, ["doc_id"], fields)
+    from bleve_spark.search.searcher import search
+
+    res = search(idx, {"field": "body.text", "term": "quick"}, size=10)
+    assert sorted(h["id"] for h in res["hits"]) == ["1", "3"]
+    res = search(idx, {"field": "body.lang", "term": "de"}, size=10)
+    assert [h["id"] for h in res["hits"]] == ["2"]
+    # both-of-fields() raises when neither/both config given
+    with pytest.raises(ValueError, match="exactly one"):
+        IncrementalIndexer(root, ["doc_id"])
