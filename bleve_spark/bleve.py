@@ -352,3 +352,39 @@ class Index:
     def _check_open(self):
         if self._closed:
             raise ValueError("index is closed")
+
+
+class IndexAlias:
+    """bleve.NewIndexAlias (index_alias_impl.go): searches fan out
+    across member Index objects with merged global stats (the
+    pre-search phase) and fused hit lists. Members must share the doc
+    identity scheme (ids are strings everywhere here)."""
+
+    def __init__(self, *indexes: Index):
+        if not indexes:
+            raise ValueError("alias needs at least one index")
+        self._members = list(indexes)
+
+    def add(self, ix: Index) -> None:
+        self._members.append(ix)
+
+    def search(self, req: dict) -> dict:
+        from bleve_spark.search.alias import AliasIndex
+        from bleve_spark.search.searcher import search
+
+        compiled = AliasIndex([m._compiled() for m in self._members])
+        return search(
+            compiled, req["query"],
+            size=int(req.get("size", 10)),
+            from_=int(req.get("from", 0)),
+            facets=req.get("facets"),
+            score=req.get("score"),
+        )
+
+    def doc_count(self) -> int:
+        return sum(m.doc_count() for m in self._members)
+
+
+def new_index_alias(*indexes: Index) -> IndexAlias:
+    """bleve.NewIndexAlias."""
+    return IndexAlias(*indexes)

@@ -125,3 +125,16 @@ def test_mapping_json_roundtrip():
     assert im2.analyzer_name_for_path("name") == "en"
     assert im2.default_mapping.properties["name"].fields[0].analyzer \
         == "en"
+
+
+def test_index_alias(spark, tmp_path):
+    """bleve.NewIndexAlias: scatter-gather over member indexes with
+    merged global stats."""
+    ix1 = bleve.new(str(tmp_path / "s1"), MAPPING, spark)
+    ix1.index("a", {"name": "quick brown fox"})
+    ix2 = bleve.new(str(tmp_path / "s2"), MAPPING, spark)
+    ix2.index("b", {"name": "quick dogs"})
+    al = bleve.new_index_alias(ix1, ix2)
+    assert al.doc_count() == 2
+    res = al.search({"query": {"field": "name", "term": "quick"}})
+    assert sorted(h["id"] for h in res["hits"]) == ["a", "b"]
