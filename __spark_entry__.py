@@ -184,6 +184,11 @@ def _mapped_docs_index(spark: SparkSession, sf_dir: str, variant: str):
     * ``tags``    — tags = [lang, lang, source] as an array<string>
       keyword field: per-element same-name instances merge (summed tf,
       element-local positions, norm over Σ lengths).
+    * ``knn``     — embeddings table with a VECTOR field mapping
+      (dims=64, dot_product) + a keyword-ish tag text field, for the
+      SearchRequest.KNN contract entry.
+    * ``custom``  — a custom `analysis` section: edge_ngram(2,3)
+      autocomplete analyzer over the source column.
     """
     from bleve_spark.index.mapping import IndexMapping, index_with_mapping
 
