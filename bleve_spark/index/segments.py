@@ -89,6 +89,7 @@ def _build_one_segment(
     fields: dict[str, str],
     root: str,
     chunk_docs: int,
+    composite: dict | None = None,
 ) -> dict:
     """Analyze + encode one segment (runs inside an executor task).
 
@@ -124,15 +125,14 @@ def _build_one_segment(
     n_postings = 0
     uniq_terms = 0
 
-    for fname, aname in fields.items():
-        analyzer = get_analyzer(aname)
-        texts = tbl.column(fname).to_pylist()
-        flens, doc_idx, codes, vocab, pos = analyzer.analyze_batch(texts)
-
+    def _emit(fname, flens, doc_idx, codes, vocab, pos):
+        """Encode one (field, token-stream) into chunked blobs — the
+        shared tail for plain fields AND composite streams."""
+        nonlocal n_postings, uniq_terms
         doc_tbl[f"len_{fname}"] = pa.array(flens)
         uniq_terms += len(vocab)
         if len(codes) == 0:
-            continue
+            return
 
         norms = np.where(
             flens > 0, 1.0 / np.sqrt(np.maximum(flens, 1)), 0.0
@@ -232,6 +232,105 @@ def _build_one_segment(
         col_parts["min_doc"].append(g_doc[cs])
         col_parts["max_doc"].append(g_doc[chunk_last])
 
+    analysis_cache: dict[str, tuple] = {}
+    for fname, aname in fields.items():
+        analyzer = get_analyzer(aname)
+        texts = tbl.column(fname).to_pylist()
+        res = analyzer.analyze_batch(texts)
+        analysis_cache[fname] = res
+        _emit(fname, *res)
+
+    # composite fields (the reference's `_all`) AT REST: member token
+    # streams merge with member-LOCAL positions, summed lengths, and
+    # typed members contribute their 16 prefix-coded trie terms /
+    # boolean T-F token (field_composite.go Compose +
+    # field_numeric.go:94-116) — same semantics as the DataFrame-path
+    # _composite_postings, encoded through the shared emitter
+    for cname, members in (composite or {}).items():
+        flen_total = np.zeros(n, dtype=np.int64)
+        di_parts: list[np.ndarray] = []
+        po_parts: list[np.ndarray] = []
+        tm_parts: list[np.ndarray] = []
+        for member, kind, aname in members:
+            if kind == "text":
+                res = analysis_cache.get(member)
+                if res is None:
+                    res = get_analyzer(aname or "standard") \
+                        .analyze_batch(tbl.column(member).to_pylist())
+                flens_m, di_m, co_m, vo_m, po_m = res
+                flen_total += flens_m
+                if len(co_m):
+                    di_parts.append(di_m.astype(np.int64))
+                    po_parts.append(po_m.astype(np.int64))
+                    tm_parts.append(vo_m[co_m])
+            elif kind == "boolean":
+                vals = tbl.column(member).to_pylist()
+                idxs = np.array(
+                    [i for i, v in enumerate(vals) if v is not None],
+                    dtype=np.int64,
+                )
+                if len(idxs):
+                    flen_total[idxs] += 1
+                    di_parts.append(idxs)
+                    po_parts.append(np.ones(len(idxs), dtype=np.int64))
+                    tm_parts.append(np.array(
+                        ["T" if vals[i] else "F" for i in idxs],
+                        dtype=object,
+                    ))
+            elif kind in ("numeric", "datetime"):
+                from bleve_spark.index.numeric_terms import (
+                    SHIFTS,
+                    doubles_to_sortable,
+                    trie_terms_batch,
+                )
+
+                col = tbl.column(member)
+                if kind == "datetime":
+                    # bleve indexes UnixNano (field_datetime.go);
+                    # fill_null BEFORE to_numpy — int64-with-nulls
+                    # would otherwise convert to float64/NaN
+                    micros = pc.fill_null(
+                        pc.cast(col.cast(pa.timestamp("us")),
+                                pa.int64()),
+                        0,
+                    ).to_numpy(zero_copy_only=False).astype(np.int64)
+                    valid = pc.is_valid(col).to_numpy(
+                        zero_copy_only=False
+                    )
+                    iv = micros[valid] * 1000
+                else:
+                    vals = col.cast(pa.float64()).to_numpy(
+                        zero_copy_only=False
+                    )
+                    valid = ~np.isnan(vals)
+                    iv = doubles_to_sortable(vals[valid])
+                orig = np.flatnonzero(valid)
+                if len(orig):
+                    row_idx, terms = trie_terms_batch(iv)
+                    flen_total[orig] += len(SHIFTS)
+                    di_parts.append(orig[row_idx])
+                    po_parts.append(
+                        np.ones(len(row_idx), dtype=np.int64)
+                    )
+                    tm_parts.append(np.asarray(terms, dtype=object))
+        if not tm_parts:
+            _emit(cname, flen_total,
+                  np.array([], dtype=np.int32),
+                  np.array([], dtype=np.int32),
+                  np.array([], dtype=object),
+                  np.array([], dtype=np.int32))
+            continue
+        terms_all = np.concatenate(tm_parts)
+        vocab_c, codes_c = np.unique(terms_all, return_inverse=True)
+        _emit(
+            cname,
+            flen_total,
+            np.concatenate(di_parts).astype(np.int32),
+            codes_c.astype(np.int32),
+            vocab_c.astype(object),
+            np.concatenate(po_parts).astype(np.int32),
+        )
+
     rows = {
         k: (
             np.concatenate(v)
@@ -284,6 +383,7 @@ def build_segments(
     chunk_docs: int = DEFAULT_CHUNK_DOCS,
     resume: bool = True,
     segment_id_offset: int = 0,
+    composite_fields: dict[str, list[str]] | None = None,
 ) -> list[dict]:
     """Distributed segment build; returns per-segment stats.
 
@@ -309,7 +409,30 @@ def build_segments(
     # prune to key + indexed columns BEFORE the shuffle: everything
     # selected here is serialized twice (shuffle write/read) and once
     # more over Arrow into the Python worker
-    needed = list(dict.fromkeys([*key_cols, *fields]))
+    # composite members: resolve each member's kind DRIVER-side (the
+    # task sees only arrow columns) — text members reuse their field
+    # analyzer; typed members synthesize trie / boolean terms in-task
+    comp = None
+    if composite_fields:
+        from bleve_spark.index.build import _member_kind
+
+        comp = {}
+        for cname, members in composite_fields.items():
+            rows = []
+            for m in members:
+                kind = _member_kind(df, m)
+                if kind == "text_array":
+                    raise ValueError(
+                        f"composite member {m!r}: array members are "
+                        "not supported at rest (v1)"
+                    )
+                rows.append((m, kind, fields.get(m, "standard")))
+            comp[cname] = rows
+
+    needed = list(dict.fromkeys([
+        *key_cols, *fields,
+        *[m for ms in (composite_fields or {}).values() for m in ms],
+    ]))
     # qcol: dotted field names (mapping-layer flattened paths) must
     # resolve the LITERAL column, not a same-named nested path — and
     # mapInArrow's internal `self[col]` re-resolution chokes on dots,
@@ -369,7 +492,8 @@ def build_segments(
         )
         for seg in _pc.unique(segs).to_pylist():
             grp = tbl.filter(_pc.equal(segs, seg)).drop_columns(["_seg"])
-            m = _build_one_segment(int(seg), grp, kc, fd, root, chunk_docs)
+            m = _build_one_segment(int(seg), grp, kc, fd, root,
+                                   chunk_docs, comp)
             yield _pa.RecordBatch.from_pylist(
                 [{
                     "segment_id": m["segment_id"],

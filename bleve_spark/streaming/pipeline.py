@@ -76,14 +76,32 @@ class IncrementalIndexer:
             flat, mfields, _composite, planned = map_table(
                 batch_df, self.mapping, self.key_cols
             )
-            # at-rest postings carry the SCALAR text fields; arrays
-            # (instance-merge postings) and other planned columns are
-            # source-table concerns, not segment postings, in v1
+            # at-rest postings carry the SCALAR text fields and the
+            # composite `_all` (typed members included); array fields
+            # (instance-merge postings) stay source-table concerns in
+            # v1 and drop out of the composite membership too
             mfields = {
                 n: a for n, a in mfields.items()
                 if not planned[n].is_array
             }
+            comp = {
+                c: [m for m in ms if not planned[m].is_array]
+                for c, ms in _composite.items()
+            }
+            comp = {c: ms for c, ms in comp.items() if ms}
             df, fields = flat, mfields
+            build_segments(
+                df, self.key_cols, fields, self.root, n_segments=n,
+                resume=True, segment_id_offset=base,
+                composite_fields=comp or None,
+            )
+            self._spark = batch_df.sparkSession
+            if (
+                self.snapshot_every
+                and (int(batch_id) + 1) % self.snapshot_every == 0
+            ):
+                SegmentStore(self._spark, self.root).commit_snapshot()
+            return
         build_segments(
             df,
             self.key_cols,

@@ -647,13 +647,19 @@ def test_incremental_indexer_with_mapping(spark, tmp_path):
         ),
         im, ["doc_id"],
     )
-    idx = store.to_indexed_table(flat, ["doc_id"], fields)
+    idx = store.to_indexed_table(
+        flat, ["doc_id"], {**fields, "_all": "standard"}
+    )
     from bleve_spark.search.searcher import search
 
     res = search(idx, {"field": "body.text", "term": "quick"}, size=10)
     assert sorted(h["id"] for h in res["hits"]) == ["1", "3"]
     res = search(idx, {"field": "body.lang", "term": "de"}, size=10)
     assert [h["id"] for h in res["hits"]] == ["2"]
+    # the composite _all streams into the segments too: default-field
+    # search works against the at-rest store
+    res = search(idx, {"term": "panda"}, size=10)
+    assert [h["id"] for h in res["hits"]] == ["3"]
     # both-of-fields() raises when neither/both config given
     with pytest.raises(ValueError, match="exactly one"):
         IncrementalIndexer(root, ["doc_id"])
