@@ -45,10 +45,10 @@ class IncrementalIndexer:
         (an :class:`bleve_spark.index.mapping.IndexMapping`) instead
         compiles each micro-batch through the mapping layer first —
         nested paths flatten, per-type routing and custom analyzers
-        apply — and the resulting text fields stream into segments.
-        (Composite ``_all`` and vector/geo columns are query-time
-        concerns of the source DataFrame, not of the at-rest postings
-        — same as the non-streaming segment path.)"""
+        apply — and the text fields PLUS the composite ``_all``
+        (typed trie-term members included) stream into segments.
+        Array fields and vector/geo columns remain query-time
+        concerns of the source DataFrame in v1."""
         if (fields is None) == (mapping is None):
             raise ValueError("pass exactly one of fields / mapping")
         self.root = root
