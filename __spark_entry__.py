@@ -2612,6 +2612,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _INDEX_CACHE[key], {"field": "_all", "term": "spark"}, k=20
         )
 
+    def q_composite_typed_store(spark, sf):
+        """The SAME typed-composite `_all` BM25 term query served from
+        the AT-REST segment store: segment tasks merge the member
+        streams (trie terms, boolean token, member-local positions,
+        summed lengths) into encoded _all postings
+        (segments._build_one_segment composite path), and the score
+        must hash-match the DataFrame path's oracle exactly."""
+        import math as _math
+        import tempfile
+
+        from bleve_spark.index.segments import (
+            SegmentStore,
+            build_segments,
+        )
+
+        key = (spark.sparkContext.applicationId, sf, "docs-cstore")
+        if key not in _INDEX_CACHE:
+            df = (
+                spark.read.parquet(f"{sf}/documents.parquet")
+                .withColumn("long_doc", F.col("n_chars") > 300)
+            )
+            fields = {"text": "standard", "lang": "keyword",
+                      "source": "keyword"}
+            root = tempfile.mkdtemp(prefix="entry_cstore_") + "/idx"
+            build_segments(
+                df, ["doc_id"], fields, root, n_segments=4,
+                resume=False,
+                composite_fields={
+                    "_all": ["text", "lang", "source", "n_chars",
+                             "long_doc"],
+                },
+            )
+            idx = SegmentStore(spark, root).to_indexed_table(
+                df, ["doc_id"], {**fields, "_all": "standard"},
+                persist=True,
+            )
+            # single-logical-build stats: global distinct cardinality
+            # (bleve's offline Builder merges to one segment)
+            card = (
+                idx.dictionary.where(F.col("field") == "_all")
+                .agg(F.count(F.lit(1)).alias("c")).collect()[0]["c"]
+            )
+            idx.stats.field_cardinality["_all"] = int(card)
+            idx.stats.avg_doc_len["_all"] = _math.ceil(
+                card / idx.stats.doc_count
+            )
+            _INDEX_CACHE[key] = idx
+        return _topk(
+            _INDEX_CACHE[key], {"field": "_all", "term": "spark"}, k=20
+        )
+
     def q_synonym_term(spark, sf):
         # separate index instance: synonyms are an index-level map
         key = (spark.sparkContext.applicationId, sf, "documents-syn")
@@ -3107,6 +3158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_alias_strict": q_alias_strict,
             "q_composite_term": q_composite_term,
             "q_composite_typed_term": q_composite_typed_term,
+            "q_composite_typed_store": q_composite_typed_store,
             "q_synonym_term": q_synonym_term,
             "q_synonym_thesaurus": q_synonym_thesaurus,
             "q_alias_synonym": q_alias_synonym,
@@ -3328,6 +3380,9 @@ ORDER BY score DESC, p.doc_id LIMIT 20""",
             "spark", prelude=_PRELUDE_COMPOSITE
         ),
         "q_composite_typed_term": _sql_single_term(
+            "spark", prelude=_PRELUDE_COMPOSITE_TYPED
+        ),
+        "q_composite_typed_store": _sql_single_term(
             "spark", prelude=_PRELUDE_COMPOSITE_TYPED
         ),
         # synonym expansion = disjunction(term@1, synonym@1/2) with coord
