@@ -266,6 +266,27 @@ def _mapped_docs_index(spark: SparkSession, sf_dir: str, variant: str):
             })
             _INDEX_CACHE[key] = index_with_mapping(src, ["vec_id"], im)
             return _INDEX_CACHE[key]
+        elif variant == "geo":
+            # nested geopoint struct mapped to the flat lat/lon pair
+            src = df.select(
+                "doc_id",
+                "lang",
+                F.struct(
+                    ((F.col("doc_id") * 7) % 181 - 90)
+                    .cast("double").alias("lat"),
+                    ((F.col("doc_id") * 13) % 361 - 180)
+                    .cast("double").alias("lon"),
+                ).alias("geo"),
+            )
+            im = IndexMapping.from_dict({
+                "default_mapping": {"dynamic": False, "properties": {
+                    "geo": {"fields": [{"type": "geopoint"}]},
+                    "lang": {"fields": [
+                        {"type": "text", "analyzer": "keyword"},
+                    ]},
+                }},
+                "scoring_model": "bm25",
+            })
         else:  # custom — `analysis` section: edge_ngram autocomplete
             src = df.select("doc_id", "source")
             im = IndexMapping.from_dict({
@@ -2263,6 +2284,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             size=10,
         )
 
+    def q_mapping_geo_bbox(spark, sf):
+        """Geo bbox query over a MAPPED geopoint field: the nested
+        {lat, lon} struct plans to the engine's flat geo_lat/geo_lon
+        columns (mapping geopoint type) and the bbox predicate runs
+        on them natively — same oracle as the hand-flattened
+        q_geo_bbox."""
+        return _topk(
+            _mapped_docs_index(spark, sf, "geo"),
+            {"field": "geo",
+             "top_left": {"lon": -30.0, "lat": 40.0},
+             "bottom_right": {"lon": 50.0, "lat": -10.0}},
+            k=10_000_000,
+        )
+
     def q_geo_shape_union_within(spark, sf):
         """Doc shapes within the UNION of two TOUCHING polygon
         members (the _QSHAPE_PTS quad split along a dyadic seam):
@@ -3143,6 +3178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_mapping_array_tags": q_mapping_array_tags,
             "q_mapping_custom_ngram": q_mapping_custom_ngram,
             "q_knn_request": q_knn_request,
+            "q_mapping_geo_bbox": q_mapping_geo_bbox,
             "q_ip_range": q_ip_range,
             "q_hybrid_rrf": q_hybrid_rrf,
             "q_hybrid_filtered": q_hybrid_filtered,
@@ -3332,6 +3368,16 @@ def oracle_sql() -> dict[str, str]:
         "q_mapping_array_tags": _sql_mapping_tags(),
         "q_mapping_custom_ngram": _sql_mapping_custom_ngram(),
         "q_knn_request": _sql_knn_request(),
+        # same deterministic synthetic coordinates as q_geo_bbox, but
+        # reached through the mapping layer's geopoint flattening
+        "q_mapping_geo_bbox": (
+            "SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM ("
+            "SELECT doc_id, "
+            "CAST((doc_id * 7) % 181 - 90 AS DOUBLE) AS glat, "
+            "CAST((doc_id * 13) % 361 - 180 AS DOUBLE) AS glon "
+            "FROM documents) WHERE glat >= -10.0 AND glat <= 40.0 "
+            "AND glon >= -30.0 AND glon <= 50.0"
+        ),
         "q_geo_bbox": (
             "SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM ("
             "SELECT doc_id, "

@@ -114,3 +114,31 @@ def test_at_rest_default_field_search(spark, tmp_path):
         b = [(h["id"], round(h["score"], 6))
              for h in search(ref, q, size=10)["hits"]]
         assert a == b and a
+
+
+def test_merge_preserves_composite(spark, tmp_path):
+    """Composite rows are ordinary postings rows: a merge carries the
+    _all field (and the len__all doc column) through unchanged."""
+    from bleve_spark.index.merge import merge_to_single
+    from bleve_spark.search.searcher import search
+
+    df = _df(spark)
+    root = str(tmp_path / "seg3")
+    build_segments(
+        df, ["doc_id"], FIELDS, root, n_segments=3,
+        composite_fields={"_all": MEMBERS},
+    )
+    before = _norm_rows(
+        SegmentStore(spark, root)
+        .to_indexed_table(df, ["doc_id"],
+                          {**FIELDS, "_all": "standard"}).postings
+    )
+    merged_root = merge_to_single(spark, root)
+    merged = SegmentStore(spark, merged_root)
+    after_idx = merged.to_indexed_table(
+        df, ["doc_id"], {**FIELDS, "_all": "standard"},
+    )
+    after = _norm_rows(after_idx.postings)
+    assert after == before
+    res = search(after_idx, {"term": "quick"}, size=10)
+    assert sorted(h["id"] for h in res["hits"]) == ["1", "3"]
