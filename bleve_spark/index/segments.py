@@ -232,11 +232,49 @@ def _build_one_segment(
         col_parts["min_doc"].append(g_doc[cs])
         col_parts["max_doc"].append(g_doc[chunk_last])
 
+    def _analyze_column(member, aname):
+        """(flens, doc_idx, codes, vocab, pos) for a scalar string OR
+        array<string> column. Arrays follow bleve's same-name field
+        instances (document/document.go:35,173-181): per-element
+        analysis, summed lengths, element-local positions carrying the
+        element index via the stride (phrase adjacency requires equal
+        ArrayPositions, search/search.go:108-114) — byte-identical to
+        the DataFrame path's _array_text_postings."""
+        from bleve_spark.index.build import ARRAY_POSITION_STRIDE
+
+        col = tbl.column(member)
+        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            lists = col.to_pylist()
+            flat: list = []
+            row_of_elem: list[int] = []
+            apos_of_elem: list[int] = []
+            for i, lst in enumerate(lists):
+                if not lst:
+                    continue
+                for j, s in enumerate(lst):
+                    flat.append(s)
+                    row_of_elem.append(i)
+                    apos_of_elem.append(j)
+            eflens, edoc, codes, vocab, epos = \
+                get_analyzer(aname).analyze_batch(flat)
+            roe = np.asarray(row_of_elem, dtype=np.int64)
+            ape = np.asarray(apos_of_elem, dtype=np.int64)
+            flens = np.zeros(n, dtype=np.int64)
+            if len(roe):
+                np.add.at(flens, roe, eflens)
+            if len(edoc) == 0:
+                return (flens, edoc, codes, vocab, epos)
+            doc_idx = roe[edoc].astype(np.int32)
+            pos = (
+                epos.astype(np.int64)
+                + ape[edoc] * ARRAY_POSITION_STRIDE
+            ).astype(np.int32)
+            return (flens, doc_idx, codes, vocab, pos)
+        return get_analyzer(aname).analyze_batch(col.to_pylist())
+
     analysis_cache: dict[str, tuple] = {}
     for fname, aname in fields.items():
-        analyzer = get_analyzer(aname)
-        texts = tbl.column(fname).to_pylist()
-        res = analyzer.analyze_batch(texts)
+        res = _analyze_column(fname, aname)
         analysis_cache[fname] = res
         _emit(fname, *res)
 
@@ -252,11 +290,10 @@ def _build_one_segment(
         po_parts: list[np.ndarray] = []
         tm_parts: list[np.ndarray] = []
         for member, kind, aname in members:
-            if kind == "text":
+            if kind in ("text", "text_array"):
                 res = analysis_cache.get(member)
                 if res is None:
-                    res = get_analyzer(aname or "standard") \
-                        .analyze_batch(tbl.column(member).to_pylist())
+                    res = _analyze_column(member, aname or "standard")
                 flens_m, di_m, co_m, vo_m, po_m = res
                 flen_total += flens_m
                 if len(co_m):
@@ -418,16 +455,10 @@ def build_segments(
 
         comp = {}
         for cname, members in composite_fields.items():
-            rows = []
-            for m in members:
-                kind = _member_kind(df, m)
-                if kind == "text_array":
-                    raise ValueError(
-                        f"composite member {m!r}: array members are "
-                        "not supported at rest (v1)"
-                    )
-                rows.append((m, kind, fields.get(m, "standard")))
-            comp[cname] = rows
+            comp[cname] = [
+                (m, _member_kind(df, m), fields.get(m, "standard"))
+                for m in members
+            ]
 
     needed = list(dict.fromkeys([
         *key_cols, *fields,

@@ -45,10 +45,10 @@ class IncrementalIndexer:
         (an :class:`bleve_spark.index.mapping.IndexMapping`) instead
         compiles each micro-batch through the mapping layer first —
         nested paths flatten, per-type routing and custom analyzers
-        apply — and the text fields PLUS the composite ``_all``
-        (typed trie-term members included) stream into segments.
-        Array fields and vector/geo columns remain query-time
-        concerns of the source DataFrame in v1."""
+        apply — and every text field (scalar and array) PLUS the
+        composite ``_all`` (typed trie-term members included) stream
+        into segments. Vector/geo columns remain query-time concerns
+        of the source DataFrame."""
         if (fields is None) == (mapping is None):
             raise ValueError("pass exactly one of fields / mapping")
         self.root = root
@@ -76,19 +76,10 @@ class IncrementalIndexer:
             flat, mfields, _composite, planned = map_table(
                 batch_df, self.mapping, self.key_cols
             )
-            # at-rest postings carry the SCALAR text fields and the
-            # composite `_all` (typed members included); array fields
-            # (instance-merge postings) stay source-table concerns in
-            # v1 and drop out of the composite membership too
-            mfields = {
-                n: a for n, a in mfields.items()
-                if not planned[n].is_array
-            }
-            comp = {
-                c: [m for m in ms if not planned[m].is_array]
-                for c, ms in _composite.items()
-            }
-            comp = {c: ms for c, ms in comp.items() if ms}
+            # at-rest postings carry every text field — scalar AND
+            # array (instance-merge, strided positions) — plus the
+            # composite `_all` with its typed members
+            comp = dict(_composite)
             df, fields = flat, mfields
             build_segments(
                 df, self.key_cols, fields, self.root, n_segments=n,

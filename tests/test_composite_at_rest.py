@@ -142,3 +142,45 @@ def test_merge_preserves_composite(spark, tmp_path):
     assert after == before
     res = search(after_idx, {"term": "quick"}, size=10)
     assert sorted(h["id"] for h in res["hits"]) == ["1", "3"]
+
+
+def test_array_text_field_at_rest(spark, tmp_path):
+    """array<string> fields at rest: per-element instance merge with
+    strided element-local positions — byte-identical to the DataFrame
+    path (_array_text_postings), standalone AND as an _all member."""
+    rows = [
+        (1, "quick fox", ["red tag", "blue"]),
+        (2, "lazy dogs", ["green"]),
+        (3, "quick panda", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, tags array<string>",
+    )
+    fields = {"text": "standard", "tags": "keyword"}
+    members = ["text", "tags"]
+    ref = index_table(
+        df, ["doc_id"], fields,
+        composite_fields={"_all": members}, persist=False,
+    )
+    root = str(tmp_path / "seg_arr")
+    build_segments(
+        df, ["doc_id"], fields, root, n_segments=2,
+        composite_fields={"_all": members},
+    )
+    got_idx = SegmentStore(spark, root).to_indexed_table(
+        df, ["doc_id"], {**fields, "_all": "standard"},
+    )
+    for fname in ("tags", "_all"):
+        e = sorted(
+            (r["term"], r["doc_id"], r["tf"], tuple(r["positions"]),
+             round(float(r["norm"]), 7))
+            for r in ref.postings
+            .where(F.col("field") == fname).collect()
+        )
+        g = sorted(
+            (r["term"], r["doc_id"], r["tf"], tuple(r["positions"]),
+             round(float(r["norm"]), 7))
+            for r in got_idx.postings
+            .where(F.col("field") == fname).collect()
+        )
+        assert g == e, fname
