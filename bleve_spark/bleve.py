@@ -278,7 +278,7 @@ class Index:
             idx, req["query"], size=size, from_=from_,
             facets=req.get("facets"),
             fields=req.get("fields"),
-            highlight_field=hl[0] if hl else None,
+            highlight_field=hl or None,
             explain=bool(req.get("explain")),
             include_locations=bool(req.get("includeLocations")),
             score=req.get("score"),

@@ -114,18 +114,20 @@ def highlight_hits(
     terms = _query_terms(idx, q, field)
     if not terms:
         return hits
+    from bleve_spark.index.build import qcol
+
     ids = [h["id"] for h in hits]
     rows = (
         idx.source.where(idx.doc_id_col().isin(ids))
-        .select(idx.doc_id_col().alias("_id"), field)
+        .select(idx.doc_id_col().alias("_id"), qcol(field).alias("_v"))
         .collect()
     )
-    text_by_id = {r["_id"]: r[field] for r in rows}
+    text_by_id = {r["_id"]: r["_v"] for r in rows}
     analyzer_name = idx.field_analyzers.get(field, "standard")
     for h in hits:
         text = text_by_id.get(h["id"])
-        if text:
+        if isinstance(text, str) and text:
             frags = highlight_text(text, terms, analyzer_name)
             if frags:
-                h["fragments"] = {field: frags}
+                h.setdefault("fragments", {})[field] = frags
     return hits

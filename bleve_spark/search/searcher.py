@@ -1620,11 +1620,18 @@ def search(
 
             result["facets"] = compute_facets(idx, scored, facets)
         if highlight_field and hits:
+            # one field name or a list — SearchRequest.Highlight.Fields
+            # highlights each requested field (search.go HighlightRequest)
             from bleve_spark.search.highlight import highlight_hits
 
-            result["hits"] = highlight_hits(
-                idx, q, hits, highlight_field
+            hl_fields = (
+                [highlight_field] if isinstance(highlight_field, str)
+                else list(highlight_field)
             )
+            for hf in hl_fields:
+                result["hits"] = highlight_hits(
+                    idx, q, result["hits"], hf
+                )
         return result
     finally:
         scored.unpersist()

@@ -138,3 +138,27 @@ def test_index_alias(spark, tmp_path):
     assert al.doc_count() == 2
     res = al.search({"query": {"field": "name", "term": "quick"}})
     assert sorted(h["id"] for h in res["hits"]) == ["a", "b"]
+
+
+def test_multi_field_highlight(spark, idx_path):
+    """SearchRequest.Highlight.Fields: fragments for EVERY requested
+    field (search.go HighlightRequest)."""
+    ix = bleve.new(idx_path, {
+        "default_mapping": {"properties": {
+            "title": {"fields": [{"type": "text"}]},
+            "body": {"fields": [{"type": "text"}]},
+        }},
+        "scoring_model": "bm25",
+    }, spark)
+    ix.index("d1", {"title": "spark engines", "body":
+                    "the spark engine joins tables"})
+    res = ix.search({
+        "query": {"must": {"conjuncts": [
+            {"field": "title", "match": "spark"},
+            {"field": "body", "match": "joins"},
+        ]}},
+        "highlight": {"fields": ["title", "body"]},
+    })
+    frags = res["hits"][0]["fragments"]
+    assert set(frags) == {"title", "body"}
+    assert "spark" in frags["title"][0] and "join" in frags["body"][0]
