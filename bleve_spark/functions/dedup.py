@@ -31,9 +31,17 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     cluster's default parallelism, round-robin repartition first —
     a cheap narrow-ish shuffle of raw rows versus single-threading
     the hash work.  At real scale inputs have thousands of splits and
-    this is a no-op."""
+    this is a no-op.
+
+    The probe uses ``df.inputFiles()`` (pure plan inspection) rather
+    than ``df.rdd.getNumPartitions()`` — the RDD conversion forces a
+    full physical planning pass outside AQE per call."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files == 0 or n_files < target:
         return df.repartition(target)
     return df
 
@@ -146,27 +154,42 @@ def minhash_signatures_local(
         df.select(F.col(key_col).alias("key"), base.alias("__b"))
         .where(F.size("__b") > 0)
     )
-    # ONE aggregate expression folding every shingle hash into all
-    # num_hashes running minima at once (indexed transform over the
-    # accumulator) — compact codegen vs num_hashes separate
-    # array_min(transform(...)) trees, same arithmetic
-    a_lit = F.array(*[F.lit(int(v)) for v in a])
-    b_lit = F.array(*[F.lit(int(v)) for v in b])
-    sig = F.aggregate(
-        F.col("__b"),
-        F.array_repeat(F.lit(_MERSENNE).cast("long"), num_hashes),
-        lambda acc, x: F.zip_with(
-            acc,
-            F.transform(
-                a_lit,
-                lambda av, i: (
-                    av * x + F.element_at(b_lit, i + 1)
-                ) % F.lit(_MERSENNE),
-            ),
-            lambda m, h: F.least(m, h),
-        ),
-    )
-    return hashed.select("key", sig.alias("sig"))
+    # The 64-way min fold over the hash arrays is pure int64 math —
+    # but as a Catalyst expression every candidate (aggregate /
+    # transform / zip_with) is a higher-order function, which NEVER
+    # enters whole-stage codegen (they are CodegenFallback): the r3
+    # single-expression fold ran fully interpreted and dominated the
+    # query (~3s of 4.3s warm at sf0.1; far worse in a cold window —
+    # the r3 driver-bench regression). Shingling + md5 stay in the JVM
+    # (string semantics bit-identical to the SQL oracle); the fold
+    # moves to ONE Arrow batch stage vectorized with
+    # np.minimum.reduceat — still row-local, still zero shuffle.
+    out_schema = "key long, sig array<long>"
+
+    def _fold(batches):
+        import pandas as pd  # worker-side import
+
+        for pdf in batches:
+            keys = pdf["key"].to_numpy()
+            arrs = pdf["__b"].tolist()
+            lens = np.fromiter(
+                (len(x) for x in arrs), dtype=np.int64, count=len(arrs)
+            )
+            if len(arrs) == 0:
+                yield pd.DataFrame({"key": [], "sig": []})
+                continue
+            flat = np.concatenate(
+                [np.asarray(x, dtype=np.int64) for x in arrs]
+            )
+            # (total_shingles, num_hashes): a·x + b mod M.
+            # a,x < 2^31 so a·x < 2^62 — no int64 overflow.
+            hm = (flat[:, None] * a[None, :] + b[None, :]) % _MERSENNE
+            offs = np.zeros(len(arrs), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offs[1:])
+            sigs = np.minimum.reduceat(hm, offs, axis=0)
+            yield pd.DataFrame({"key": keys, "sig": list(sigs)})
+
+    return hashed.mapInPandas(_fold, schema=out_schema)
 
 
 def minhash_lsh_pairs(
