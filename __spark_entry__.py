@@ -976,11 +976,21 @@ LANG_CORPORA = {
     "hr": ["Hrvatska i Hrvatski jezik", "komarac leti",
            "crvi u zemlji", "zaključcima rasprave", "veliki komarac",
            "hrvatske knjige", "knjiga o zemlji", "rasprava o jeziku"],
-    # tr: apostrophe + per-rune lower + stop_tr (partial: no snowball
-    # stemmer, documented)
+    # tr: apostrophe + per-rune lower + stop_tr + snowball stemmer
+    # (analyzer_tr.go; port in analysis/snowball.py stem_tr)
     "tr": ["Kıbrıs'ta tatil", "Van Gölü'ne yolculuk",
            "İstanbul'da kitaplar", "kitap ve kalem", "yolculuk planı",
-           "tatil köyü", "kalem kutusu", "İstanbul manzarası"],
+           "tatil planları", "kalem kutusu", "İstanbul manzarası"],
+    # hu / ro: snowball stemmer pipelines (analyzer_hu.go /
+    # analyzer_ro.go; ports in analysis/snowball.py)
+    "hu": ["babakocsi a házban", "babakocsijáért ment",
+           "ablakok és házak", "az ablakokat nézi",
+           "gépért és gépekkel", "tollal írnak", "a házát festi",
+           "babakocsik az ablakokban"],
+    "ro": ["absenţa din oraş", "absenţi de la şcoală",
+           "lucrează în oraş", "copiii lucram împreună",
+           "frumoasă acţiune", "cărţile frumoase", "o absenţă lungă",
+           "acţiunea copiilor"],
     # pl: stempel statistical stemmer over Lucene's trained table
     "pl": ["wiedza była utrzymywana w tajemnicy",
            "przypadku badawczego opracowanie",
@@ -1068,10 +1078,17 @@ LANG_GOLD_TOKENS = {
            ["crv", "u", "zemlj"], ["zaključk", "rasprav"],
            ["velik", "komarc"], ["hrvatsk", "knjig"],
            ["knjig", "o", "zemlj"], ["rasprav", "o", "jezik"]],
-    "tr": [["kıbrıs", "tatil"], ["van", "gölü", "yolculuk"],
-           ["istanbul", "kitaplar"], ["kitap", "kalem"],
-           ["yolculuk", "planı"], ["tatil", "köyü"],
-           ["kalem", "kutusu"], ["istanbul", "manzarası"]],
+    "tr": [["kıbrıs", "tatil"], ["van", "göl", "yolculuk"],
+           ["istanbul", "kitap"], ["kitap", "kalem"],
+           ["yolculuk", "plan"], ["tatil", "plan"],
+           ["kalem", "kutu"], ["istanbul", "manzara"]],
+    "hu": [["babakocs", "ház"], ["babakocs", "men"],
+           ["ablak", "ház"], ["ablak", "néz"], ["gép", "gép"],
+           ["tol", "ír"], ["ház", "fest"], ["babakocs", "ablak"]],
+    "ro": [["absenţ", "oraş"], ["absenţ", "şcoal"],
+           ["lucr", "oraş"], ["copii", "lucr", "împreun"],
+           ["frumoas", "acţiun"], ["cărţ", "frumoas"],
+           ["o", "absenţ", "lung"], ["acţiun", "cop"]],
     # pl goldens: reference analyzer_pl_test.go vocabulary (wiedza/
     # utrzymywać/tajemnik/przypadek/kryptografia/kwantowy/...)
     "pl": [["wiedza", "utrzymywać", "tajemnik"],
@@ -1104,7 +1121,9 @@ LANG_QUERIES = {
     "ckb": ("کتێبەکان لە شار", ["کتێب", "شار"]),
     "hr": ("hrvatski komarac", ["hrvatsk", "komarc"]),
     "pl": ("wiedza o kryptografii", ["wiedza", "kryptografia"]),
-    "tr": ("İstanbul'da kitap", ["istanbul", "kitap"]),
+    "tr": ("İstanbul'da kitaplar", ["istanbul", "kitap"]),
+    "hu": ("babakocsijáért és ablakok", ["babakocs", "ablak"]),
+    "ro": ("absenţa lucrează", ["absenţ", "lucr"]),
 }
 
 
@@ -2874,10 +2893,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _lang_q(spark, sf, "hr")
 
     def q_lang_tr(spark, sf):
-        """Turkish partial pipeline (apostrophe truncation + per-rune
-        lower incl. İ→i + stop_tr; snowball stemmer documented out of
-        scope, analyzer_tr.go)."""
+        """Turkish analyzer (apostrophe truncation + per-rune lower
+        incl. İ→i + stop_tr + snowball stemmer, analyzer_tr.go /
+        stemmer_tr.go; port in analysis/snowball.py stem_tr)."""
         return _lang_q(spark, sf, "tr")
+
+    def q_lang_hu(spark, sf):
+        """Hungarian analyzer (stop_hu + snowball stemmer,
+        analyzer_hu.go / stemmer_hu.go; port in analysis/snowball.py
+        stem_hu)."""
+        return _lang_q(spark, sf, "hu")
+
+    def q_lang_ro(spark, sf):
+        """Romanian analyzer (stop_ro + snowball stemmer,
+        analyzer_ro.go / stemmer_ro.go; port in analysis/snowball.py
+        stem_ro)."""
+        return _lang_q(spark, sf, "ro")
 
     def q_lang_pl(spark, sf):
         """Polish analyzer (stop_pl + stempel statistical stemmer over
@@ -3221,6 +3252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_lang_hr": q_lang_hr,
             "q_lang_pl": q_lang_pl,
             "q_lang_tr": q_lang_tr,
+            "q_lang_hu": q_lang_hu,
+            "q_lang_ro": q_lang_ro,
             "q_raw_text_match": q_raw_text_match,
             "q_raw_text_phrase": q_raw_text_phrase,
             "dedup_exact": dedup_exact,
@@ -3475,6 +3508,8 @@ ORDER BY score DESC, p.doc_id LIMIT 20""",
         "q_lang_hr": _sql_lang_match("hr"),
         "q_lang_pl": _sql_lang_match("pl"),
         "q_lang_tr": _sql_lang_match("tr"),
+        "q_lang_hu": _sql_lang_match("hu"),
+        "q_lang_ro": _sql_lang_match("ro"),
         "q_raw_text_match": _sql_raw_match(),
         "q_raw_text_phrase": _sql_raw_phrase(),
         "dedup_exact": (

@@ -570,3 +570,676 @@ def stem_fi(word: str) -> str:
     if i >= 1 and word[i] not in _FI_VOWELS and word[i - 1] == word[i]:
         word = word[:i] + word[i + 1:]
     return word
+
+
+# ================================================================ HUNGARIAN
+# Port of the published Snowball Hungarian algorithm (Anna Tordai,
+# snowballstem.org/algorithms/hungarian/stemmer.html); the reference
+# wires it via analysis/lang/hu/stemmer_hu.go -> snowballstem/hungarian.
+# Suffix tables reconstructed from the published description; validated
+# against the reference's analyzer_hu_test.go vectors and hand-traced
+# cases (full-vocabulary parity is not verifiable offline).
+
+_HU_VOWELS = "aáeéiíoóöőuúüű"
+_HU_DIGRAPHS = ("dzs", "cs", "dz", "gy", "ly", "ny", "sz", "ty", "zs")
+# doubled consonants (incl. doubled digraphs written with one extra
+# leading letter: ccs = cs+cs, ggy = gy+gy, ...)
+_HU_DOUBLES = (
+    "ccs", "ggy", "lly", "nny", "ssz", "tty", "zzs",
+    "bb", "cc", "dd", "ff", "gg", "jj", "kk", "ll", "mm", "nn",
+    "pp", "rr", "ss", "tt", "vv", "zz",
+)
+_HU_CASE = (
+    "ban ben ba be ra re nak nek val vel tól től ról ről ból ből hoz "
+    "hez höz nál nél ig at et ot öt ért képp képpen kor ul ül vá vé "
+    "onként enként anként ként en on an ön n t".split()
+)
+_HU_PLUR_OWNER_DEL = (
+    "jaim jeim aim eim im jaid jeid aid eid id jai jei ai ei i jaink "
+    "jeink aink eink ink jaitok jeitek aitok eitek itek jeik jaik aik "
+    "eik ik".split()
+)
+_HU_PLUR_OWNER_A = "áim áid ái áink áitok áik".split()
+_HU_PLUR_OWNER_E = "éim éid éi éink éitek éik".split()
+_HU_SING_OWNER_DEL = (
+    "ünk unk nk juk jük uk ük em om am m od ed ad öd d ja je a e o"
+    .split()
+)
+_HU_SING_OWNER_A = "ánk ájuk ám ád á".split()
+_HU_SING_OWNER_E = "énk éjük ém éd é".split()
+_HU_OWNED_DEL = "aké eké oké öké ké éi é".split()
+_HU_OWNED_A = "áké áéi".split()
+_HU_OWNED_E = "éké ééi".split()
+
+
+def _hu_r1(word: str) -> int:
+    """R1: word starts with a vowel -> after the first consonant or
+    digraph; starts with a consonant -> after the first vowel."""
+    if not word:
+        return 0
+    if word[0] in _HU_VOWELS:
+        for i in range(1, len(word)):
+            if word[i] not in _HU_VOWELS:
+                for d in _HU_DIGRAPHS:
+                    if word.startswith(d, i):
+                        return i + len(d)
+                return i + 1
+        return len(word)
+    for i in range(1, len(word)):
+        if word[i] in _HU_VOWELS:
+            return i + 1
+    return len(word)
+
+
+def _hu_undouble(word: str) -> str:
+    """Remove one member of a final doubled consonant (ccs -> cs,
+    ll -> l)."""
+    for d in _HU_DOUBLES:
+        if word.endswith(d):
+            if len(d) == 3:  # doubled digraph: drop the extra letter
+                return word[:-3] + d[1:]
+            return word[:-1]
+    return word
+
+
+def _hu_v_ending(word: str) -> str:
+    if word.endswith("á"):
+        return word[:-1] + "a"
+    if word.endswith("é"):
+        return word[:-1] + "e"
+    return word
+
+
+def stem_hu(word: str) -> str:
+    r1 = _hu_r1(word)
+
+    # 1. instrumental case: al/el preceded by a doubled consonant
+    s = _ends_in(word, r1, ("al", "el"))
+    if s and any(word[: -len(s)].endswith(d) for d in _HU_DOUBLES):
+        word = _hu_undouble(word[: -len(s)])
+        r1 = min(r1, len(word))
+    # 2. frequent cases, then á/é -> a/e
+    s = _ends_in(word, r1, _HU_CASE)
+    if s:
+        word = _hu_v_ending(word[: -len(s)])
+    # 3. special cases
+    s = _ends_in(word, r1, ("én", "án", "ánként"))
+    if s:
+        word = word[: -len(s)] + ("e" if s == "én" else "a")
+    # 4. other cases
+    s = _ends_in(word, r1, ("astul", "estül", "ástul", "éstül",
+                            "stul", "stül"))
+    if s:
+        word = word[: -len(s)]
+        if s == "ástul":
+            word += "a"
+        elif s == "éstül":
+            word += "e"
+    # 5. factive case: á/é preceded by doubled consonant
+    s = _ends_in(word, r1, ("á", "é"))
+    if s and any(word[:-1].endswith(d) for d in _HU_DOUBLES):
+        word = _hu_undouble(word[:-1])
+    # 6. owned
+    s = _ends_in(word, r1, _HU_OWNED_DEL + _HU_OWNED_A + _HU_OWNED_E)
+    if s:
+        word = word[: -len(s)]
+        if s in _HU_OWNED_A:
+            word += "a"
+        elif s in _HU_OWNED_E:
+            word += "e"
+    # 7. singular owner suffixes
+    s = _ends_in(word, r1,
+                 _HU_SING_OWNER_DEL + _HU_SING_OWNER_A + _HU_SING_OWNER_E)
+    if s:
+        word = word[: -len(s)]
+        if s in _HU_SING_OWNER_A:
+            word += "a"
+        elif s in _HU_SING_OWNER_E:
+            word += "e"
+    # 8. plural owner suffixes
+    s = _ends_in(word, r1,
+                 _HU_PLUR_OWNER_DEL + _HU_PLUR_OWNER_A + _HU_PLUR_OWNER_E)
+    if s:
+        word = word[: -len(s)]
+        if s in _HU_PLUR_OWNER_A:
+            word += "a"
+        elif s in _HU_PLUR_OWNER_E:
+            word += "e"
+    # 9. plural
+    s = _ends_in(word, r1, ("ák", "ék", "ök", "ok", "ek", "ak", "k"))
+    if s:
+        word = word[: -len(s)]
+        if s == "ák":
+            word += "a"
+        elif s == "ék":
+            word += "e"
+    return word
+
+
+# ================================================================= ROMANIAN
+# Port of the published Snowball Romanian algorithm
+# (snowballstem.org/algorithms/romanian/stemmer.html); the reference
+# wires it via analysis/lang/ro/stemmer_ro.go -> snowballstem/romanian.
+# Uses the cedilla forms ş (U+015F) / ţ (U+0163) like the original
+# algorithm and the reference's test vectors. Verb-suffix tables
+# reconstructed from the published description; validated against
+# analyzer_ro_test.go vectors and hand-traced cases.
+
+_RO_VOWELS = "aăâeiîou"
+
+_RO_STEP0 = {
+    "ul": "", "ului": "",
+    "aua": "a",
+    "ea": "e", "ele": "e", "elor": "e",
+    "ii": "i", "iua": "i", "iei": "i", "iile": "i", "iilor": "i",
+    "ilor": "i",
+    "ile": "i",  # unless preceded by 'ab'
+    "atei": "at",
+    "aţie": "aţi", "aţia": "aţi",
+}
+_RO_COMBO = {}
+for _sfx in ("abilitate", "abilitati", "abilităi", "abilităţi"):
+    _RO_COMBO[_sfx] = "abil"
+_RO_COMBO["ibilitate"] = "ibil"
+for _sfx in ("ivitate", "ivitati", "ivităi", "ivităţi"):
+    _RO_COMBO[_sfx] = "iv"
+for _sfx in ("icitate", "icitati", "icităi", "icităţi", "icator",
+             "icatori", "iciv", "iciva", "icive", "icivi", "icivă",
+             "ical", "icala", "icale", "icali", "icală"):
+    _RO_COMBO[_sfx] = "ic"
+for _sfx in ("ativ", "ativa", "ative", "ativi", "ativă", "aţiune",
+             "atoare", "ator", "atori", "ătoare", "ător", "ători"):
+    _RO_COMBO[_sfx] = "at"
+for _sfx in ("itiv", "itiva", "itive", "itivi", "itivă", "iţiune",
+             "itoare", "itor", "itori"):
+    _RO_COMBO[_sfx] = "it"
+
+_RO_STEP2_DEL = (
+    "at ata ată ati ate ut uta ută uti ute it ita ită iti ite ic ica "
+    "ice ici ică abil abila abile abili abilă ibil ibila ibile ibili "
+    "ibilă oasa oasă oase os osi oşi ant anta ante anti antă ator "
+    "atori itate itati ităi ităţi iv iva ive ivi ivă".split()
+)
+_RO_STEP2_IUNE = ("iune", "iuni")     # delete if preceded by ţ; ţ -> t
+_RO_STEP2_IST = (
+    "işti istă isti iste ista ist isme ism".split()
+)  # -> ist
+
+# verb suffixes, group A: delete if preceded in RV by a consonant or u
+_RO_VERB_A = (
+    "are ere ire âre ui âi "
+    "aşi seşi aseşi seseşi iseşi useşi âseşi "
+    "ai eai iai sei "
+    "aţi eaţi iaţi seţi aseţi seseţi iseţi useţi âseţi "
+    "am eam iam sem asem sesem isem usem âsem "
+    "au eau iau "
+    "ase sese ise use âse".split()
+)
+# group B: delete unconditionally (in RV)
+_RO_VERB_B = (
+    "ăm em im âm eţi iţi âţi "
+    "ez ezi ează eze "
+    "esc eşti eşte ăsc ăşti ăşte "
+    "ând ind ându indu".split()
+)
+
+_RO_STEP4 = ("ie", "a", "e", "i", "ă")
+
+
+def _ro_rv(word: str) -> int:
+    """Spanish-style RV (the Romanian algorithm shares the definition)."""
+    n = len(word)
+    if n < 3:
+        return n
+    if word[1] not in _RO_VOWELS:
+        for i in range(2, n):
+            if word[i] in _RO_VOWELS:
+                return i + 1
+        return n
+    if word[0] in _RO_VOWELS and word[1] in _RO_VOWELS:
+        for i in range(2, n):
+            if word[i] not in _RO_VOWELS:
+                return i + 1
+        return n
+    return 3
+
+
+def stem_ro(word: str) -> str:
+    # prelude: i / u between vowels -> markers I / U (undone at the end)
+    chars = list(word)
+    for i in range(1, len(chars) - 1):
+        if (chars[i] in "iu" and chars[i - 1] in _RO_VOWELS
+                and chars[i + 1] in _RO_VOWELS):
+            chars[i] = chars[i].upper()
+    word = "".join(chars)
+
+    r1 = _r1_pos(word, _RO_VOWELS)
+    r2 = _r2_pos(word, _RO_VOWELS)
+    rv = _ro_rv(word)
+
+    # step 0: removal of plurals / articles (R1)
+    s = _ends_in(word, r1, _RO_STEP0.keys())
+    if s and not (s == "ile" and word.endswith("abile")):
+        word = word[: -len(s)] + _RO_STEP0[s]
+
+    # step 1: reduction of combining suffixes (R1, repeat)
+    standard_removed = False
+    while True:
+        s = _ends_in(word, r1, _RO_COMBO.keys())
+        if not s:
+            break
+        word = word[: -len(s)] + _RO_COMBO[s]
+        standard_removed = True
+
+    # step 2: removal of standard suffixes (R2)
+    s = _ends_in(word, r2,
+                 _RO_STEP2_DEL + list(_RO_STEP2_IUNE) + _RO_STEP2_IST)
+    if s:
+        if s in _RO_STEP2_IUNE:
+            if word[: -len(s)].endswith("ţ"):
+                word = word[: -len(s) - 1] + "t"
+                standard_removed = True
+        elif s in _RO_STEP2_IST:
+            word = word[: -len(s)] + "ist"
+            standard_removed = True
+        else:
+            word = word[: -len(s)]
+            standard_removed = True
+
+    # step 3: verb suffixes (RV), only if steps 1-2 removed nothing
+    if not standard_removed:
+        s = _ends_in(word, rv, _RO_VERB_A + _RO_VERB_B)
+        if s:
+            if s in _RO_VERB_B:
+                word = word[: -len(s)]
+            else:
+                prev = len(word) - len(s) - 1
+                if (prev >= rv
+                        and (word[prev] not in _RO_VOWELS
+                             or word[prev] == "u")):
+                    word = word[: -len(s)]
+
+    # step 4: final vowel (RV)
+    s = _ends_in(word, rv, _RO_STEP4)
+    if s:
+        word = word[: -len(s)]
+
+    return word.replace("I", "i").replace("U", "u")
+
+
+# ================================================================== TURKISH
+# Port of the published Snowball Turkish algorithm (Evren Kapusuz
+# Çilden, snowballstem.org/algorithms/turkish/stemmer.html); the
+# reference wires it via analysis/lang/tr/stemmer_tr.go ->
+# snowballstem/turkish. The algorithm strips nominal-verb suffixes,
+# then noun suffixes (possessive / case / plural chains), each guarded
+# by a vowel-harmony check and optional buffer letters (y n s / high
+# vowel U), then devoices a final b/c/d/ğ and appends a harmonizing
+# high vowel to stems ending in d/g. Suffix chain structure
+# reconstructed from the published description; validated against the
+# reference's stemmer_tr_test.go vectors and hand-traced cases.
+
+_TR_VOWELS = "aeıiouöü"
+_TR_U = "ıiuü"
+# vowel-harmony classes: last vowel -> set an earlier vowel must hit
+_TR_HARMONY = {
+    "a": "aıou", "e": "eiöü", "ı": "aı", "i": "ei",
+    "o": "ou", "u": "ou", "ö": "öü", "ü": "öü",
+}
+
+
+def _tr_harmony_ok(word: str) -> bool:
+    """check_vowel_harmony: the word's LAST vowel (the suffix vowel)
+    must be preceded somewhere by a vowel of its harmony class."""
+    i = len(word) - 1
+    while i >= 0 and word[i] not in _TR_VOWELS:
+        i -= 1
+    if i < 0:
+        return False
+    allowed = _TR_HARMONY[word[i]]
+    j = i - 1
+    while j >= 0:
+        if word[j] in allowed:
+            return True
+        j -= 1
+    return False
+
+
+def _tr_strip(word: str, suffixes, harmony=True, opt_cons="",
+              opt_U=False):
+    """Match the longest of ``suffixes`` at the end of ``word`` (with
+    vowel-harmony check against the full word), plus an optional
+    buffer letter:
+
+    - ``opt_cons``: one of y/n/s — consumed when present AND preceded
+      by a vowel; when absent the suffix must follow a consonant
+      (buffer consonants are mandatory after vowel-final stems).
+    - ``opt_U``: a high vowel ı/i/u/ü — consumed when present AND
+      preceded by a consonant; when absent the suffix must follow a
+      vowel.
+
+    Returns the stripped word or None."""
+    if harmony and not _tr_harmony_ok(word):
+        return None
+    best = None
+    for s in suffixes:
+        if word.endswith(s) and (best is None or len(s) > len(best)):
+            best = s
+    if best is None or len(best) >= len(word):
+        return None
+    rest = word[: -len(best)]
+    if opt_cons:
+        if rest.endswith(opt_cons) and len(rest) >= 2 \
+                and rest[-2] in _TR_VOWELS:
+            return rest[:-1]
+        if rest[-1] in _TR_VOWELS:
+            return None
+        return rest
+    if opt_U:
+        if rest[-1] in _TR_U and len(rest) >= 2 \
+                and rest[-2] not in _TR_VOWELS:
+            return rest[:-1]
+        if rest[-1] not in _TR_VOWELS:
+            return None
+        return rest
+    return rest
+
+
+# --- suffix classes (each returns stripped word or None) ---
+
+def _tr_possessives(w):
+    return _tr_strip(w, ("m", "n", "mız", "miz", "muz", "müz",
+                         "nız", "niz", "nuz", "nüz"), opt_U=True)
+
+
+def _tr_sU(w):
+    return _tr_strip(w, tuple(_TR_U), opt_cons="s")
+
+
+def _tr_lArI(w):
+    return _tr_strip(w, ("leri", "ları"), harmony=False)
+
+
+def _tr_yU(w):
+    return _tr_strip(w, tuple(_TR_U), opt_cons="y")
+
+
+def _tr_nU(w):
+    return _tr_strip(w, ("nı", "ni", "nu", "nü"))
+
+
+def _tr_nUn(w):
+    return _tr_strip(w, ("ın", "in", "un", "ün"), opt_cons="n")
+
+
+def _tr_yA(w):
+    return _tr_strip(w, ("a", "e"), opt_cons="y")
+
+
+def _tr_nA(w):
+    return _tr_strip(w, ("na", "ne"))
+
+
+def _tr_DA(w):
+    return _tr_strip(w, ("da", "de", "ta", "te"))
+
+
+def _tr_nDA(w):
+    return _tr_strip(w, ("nda", "nde", "nta", "nte"))
+
+
+def _tr_DAn(w):
+    return _tr_strip(w, ("dan", "den", "tan", "ten"))
+
+
+def _tr_nDAn(w):
+    return _tr_strip(w, ("ndan", "nden", "ntan", "nten"))
+
+
+def _tr_ylA(w):
+    return _tr_strip(w, ("la", "le"), opt_cons="y")
+
+
+def _tr_ki(w):
+    return w[:-2] if w.endswith("ki") and len(w) > 2 else None
+
+
+def _tr_ncA(w):
+    return _tr_strip(w, ("ca", "ce"), opt_cons="n")
+
+
+# nominal verb suffixes
+def _tr_ymUs(w):
+    return _tr_strip(w, ("mış", "miş", "muş", "müş"), opt_cons="y")
+
+
+def _tr_sUn(w):
+    return _tr_strip(w, ("sın", "sin", "sun", "sün"))
+
+
+def _tr_yUm(w):
+    return _tr_strip(w, ("ım", "im", "um", "üm"), opt_cons="y")
+
+
+def _tr_yUz(w):
+    return _tr_strip(w, ("ız", "iz", "uz", "üz"), opt_cons="y")
+
+
+def _tr_sUnUz(w):
+    return _tr_strip(w, ("sınız", "siniz", "sunuz", "sünüz"))
+
+
+def _tr_lAr(w):
+    return _tr_strip(w, ("ler", "lar"))
+
+
+def _tr_nUz(w):
+    return _tr_strip(w, ("nız", "niz", "nuz", "nüz"))
+
+
+def _tr_DUr(w):
+    return _tr_strip(w, ("tır", "tir", "tur", "tür",
+                         "dır", "dir", "dur", "dür"))
+
+
+def _tr_cAsInA(w):
+    return _tr_strip(w, ("casına", "cesine"), harmony=False)
+
+
+_TR_YDU_SUFFIXES = tuple(
+    d + v + p
+    for d in "td" for v in "ıiuü" for p in ("m", "k", "n", "nız",
+                                            "niz", "nuz", "nüz", "")
+)
+
+
+def _tr_yDU(w):
+    return _tr_strip(w, _TR_YDU_SUFFIXES, opt_cons="y")
+
+
+_TR_YSA_SUFFIXES = tuple(
+    "s" + v + p
+    for v in "ae" for p in ("m", "n", "k", "nız", "niz", "")
+)
+
+
+def _tr_ysA(w):
+    return _tr_strip(w, _TR_YSA_SUFFIXES, opt_cons="y")
+
+
+def _tr_yken(w):
+    return _tr_strip(w, ("ken",), opt_cons="y")
+
+
+def _first(w, *marks):
+    for m in marks:
+        r = m(w)
+        if r is not None:
+            return r
+    return None
+
+
+def _tr_nominal_verb_suffixes(word):
+    """Returns (word, continue_with_noun_suffixes)."""
+    r = _first(word, _tr_ymUs, _tr_yDU, _tr_ysA, _tr_yken)
+    if r is not None:
+        return r, True
+    r = _tr_cAsInA(word)
+    if r is not None:
+        r2 = _first(r, _tr_sUnUz, _tr_lAr, _tr_yUm, _tr_sUn, _tr_yUz)
+        if r2 is not None:
+            r = r2
+        r2 = _tr_ymUs(r)
+        return (r2 if r2 is not None else r), True
+    r = _tr_lAr(word)
+    if r is not None:
+        r2 = _first(r, _tr_DUr, _tr_yDU, _tr_ysA, _tr_ymUs)
+        if r2 is not None:
+            return r2, False
+        return r, False
+    r = _tr_nUz(word)
+    if r is not None:
+        r2 = _first(r, _tr_yDU, _tr_ysA)
+        if r2 is not None:
+            return r2, True
+        return word, True  # nUz alone is not a nominal verb suffix
+    r = _first(word, _tr_sUnUz, _tr_yUz, _tr_sUn, _tr_yUm)
+    if r is not None:
+        r2 = _tr_ymUs(r)
+        return (r2 if r2 is not None else r), True
+    r = _tr_DUr(word)
+    if r is not None:
+        r2 = _first(r, _tr_sUnUz, _tr_lAr, _tr_yUm, _tr_sUn, _tr_yUz)
+        if r2 is not None:
+            r3 = _tr_ymUs(r2)
+            if r3 is not None:
+                return r3, True
+        return r, True
+    return word, True
+
+
+def _tr_chain_after_ki(word):
+    r = _tr_DA(word)
+    if r is not None:
+        r2 = _tr_lAr(r)
+        if r2 is not None:
+            return _tr_chain_after_ki(r2)
+        r2 = _tr_possessives(r)
+        if r2 is not None:
+            r3 = _tr_lAr(r2)
+            if r3 is not None:
+                return _tr_chain_after_ki(r3)
+            return r2
+        return r
+    r = _tr_nDA(word)
+    if r is not None:
+        r2 = _tr_lArI(r)
+        if r2 is not None:
+            return r2
+        r2 = _tr_sU(r)
+        if r2 is not None:
+            r3 = _tr_ki(r2)
+            if r3 is not None:
+                return _tr_chain_after_ki(r3)
+            return r2
+        return r
+    return word
+
+
+def _tr_noun_suffixes(word):
+    r = _tr_ki(word)
+    if r is not None:
+        return _tr_chain_after_ki(r)
+    r = _tr_ncA(word)
+    if r is not None:
+        r2 = _tr_lArI(r)
+        if r2 is not None:
+            return r2
+        r2 = _first(r, _tr_possessives, _tr_sU)
+        if r2 is not None:
+            r3 = _tr_lAr(r2)
+            return r3 if r3 is not None else r2
+        r2 = _tr_lAr(r)
+        return r2 if r2 is not None else r
+    # locative/ablative with possessive buffer n (bare -nI stays out
+    # of the top level: it would mis-parse plan+ı as pla+nı; it is
+    # only reachable through the post-possessive chains)
+    r = _first(word, _tr_nDAn, _tr_nDA, _tr_nA)
+    if r is not None:
+        r2 = _tr_lArI(r)
+        if r2 is not None:
+            return r2
+        r2 = _tr_sU(r)
+        if r2 is not None:
+            r3 = _tr_lAr(r2)
+            return _tr_chain_after_ki(r3) if r3 is not None else r2
+        r2 = _tr_lAr(r)
+        return r2 if r2 is not None else r
+    # genitive -(n)Un
+    r = _tr_nUn(word)
+    if r is not None:
+        r2 = _tr_lArI(r)
+        if r2 is not None:
+            return r2
+        r2 = _first(r, _tr_possessives, _tr_sU)
+        if r2 is not None:
+            r3 = _tr_lAr(r2)
+            return r3 if r3 is not None else r2
+        return r
+    # bare cases / accusative / instrumental / dative vs
+    # possessive / 3sg -sU: the surfaces overlap (…sı is -sI after a
+    # vowel stem but bare -I after an s-final stem; …yı the mirror
+    # with buffer y) — the longer effective strip wins, which is how
+    # the buffer-letter rules disambiguate (arabası -> araba via sU,
+    # arabayı -> araba via yU)
+    r_case = _first(word, _tr_DAn, _tr_DA, _tr_ylA, _tr_yU, _tr_yA)
+    r_poss = _first(word, _tr_possessives, _tr_sU)
+    if r_case is not None and (r_poss is None
+                               or len(r_case) <= len(r_poss)):
+        r = r_case
+        r2 = _tr_possessives(r)
+        if r2 is not None:
+            r3 = _tr_lAr(r2)
+            return _tr_chain_after_ki(r3) if r3 is not None else r2
+        r2 = _tr_lAr(r)
+        if r2 is not None:
+            return _tr_chain_after_ki(r2)
+        return _tr_chain_after_ki(r)
+    r = _tr_lArI(word)
+    if r is not None:
+        return r
+    # possessives / 3sg -sU
+    if r_poss is not None:
+        r = r_poss
+        r2 = _tr_lAr(r)
+        if r2 is not None:
+            return _tr_chain_after_ki(r2)
+        return r
+    # bare plural left over after a nominal-verb strip
+    # (göz+ler+im: -im goes in the nominal stage, -ler here)
+    r = _tr_lAr(word)
+    if r is not None:
+        return _tr_chain_after_ki(r)
+    return word
+
+
+def stem_tr(word: str) -> str:
+    if sum(1 for ch in word if ch in _TR_VOWELS) < 2:
+        return word  # more_than_one_syllable_word guard
+    word, cont = _tr_nominal_verb_suffixes(word)
+    if cont:
+        word = _tr_noun_suffixes(word)
+    # postlude: append harmonizing U to stems ending in d/g, then
+    # devoice a final b/c/d/ğ
+    if word and word[-1] in "dg":
+        for pair, u in (("aı", "ı"), ("ei", "i"), ("ou", "u"),
+                        ("öü", "ü")):
+            if any(ch in pair for ch in word):
+                word += u
+                break
+    if word:
+        last = word[-1]
+        repl = {"b": "p", "c": "ç", "d": "t", "ğ": "k"}.get(last)
+        if repl:
+            word = word[:-1] + repl
+    return word

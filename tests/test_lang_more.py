@@ -185,21 +185,54 @@ def test_pl_stempel_stemmer_vectors():
         assert stem_pl(w) == e, (w, stem_pl(w), e)
 
 
-def test_tr_partial_pipeline():
+def test_tr_full_pipeline():
     """Turkish: apostrophe truncation before lowercase, Turkish stop
-    list, and Go per-rune İ→i lowering (analyzer_tr.go minus the
-    snowball stemmer — documented out of scope)."""
+    list, Go per-rune İ→i lowering, and the snowball stemmer
+    (analyzer_tr.go; stemmer vectors from stemmer_tr_test.go)."""
     an = get_analyzer("tr")
     assert [t for t, _ in an.analyze_terms("Kıbrıs'ta")] == ["kıbrıs"]
     assert [t for t, _ in an.analyze_terms("dolayı")] == []
     assert [t for t, _ in an.analyze_terms("İSTANBUL")] == ["istanbul"]
+    assert [t for t, _ in an.analyze_terms("kitaplar")] == ["kitap"]
 
 
-def test_hu_ro_stop_pipelines():
-    assert [t for t, _ in get_analyzer("hu").analyze_terms(
-        "által babakocsi")] == ["babakocsi"]
-    assert [t for t, _ in get_analyzer("ro").analyze_terms(
-        "îl text")] == ["text"]
+def test_tr_snowball_reference_vectors():
+    """stemmer_tr_test.go — the reference's full vector set."""
+    from bleve_spark.analysis.snowball import stem_tr
+
+    for w, e in [("kimsesizler", "kimsesiz"), ("kitaplar", "kitap"),
+                 ("arabanın", "araba"), ("bardaklar", "bardak"),
+                 ("kediye", "kedi"), ("yazdım", "yaz")]:
+        assert stem_tr(w) == e, (w, stem_tr(w), e)
+
+
+def test_hu_ro_snowball_pipelines():
+    """analyzer_hu_test.go (babakocsi/babakocsijáért -> babakocs,
+    által stopped) and analyzer_ro_test.go (absenţa/absenţi ->
+    absenţ, îl stopped)."""
+    hu = get_analyzer("hu")
+    assert [t for t, _ in hu.analyze_terms(
+        "által babakocsi")] == ["babakocs"]
+    assert [t for t, _ in hu.analyze_terms(
+        "babakocsijáért")] == ["babakocs"]
+    ro = get_analyzer("ro")
+    assert [t for t, _ in ro.analyze_terms(
+        "îl absenţa")] == ["absenţ"]
+    assert [t for t, _ in ro.analyze_terms("absenţi")] == ["absenţ"]
+
+
+def test_hu_ro_snowball_hand_traced():
+    """Hand-traced rule cases for the reconstructed suffix tables."""
+    from bleve_spark.analysis.snowball import stem_hu, stem_ro
+
+    for w, e in [("ablakok", "ablak"), ("ablakokat", "ablak"),
+                 ("házak", "ház"), ("házát", "ház"),
+                 ("gépért", "gép"), ("tollal", "tol")]:
+        assert stem_hu(w) == e, (w, stem_hu(w), e)
+    for w, e in [("lucrează", "lucr"), ("copiii", "copii"),
+                 ("frumoasă", "frumoas"), ("acţiune", "acţiun"),
+                 ("cărţile", "cărţ")]:
+        assert stem_ro(w) == e, (w, stem_ro(w), e)
 
 
 def test_lowercase_matches_go_per_rune():
