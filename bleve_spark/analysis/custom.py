@@ -187,7 +187,132 @@ def _mk_token_filter(cfg: dict, token_maps: dict):
         return CamelCaseFilter()
     if t == "asciifolding":
         return AsciiFoldingFilter()
+    if t == "hierarchy":
+        # token/hierarchy/hierarchy.go:68-76 config keys
+        from bleve_spark.analysis.extras import HierarchyFilter
+
+        return HierarchyFilter(
+            cfg["delimiter"],
+            int(cfg.get("max_levels", 1 << 30)),
+            bool(cfg.get("split_input", True)),
+        )
+    f = builtin_token_filter(t)
+    if f is not None:
+        return f
     raise ValueError(f"unknown token filter type: {t!r}")
+
+
+def builtin_token_filter(name: str):
+    """Resolve a reference-registered token-filter NAME (the fixed
+    components a mapping references without config: stop_xx language
+    lists, stemmer_xx, normalize_xx, elision_xx, cjk_bigram/width,
+    hierarchy, ...) to a component instance; None if unknown.
+
+    Name inventory from the reference registry (`const ...Name =` in
+    analysis/**): tests/test_registry_parity.py asserts this covers
+    the reference's public token-filter names minus the documented
+    exclusions (the de/es/fr/it *snowball* stemmer variants and
+    stemmer_fr_min — the analyzers ship the light stemmers the
+    reference wires by default)."""
+    from bleve_spark.analysis import lang as L
+    from bleve_spark.analysis import lang_data as LD
+    from bleve_spark.analysis import lang_more as LM
+    from bleve_spark.analysis import lang_tables as T
+    from bleve_spark.analysis import snowball as sb
+    from bleve_spark.analysis import stopwords as sw
+    from bleve_spark.analysis.extras import EnglishPluralStemmerFilter
+    from bleve_spark.analysis.filters import StopFilter as SF
+
+    if name.startswith("stop_"):
+        code = name[5:].upper()
+        for mod, attr in ((T, f"STOP_WORDS_{code}"),
+                          (LD, _LANG_LONG.get(code, "")),
+                          (sw, _LANG_LONG.get(code, ""))):
+            if attr and hasattr(mod, attr):
+                return SF(getattr(mod, attr))
+        return None
+    if name == "stemmer_porter":
+        return PorterFilter()
+    if name == "stemmer_en_plural":
+        return EnglishPluralStemmerFilter()
+    m = _SNOWBALL_NAME.match(name)
+    if m and hasattr(sb, f"stem_{m.group(1)}"):
+        return SnowballStemmerFilter(getattr(sb, f"stem_{m.group(1)}"))
+    light = {
+        "stemmer_es_light": L.SpanishLightStemmerFilter,
+        "stemmer_fr_light": L.FrenchLightStemmerFilter,
+        "stemmer_de_light": L.GermanLightStemmerFilter,
+        "stemmer_it_light": L.ItalianLightStemmerFilter,
+        "stemmer_pt_light": L.PortugueseLightStemmerFilter,
+        "stemmer_ar": L.ArabicStemmerFilter,
+        "stemmer_hi": LM.HindiStemmerFilter,
+        "stemmer_ckb": LM.SoraniStemmerFilter,
+        "stemmer_hr": LM.CroatianStemmerFilter,
+        "normalize_ar": L.ArabicNormalizeFilter,
+        "normalize_de": L.GermanNormalizeFilter,
+        "normalize_es": L.SpanishNormalizeFilter,
+        "normalize_fa": LM.PersianNormalizeFilter,
+        "normalize_hi": LM.HindiNormalizeFilter,
+        "normalize_in": LM.IndicNormalizeFilter,
+        "normalize_ckb": LM.SoraniNormalizeFilter,
+        "hr_suffix_transformation_filter":
+            LM.CroatianSuffixTransformFilter,
+        # cjk_width / cjk_bigram are composed into the cjk analyzer's
+        # tokenizer (CJKBigramTokenizer) — not resolvable standalone;
+        # hierarchy is config-typed (needs a delimiter), resolved in
+        # _mk_token_filter
+    }
+    if name in light:
+        return light[name]()
+    if name == "stemmer_pl":
+        from bleve_spark.analysis.stempel import stem_pl
+
+        return SnowballStemmerFilter(stem_pl)
+    if name.startswith("elision_"):
+        arts = _ARTICLES.get(name[8:])
+        if arts is not None:
+            return ElisionFilter(arts)
+    return None
+
+
+import re as _re
+
+_SNOWBALL_NAME = _re.compile(r"^stemmer_(\w\w)_snowball$")
+_LANG_LONG = {
+    "EN": "ENGLISH_STOP_WORDS", "AR": "ARABIC_STOP_WORDS",
+    "FR": "FRENCH_STOP_WORDS",
+    "ES": "SPANISH_STOP_WORDS", "DE": "GERMAN_STOP_WORDS",
+    "IT": "ITALIAN_STOP_WORDS", "PT": "PORTUGUESE_STOP_WORDS",
+    "RU": "RUSSIAN_STOP_WORDS", "NL": "DUTCH_STOP_WORDS",
+    "SV": "SWEDISH_STOP_WORDS", "DA": "DANISH_STOP_WORDS",
+    "NO": "NORWEGIAN_STOP_WORDS", "FI": "FINNISH_STOP_WORDS",
+}
+
+
+def _articles():
+    from bleve_spark.analysis import lang as L
+
+    out = {}
+    for code, attr in (("fr", "FRENCH_ARTICLES"),
+                       ("it", "ITALIAN_ARTICLES"),
+                       ("ca", "CATALAN_ARTICLES"),
+                       ("ga", "IRISH_ARTICLES")):
+        for mod in (L,):
+            if hasattr(mod, attr):
+                out[code] = getattr(mod, attr)
+    try:
+        from bleve_spark.analysis import lang_tables as T
+
+        for code, attr in (("ca", "ARTICLES_CA"), ("ga", "ARTICLES_GA"),
+                           ("fr", "ARTICLES_FR"), ("it", "ARTICLES_IT")):
+            if code not in out and hasattr(T, attr):
+                out[code] = getattr(T, attr)
+    except ImportError:
+        pass
+    return out
+
+
+_ARTICLES = _articles()
 
 
 def _mk_analyzer(name: str, cfg: dict, char_filters: dict,

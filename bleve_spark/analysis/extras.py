@@ -213,3 +213,43 @@ class ZeroWidthNonJoinerCharFilter(RegexpCharFilter):
 
     def __init__(self):
         super().__init__("‌", " ")
+
+
+# English s-stemmer — analysis/lang/en/plural_stemmer.go ("stemmer_en_
+# plural"): strips plural s/es/ies with the Go port's exception lists.
+_OES_KEEP_E = ("shoes", "canoes", "oboes")
+_CHES_KEEP_E = ("cliches", "avalanches", "mustaches", "moustaches",
+                "quiches", "headaches", "heartaches", "porsches",
+                "tranches", "caches")
+
+
+def stem_en_plural(word: str) -> str:
+    w = word.lower()
+    n = len(w)
+    if n < 3 or w[-1] != "s":
+        return w
+    c = w[-2]
+    if c in "us":
+        return w
+    if c == "e":
+        if n > 4 and w[-3] == "i":          # spies -> spy, but pies -> pie
+            return w[:-3] + "y"
+        if n > 3:
+            if n > 4 and w[-3] == "x":      # boxes -> box, axes -> axe
+                return w[:-2]
+            if w[-3] == "o":                # foes -> fo; shoes -> shoe
+                return w[:-1] if w.endswith(_OES_KEEP_E) else w[:-2]
+            if n > 4 and w[-4] == "s" and w[-3] in "hs":
+                return w[:-2]               # dishes/dresses
+            if n > 4 and w[-4] == "c" and w[-3] == "h":
+                return (w[:-1] if w.endswith(_CHES_KEEP_E)
+                        else w[:-2])        # snitches; cliches -> cliche
+    return w[:-1]
+
+
+class EnglishPluralStemmerFilter(TokenFilter):
+    def apply_terms(self, terms):
+        return [stem_en_plural(t) for t in terms]
+
+    def _one(self, term):
+        return (stem_en_plural(term),)

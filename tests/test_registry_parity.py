@@ -1,0 +1,139 @@
+"""Registry name parity vs the reference.
+
+The reference registers every analysis component under a public name
+(`const ...Name = "..."` across analysis/**, datetime/**, highlight/**).
+These tests freeze that inventory and assert the repo resolves each
+name — analyzers via the analyzer REGISTRY, token filters via
+custom.builtin_token_filter / the config-typed factory, tokenizers and
+char filters via the custom-analysis factories — minus the documented
+exclusions listed per test.
+"""
+
+import pytest
+
+from bleve_spark.analysis.analyzers import get_analyzer
+from bleve_spark.analysis.custom import (
+    _mk_char_filter,
+    _mk_token_filter,
+    _mk_tokenizer,
+    builtin_token_filter,
+)
+
+# analysis/lang/*/analyzer_*.go + analyzer/{standard,simple,keyword,web}
+REF_ANALYZERS = (
+    "standard simple keyword web en ar bg ca cjk ckb cs da de el es eu "
+    "fa fi fr ga gl hi hr hu hy id it nl no pl pt ro ru sv tr".split()
+)
+
+# fixed-name token filters (registered without config)
+REF_NAMED_TOKEN_FILTERS = (
+    "stop_ar stop_bg stop_ca stop_ckb stop_cs stop_da stop_de stop_el "
+    "stop_en stop_es stop_eu stop_fa stop_fi stop_fr stop_ga stop_gl "
+    "stop_hi stop_hr stop_hu stop_hy stop_id stop_it stop_nl stop_no "
+    "stop_pl stop_pt stop_ro stop_ru stop_sv stop_tr "
+    "stemmer_ar stemmer_ckb stemmer_hi stemmer_hr stemmer_pl "
+    "stemmer_porter stemmer_en_plural "
+    "stemmer_da_snowball stemmer_fi_snowball stemmer_hu_snowball "
+    "stemmer_nl_snowball stemmer_no_snowball stemmer_ro_snowball "
+    "stemmer_ru_snowball stemmer_sv_snowball stemmer_tr_snowball "
+    "stemmer_de_light stemmer_es_light stemmer_fr_light "
+    "stemmer_it_light stemmer_pt_light "
+    "normalize_ar normalize_ckb normalize_de normalize_es normalize_fa "
+    "normalize_hi normalize_in hr_suffix_transformation_filter "
+    "elision_ca elision_fr elision_ga elision_it".split()
+)
+
+# documented exclusions (reference names the repo deliberately does
+# not resolve):
+# - stemmer_{de,es,fr,it}_snowball + stemmer_fr_min: the reference's
+#   default language pipelines wire the LIGHT stemmers (ported); the
+#   alternate full-snowball variants for these four languages are not.
+# - stemmer_en_snowball: porter2; stemmer_porter (porter1) is what
+#   analyzer_en wires.
+# - cjk_width / cjk_bigram: composed into the cjk analyzer's tokenizer.
+REF_EXCLUDED = (
+    "stemmer_de_snowball stemmer_es_snowball stemmer_fr_snowball "
+    "stemmer_it_snowball stemmer_fr_min stemmer_en_snowball "
+    "cjk_width cjk_bigram".split()
+)
+
+# config-typed token filter types
+REF_CONFIG_TOKEN_FILTERS = [
+    {"type": "to_lower"},
+    {"type": "apostrophe"},
+    {"type": "camelCase"},
+    {"type": "unique"},
+    {"type": "reverse"},
+    {"type": "possessive_en"},
+    {"type": "asciifolding"},
+    {"type": "stop_tokens"},
+    {"type": "length", "min": 2, "max": 10},
+    {"type": "truncate_token", "length": 5},
+    {"type": "ngram", "min": 2, "max": 3},
+    {"type": "edge_ngram", "min": 2, "max": 3},
+    {"type": "shingle", "min": 2, "max": 2},
+    {"type": "normalize_unicode", "form": "nfc"},
+    {"type": "hierarchy", "delimiter": "/"},
+    {"type": "stemmer_snowball", "language": "russian"},
+]
+
+REF_TOKENIZERS = ["unicode", "letter", "whitespace", "single", "web",
+                  {"type": "regexp", "regexp": r"\w+"},
+                  {"type": "exception", "exceptions": [r"\d+"],
+                   "tokenizer": "unicode"}]
+
+REF_CHAR_FILTERS = [{"type": "html"},
+                    {"type": "regexp", "regexp": "x", "replace": "y"},
+                    {"type": "zero_width_spaces"}]
+
+
+@pytest.mark.parametrize("name", REF_ANALYZERS)
+def test_reference_analyzer_names_resolve(name):
+    assert get_analyzer(name) is not None
+
+
+@pytest.mark.parametrize("name", REF_NAMED_TOKEN_FILTERS)
+def test_reference_named_token_filters_resolve(name):
+    assert builtin_token_filter(name) is not None, name
+
+
+@pytest.mark.parametrize("cfg", REF_CONFIG_TOKEN_FILTERS,
+                         ids=lambda c: c["type"])
+def test_reference_config_token_filters_resolve(cfg):
+    assert _mk_token_filter(dict(cfg), {}) is not None
+
+
+@pytest.mark.parametrize("cfg", REF_TOKENIZERS,
+                         ids=lambda c: c if isinstance(c, str)
+                         else c["type"])
+def test_reference_tokenizers_resolve(cfg):
+    if isinstance(cfg, str):
+        cfg = {"type": cfg}
+    assert _mk_tokenizer(dict(cfg), {}) is not None
+
+
+@pytest.mark.parametrize("cfg", REF_CHAR_FILTERS,
+                         ids=lambda c: c["type"])
+def test_reference_char_filters_resolve(cfg):
+    assert _mk_char_filter(dict(cfg)) is not None
+
+
+def test_exclusions_actually_unresolved():
+    """The exclusion list stays honest: if one of these becomes
+    resolvable, move it out of REF_EXCLUDED."""
+    for name in REF_EXCLUDED:
+        assert builtin_token_filter(name) is None, (
+            f"{name} now resolves — remove it from REF_EXCLUDED"
+        )
+
+
+def test_named_filters_produce_tokens():
+    """Spot-check semantics, not just construction."""
+    f = builtin_token_filter("stemmer_en_plural")
+    assert f.apply_terms(["dresses", "spies"]) == ["dress", "spy"]
+    f = builtin_token_filter("stop_en")
+    assert f.apply_terms(["the", "dog"]) == ["dog"]
+    f = builtin_token_filter("stemmer_ru_snowball")
+    assert f.apply_terms(["книги"]) == ["книг"]
+    f = builtin_token_filter("elision_fr")
+    assert f.apply_terms(["l'avion"]) == ["avion"]
