@@ -1294,6 +1294,52 @@ ORDER BY score DESC, doc_id LIMIT 20"""
 _M31 = 2147483647
 
 
+_NESTED_ORACLE = """
+WITH depts(doc_id, d, name, budget) AS (VALUES
+  ('doc1', 0, 'engineering', 2000000.0), ('doc1', 1, 'sales', 300000.0),
+  ('doc2', 0, 'marketing', 800000.0), ('doc2', 1, 'engineering', 800000.0),
+  ('doc3', 0, 'hr', 800000.0), ('doc3', 1, 'engineering', 200000.0)),
+emps(doc_id, d, name, role) AS (VALUES
+  ('doc1', 0, 'alice', 'engineer'), ('doc1', 0, 'bob', 'manager'),
+  ('doc1', 1, 'eve', 'salesperson'), ('doc1', 1, 'mallory', 'manager'),
+  ('doc2', 0, 'eve', 'marketer'), ('doc2', 0, 'david', 'manager'),
+  ('doc2', 1, 'frank', 'manager'), ('doc2', 1, 'grace', 'engineer'),
+  ('doc3', 0, 'eve', 'manager'), ('doc3', 0, 'frank', 'hr'),
+  ('doc3', 1, 'heidi', 'support engineer'), ('doc3', 1, 'ivan', 'manager')),
+projs(doc_id, d, title, status) AS (VALUES
+  ('doc1', 0, 'project x', 'ongoing'), ('doc1', 0, 'project y', 'completed'),
+  ('doc1', 1, 'project a', 'completed'), ('doc1', 1, 'project b', 'ongoing'),
+  ('doc2', 0, 'project z', 'ongoing'), ('doc2', 0, 'project w', 'planned'),
+  ('doc2', 1, 'project alpha', 'completed'),
+  ('doc2', 1, 'project beta', 'ongoing'),
+  ('doc3', 0, 'project beta', 'completed'),
+  ('doc3', 0, 'project b', 'ongoing'),
+  ('doc3', 1, 'project helpdesk', 'ongoing'),
+  ('doc3', 1, 'project faq', 'completed')),
+locs(doc_id, l, city, country) AS (VALUES
+  ('doc1', 0, 'athens', 'greece'), ('doc1', 1, 'berlin', 'usa'),
+  ('doc2', 0, 'athens', 'usa'), ('doc2', 1, 'london', 'uk'),
+  ('doc3', 0, 'edinburgh', 'uk'), ('doc3', 1, 'london', 'canada')),
+roots(doc_id) AS (VALUES ('doc1'), ('doc2'), ('doc3'))
+SELECT 't1_same_dept' AS "case", doc_id FROM roots r
+WHERE EXISTS (SELECT 1 FROM depts dp WHERE dp.doc_id = r.doc_id
+              AND dp.name = 'engineering' AND dp.budget >= 800000.0)
+UNION ALL
+SELECT 't2_emp_proj_same_dept', doc_id FROM roots r
+WHERE EXISTS (SELECT 1 FROM depts dp WHERE dp.doc_id = r.doc_id
+  AND EXISTS (SELECT 1 FROM emps e WHERE e.doc_id = dp.doc_id
+              AND e.d = dp.d AND e.name = 'eve')
+  AND EXISTS (SELECT 1 FROM projs p WHERE p.doc_id = dp.doc_id
+              AND p.d = dp.d AND p.status = 'completed'))
+UNION ALL
+SELECT 't3_same_location', doc_id FROM roots r
+WHERE EXISTS (SELECT 1 FROM locs lo WHERE lo.doc_id = r.doc_id
+              AND lo.city = 'athens' AND lo.country = 'usa')
+  AND EXISTS (SELECT 1 FROM depts dp WHERE dp.doc_id = r.doc_id
+              AND dp.name = 'engineering')
+ORDER BY 1, 2"""
+
+
 def _minhash_pairs_sql(num_hashes=64, bands=16, thresh=0.5) -> str:
     import numpy as np
 
@@ -2282,6 +2328,155 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             {"field": "source", "term": "src"},
         )
 
+    def q_mapping_nested_array(spark, sf):
+        """nested: true sub-documents through the mapping layer
+        (mapping/document.go:489-507 nested child documents,
+        search_conjunction_nested.go joins at the common nested
+        ancestor, collector/topn.go folds children into the root).
+        Five conjunction scenarios from the reference's
+        search_nested_test.go corpus; rows are (case, doc_id) — the
+        oracle recomputes the same-element/-ancestor joins from the
+        identical literal data with UNNEST + EXISTS."""
+        from pyspark.sql import Row
+
+        from bleve_spark.index.mapping import (
+            IndexMapping,
+            index_with_mapping,
+        )
+        from bleve_spark.search.searcher import search_df
+
+        key = (spark.sparkContext.applicationId, "nested-companies")
+        if key not in _INDEX_CACHE:
+            def dept(name, budget, emps, projs):
+                return Row(
+                    name=name, budget=budget,
+                    employees=[Row(name=n, role=r) for n, r in emps],
+                    projects=[Row(title=t, status=s) for t, s in projs],
+                )
+
+            rows = [
+                Row(doc_id="doc1", company=Row(
+                    id="c1", name="TechCorp",
+                    departments=[
+                        dept("Engineering", 2000000.0,
+                             [("Alice", "Engineer"), ("Bob", "Manager")],
+                             [("Project X", "ongoing"),
+                              ("Project Y", "completed")]),
+                        dept("Sales", 300000.0,
+                             [("Eve", "Salesperson"),
+                              ("Mallory", "Manager")],
+                             [("Project A", "completed"),
+                              ("Project B", "ongoing")]),
+                    ],
+                    locations=[Row(city="Athens", country="Greece"),
+                               Row(city="Berlin", country="USA")],
+                )),
+                Row(doc_id="doc2", company=Row(
+                    id="c2", name="BizInc",
+                    departments=[
+                        dept("Marketing", 800000.0,
+                             [("Eve", "Marketer"), ("David", "Manager")],
+                             [("Project Z", "ongoing"),
+                              ("Project W", "planned")]),
+                        dept("Engineering", 800000.0,
+                             [("Frank", "Manager"), ("Grace", "Engineer")],
+                             [("Project Alpha", "completed"),
+                              ("Project Beta", "ongoing")]),
+                    ],
+                    locations=[Row(city="Athens", country="USA"),
+                               Row(city="London", country="UK")],
+                )),
+                Row(doc_id="doc3", company=Row(
+                    id="c3", name="WebSolutions",
+                    departments=[
+                        dept("HR", 800000.0,
+                             [("Eve", "Manager"), ("Frank", "HR")],
+                             [("Project Beta", "completed"),
+                              ("Project B", "ongoing")]),
+                        dept("Engineering", 200000.0,
+                             [("Heidi", "Support Engineer"),
+                              ("Ivan", "Manager")],
+                             [("Project Helpdesk", "ongoing"),
+                              ("Project FAQ", "completed")]),
+                    ],
+                    locations=[Row(city="Edinburgh", country="UK"),
+                               Row(city="London", country="Canada")],
+                )),
+            ]
+            im = IndexMapping.from_dict({"default_mapping": {
+                "properties": {"company": {"properties": {
+                    "id": {"fields": [{"type": "text"}]},
+                    "name": {"fields": [{"type": "text"}]},
+                    "departments": {
+                        "nested": True,
+                        "properties": {
+                            "name": {"fields": [{"type": "text"}]},
+                            "budget": {"fields": [{"type": "number"}]},
+                            "employees": {"nested": True, "properties": {
+                                "name": {"fields": [{"type": "text"}]},
+                                "role": {"fields": [{"type": "text"}]},
+                            }},
+                            "projects": {"nested": True, "properties": {
+                                "title": {"fields": [{"type": "text"}]},
+                                "status": {"fields": [{"type": "text"}]},
+                            }},
+                        },
+                    },
+                    "locations": {"nested": True, "properties": {
+                        "city": {"fields": [{"type": "text"}]},
+                        "country": {"fields": [{"type": "text"}]},
+                    }},
+                }}}}})
+            # 3-row corpus: one partition, or every scan of the
+            # 6-frame nested union schedules default-parallelism
+            # empty tasks per frame
+            _INDEX_CACHE[key] = index_with_mapping(
+                spark.createDataFrame(rows).coalesce(1), ["doc_id"],
+                im, persist=True,
+            )
+        idx = _INDEX_CACHE[key]
+
+        def m(field, text):
+            return {"field": "company.departments." + field
+                    if not field.startswith(("company.", "_"))
+                    else field, "match": text}
+
+        # the deeper grouped-conjunction shapes (reference tests
+        # 5a/5b, 6a/6b) are pytest-covered in
+        # tests/test_nested_documents.py; the gate keeps the three
+        # one-join-layer scenarios so the per-round correctness run
+        # isn't dominated by stage-scheduling overhead of a very deep
+        # tiny-data plan
+        cases = {
+            "t1_same_dept": {"conjuncts": [
+                m("name", "Engineering"),
+                {"field": "company.departments.budget",
+                 "min": 800000.0},
+            ]},
+            "t2_emp_proj_same_dept": {"conjuncts": [
+                m("employees.name", "Eve"),
+                m("projects.status", "completed"),
+            ]},
+            "t3_same_location": {"conjuncts": [
+                {"conjuncts": [
+                    {"field": "company.locations.country",
+                     "match": "USA"},
+                    {"field": "company.locations.city",
+                     "match": "Athens"},
+                ]},
+                m("name", "Engineering"),
+            ]},
+        }
+        rows_out = []
+        for label, q in cases.items():
+            for r in search_df(idx, q, size=10, sort=["_id"]).collect():
+                rows_out.append((label, r["doc_id"]))
+        # eagerly materialized: the engine ran above; re-collections by
+        # the harness shouldn't re-execute the deep tiny-data DAG
+        return spark.createDataFrame(
+            rows_out, "case string, doc_id string"
+        )
+
     def q_knn_request(spark, sf):
         """SearchRequest.KNN over a MAPPED vector field
         (search_knn.go:460-530): one dot-product clause (vec 0's
@@ -3161,6 +3356,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .cast("double").alias("hist0"),
         )
 
+    def multimodal_png_decode(spark, sf):
+        """REAL PNG decode end-to-end (functions/png.py: stdlib zlib
+        inflate + per-row unfilter, all five filter types exercised
+        via key%5 at encode time): payloads are genuine PNGs of a
+        deterministic raster, decoded inside the Arrow batch stage,
+        then the standard image kernels run on the decoded pixels.
+        Oracle: frozen VALUES recomputed from the same closed-form
+        raster at freeze time."""
+        from bleve_spark.functions.multimodal import (
+            extract_features,
+            synthesize_png_media_df,
+        )
+
+        df = spark.read.parquet(f"{sf}/documents.parquet")
+        media = synthesize_png_media_df(
+            spark, df.where("doc_id % 3 = 0 AND doc_id < 30"), "doc_id"
+        )
+        feats = extract_features(media)
+        return feats.select(
+            "key",
+            F.round(F.element_at("feature", 1), 6)
+            .cast("double").alias("mean_r"),
+            F.round(F.element_at("feature", 7), 6)
+            .cast("double").alias("luma_mean"),
+            F.round(F.element_at("feature", 8), 6)
+            .cast("double").alias("edge_density"),
+            F.round(F.element_at("feature", 9), 6)
+            .cast("double").alias("hist0"),
+        )
+
     q.update(
         {
             "q_term_bm25": q_term_bm25,
@@ -3208,6 +3433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_mapping_typed_term": q_mapping_typed_term,
             "q_mapping_array_tags": q_mapping_array_tags,
             "q_mapping_custom_ngram": q_mapping_custom_ngram,
+            "q_mapping_nested_array": q_mapping_nested_array,
             "q_knn_request": q_knn_request,
             "q_mapping_geo_bbox": q_mapping_geo_bbox,
             "q_ip_range": q_ip_range,
@@ -3267,6 +3493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_profile": text_profile,
             "multimodal_features": multimodal_features,
             "multimodal_image_stats": multimodal_image_stats,
+            "multimodal_png_decode": multimodal_png_decode,
             "stream_sessionize": stream_sessionize,
             "q_fields_locations": q_fields_locations,
             "q_score_none": q_score_none,
@@ -3400,6 +3627,7 @@ def oracle_sql() -> dict[str, str]:
         "q_mapping_typed_term": _sql_mapping_typed(),
         "q_mapping_array_tags": _sql_mapping_tags(),
         "q_mapping_custom_ngram": _sql_mapping_custom_ngram(),
+        "q_mapping_nested_array": _NESTED_ORACLE,
         "q_knn_request": _sql_knn_request(),
         # same deterministic synthetic coordinates as q_geo_bbox, but
         # reached through the mapping layer's geopoint flattening
@@ -3577,6 +3805,18 @@ WITH e AS (
 SELECT CAST(s.user_id AS VARCHAR) AS key, session_start, session_end,
        n_events
 FROM s JOIN m USING (user_id) WHERE island < last_island""",
+        "multimodal_png_decode": """SELECT key, CAST(mean_r AS DOUBLE) AS mean_r, CAST(luma_mean AS DOUBLE) AS luma_mean, CAST(edge_density AS DOUBLE) AS edge_density, CAST(hist0 AS DOUBLE) AS hist0 FROM (VALUES
+  (0, 0.313726, 0.336098, 0.015543, 0.077148),
+  (3, 0.443137, 0.46551, 0.015543, 0.0),
+  (6, 0.572549, 0.594922, 0.015543, 0.0),
+  (9, 0.696569, 0.70746, 0.023083, 0.003906),
+  (12, 0.6875, 0.666315, 0.04196, 0.117188),
+  (15, 0.547794, 0.521246, 0.043083, 0.210938),
+  (18, 0.4, 0.375035, 0.043186, 0.212891),
+  (21, 0.286275, 0.28428, 0.028257, 0.18457),
+  (24, 0.345098, 0.367471, 0.015543, 0.042969),
+  (27, 0.47451, 0.496882, 0.015543, 0.0)
+) AS v(key, mean_r, luma_mean, edge_density, hist0)""",
         "multimodal_image_stats": """SELECT key, CAST(mean_r AS DOUBLE) AS mean_r, CAST(luma_mean AS DOUBLE) AS luma_mean, CAST(edge_density AS DOUBLE) AS edge_density, CAST(hist0 AS DOUBLE) AS hist0 FROM (VALUES
   (0, 0.521569, 0.521569, 0.047899, 0.0),
   (3, 0.471201, 0.471201, 0.09173, 0.0),

@@ -34,22 +34,31 @@ _open = builtins.open  # `open` below shadows the builtin in this module
 
 class Batch:
     """index.go:35-80 Batch: buffered index/delete ops applied
-    atomically by :meth:`Index.batch`."""
+    atomically by :meth:`Index.batch`. One ops map, LAST op per id
+    wins (the reference's IndexOps map: Index sets data, Delete sets
+    nil) — index-then-delete of the same id deletes it."""
 
     def __init__(self):
-        self._index: dict[str, dict] = {}
-        self._delete: list[str] = []
+        self._ops: dict[str, dict | None] = {}  # None = delete
 
     def index(self, id: str, data: dict) -> None:
         if not id:
             raise ValueError("batch: empty document id")
-        self._index[str(id)] = data
+        self._ops[str(id)] = data
 
     def delete(self, id: str) -> None:
-        self._delete.append(str(id))
+        self._ops[str(id)] = None
+
+    @property
+    def _index(self) -> dict:
+        return {i: d for i, d in self._ops.items() if d is not None}
+
+    @property
+    def _delete(self) -> list:
+        return [i for i, d in self._ops.items() if d is None]
 
     def __len__(self) -> int:
-        return len(self._index) + len(self._delete)
+        return len(self._ops)
 
 
 def new(path: str, mapping: IndexMapping | dict | None = None,
@@ -171,7 +180,7 @@ class Index:
     def batch(self, b: Batch) -> None:
         """index_impl.go:422 Batch."""
         self._check_open()
-        ids = list(b._index) + b._delete
+        ids = list(b._ops)
         if not ids:
             return
         gen = self._next_gen()
@@ -180,10 +189,11 @@ class Index:
         ).write.mode("append").parquet(
             os.path.join(self.path, "deletes")
         )
-        if b._index:
+        to_index = b._index
+        if to_index:
             rows = [
                 json.dumps({**data, _ID: i, "_gen": gen})
-                for i, data in b._index.items()
+                for i, data in to_index.items()
             ]
             df = self._spark.read.json(
                 self._spark.sparkContext.parallelize(rows)
@@ -254,14 +264,20 @@ class Index:
             }
         if req.get("sort") or req.get("search_after") \
                 or req.get("search_before"):
+            from bleve_spark.search.searcher import compile_query
+
             rows = search_df(
                 idx, req["query"], size=size, from_=from_,
                 sort=req.get("sort"),
                 search_after=req.get("search_after"),
                 search_before=req.get("search_before"),
             ).collect()
+            # true match total (the collected page is capped at
+            # from+size and includes skipped rows) — same contract as
+            # the default branch / the reference's SearchResult.Total
+            total = compile_query(idx, req["query"]).count()
             return {
-                "total_hits": len(rows),
+                "total_hits": total,
                 "hits": [
                     {
                         "id": r[_ID],

@@ -67,14 +67,61 @@ def synthesize_media_df(spark, df: DataFrame, key_col: str) -> DataFrame:
     return df.select(key_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def synthesize_png_media_df(spark, df: DataFrame,
+                            key_col: str) -> DataFrame:
+    """Media rows whose payloads are REAL PNGs (functions/png.py
+    encoder): a deterministic (24, 16, 3) raster derived from the key
+    — img[y, x, c] = (3x + 5y + 7c + 11·key) mod 256 — encoded with
+    filter type key mod 5, so the decode path exercises every PNG
+    filter. Downstream feature extraction genuinely decodes these."""
+    from bleve_spark.functions.png import png_encode
+
+    def gen(batches):
+        for pdf in batches:
+            keys = pdf[key_col].astype("int64")
+            payloads = []
+            for k in keys:
+                k = int(k)
+                y, x, c = np.meshgrid(
+                    np.arange(24), np.arange(16), np.arange(3),
+                    indexing="ij",
+                )
+                img = ((3 * x + 5 * y + 7 * c + 11 * k) % 256).astype(
+                    np.uint8
+                )
+                payloads.append(png_encode(img, k % 5))
+            yield pd.DataFrame({
+                "key": keys,
+                "media_type": ["image"] * len(keys),
+                "payload": payloads,
+                "width": [16] * len(keys),
+                "height": [24] * len(keys),
+                "duration_ms": [0] * len(keys),
+            })
+
+    return df.select(key_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """DECODE SEAM — real JPEG/PNG decoding requires an imaging
-    library (PIL / cv2), not present in this container; swap the body
-    for ``np.asarray(Image.open(io.BytesIO(payload)))`` in production.
-    Until then the payload deterministically expands into a full
-    (height, width, 3) uint8 raster (tiled sha256 stream), so every
-    DOWNSTREAM kernel (resize, stats, edge density, frame sampling)
-    operates on real image-shaped data."""
+    """Image decode: PNG payloads decode FOR REAL through the
+    pure-stdlib codec (functions/png.py — zlib inflate + per-row
+    unfilter, color types 0/2/4/6), normalized to an (H, W, 3) uint8
+    raster. Non-PNG payloads (JPEG etc. would need PIL/cv2, absent in
+    this container — remaining DECODE SEAM) deterministically expand
+    into a full-shape raster (tiled sha256 stream) so every DOWNSTREAM
+    kernel still operates on image-shaped data."""
+    from bleve_spark.functions.png import is_png, png_decode
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and is_png(payload):
+        img = png_decode(payload)
+        c = img.shape[2]
+        if c == 1:
+            return np.repeat(img, 3, axis=2)
+        if c == 2:  # gray + alpha: drop alpha, spread gray
+            return np.repeat(img[:, :, :1], 3, axis=2)
+        if c == 4:  # RGBA: drop alpha
+            return np.ascontiguousarray(img[:, :, :3])
+        return img
     h = max(int(height) or 8, 1)
     w = max(int(width) or 8, 1)
     need = h * w * 3

@@ -91,6 +91,14 @@ class IndexedTable:
     # snapshot_index_thes.go); fields opt in via synonym_collections
     thesaurus: DataFrame = None
     synonym_collections: dict = None  # field → collection name
+    # nested sub-documents (index_with_mapping): field → tuple of
+    # nested ancestor paths; root_key_cols = key_cols minus the
+    # _nested_ctx component. None/absent on flat indexes.
+    nested_chains: dict = None
+    root_key_cols: list = None
+    # composite field membership (`_all` → member fields): needed by
+    # locations/highlight retrieval — a composite has no source column
+    composite_fields: dict = None
     _persisted: list = dc_field(default_factory=list)
     # driver-side dictionary cache: None = not tried, False = too big
     _dict_map: object = dc_field(default=None, repr=False)
@@ -105,10 +113,16 @@ class IndexedTable:
         return self.source.sparkSession
 
     def doc_id_col(self) -> F.Column:
-        """External _id: key cols joined by ':' (docID = conv_id:turn_idx)."""
-        return F.concat_ws(
-            ":", *[F.col(k).cast("string") for k in self.key_cols]
-        )
+        """External _id: key cols joined by ':' (docID = conv_id:turn_idx).
+        On nested indexes the root rows carry an EMPTY `_nested_ctx`
+        segment, skipped here so root ids match the flat form."""
+        parts = []
+        for k in self.key_cols:
+            c = F.col(k).cast("string")
+            if k == "_nested_ctx":
+                c = F.when(c != "", c)
+            parts.append(c)
+        return F.concat_ws(":", *parts)
 
     # dictionaries up to this many terms are cached driver-side (one
     # collect, then every compile is a dict lookup — no per-query job);
@@ -638,6 +652,7 @@ def index_table(
         synonyms=synonyms,
         thesaurus=thesaurus,
         synonym_collections=synonym_collections,
+        composite_fields=dict(composite_fields or {}),
     )
     if persist:
         idx.postings = idx.postings.persist()

@@ -38,11 +38,19 @@ mapping/analysis.go) compiles through
 :mod:`bleve_spark.analysis.custom`; custom analyzer names shadow
 built-ins like the registry cache.
 
-Unsupported (documented): ``nested: true`` sub-documents
-(mapping/document.go:48 — separate child documents with their own ids)
-and dynamic mapping over MapType columns with unknown runtime keys
-(explicitly-mapped keys work; bleve can enumerate JSON object keys per
-row, a static plan cannot).
+``nested: true`` sub-documents (mapping/document.go:48,489-507) are
+supported (r4): each nested array<struct> path explodes into CHILD
+ROWS keyed by the parent keys + a `_nested_ctx` string
+("path:idx[/path2:idx2…]") — the Spark twin of the reference's nested
+child documents; conjunctions join at the deepest common nested
+ancestor (search/searcher/search_conjunction_nested.go) and hits fold
+children into the root (search/collector/topn.go descAdder). Limits:
+nested inside per-type mappings is not supported, and the nested path
+is in-memory index_table only (not the at-rest segment layout).
+
+Unsupported (documented): dynamic mapping over MapType columns with
+unknown runtime keys (explicitly-mapped keys work; bleve can enumerate
+JSON object keys per row, a static plan cannot).
 """
 
 from __future__ import annotations
@@ -109,6 +117,7 @@ class DocumentMapping:
 
     enabled: bool = True
     dynamic: bool = True
+    nested: bool = False
     properties: dict = dc_field(default_factory=dict)
     fields: list = dc_field(default_factory=list)
     default_analyzer: str = ""
@@ -119,6 +128,7 @@ class DocumentMapping:
         return cls(
             enabled=d.get("enabled", True),
             dynamic=d.get("dynamic", True),
+            nested=d.get("nested", False),
             properties={
                 k: DocumentMapping.from_dict(v)
                 for k, v in (d.get("properties") or {}).items()
@@ -337,6 +347,10 @@ class PlannedField:
     synonym_source: str = ""
     dims: int = 0
     similarity: str = ""
+    # nested sub-document context: full dotted paths of the nested
+    # ancestors this field lives under, root-first (empty for root
+    # fields) — document.go:489-507 nested child documents
+    nested_chain: tuple = ()
 
 
 _NUMERIC = (
@@ -374,10 +388,24 @@ _COMPAT = {
 
 def plan_document_mapping(
     schema: T.StructType, dm: DocumentMapping, im: IndexMapping,
+    nested_out: list | None = None,
+    base_col: str | None = None,
 ) -> list[PlannedField]:
     """Compile one DocumentMapping against a Spark schema: the static
     twin of walkDocument/processProperty
-    (mapping/document.go:425-520, 533-711)."""
+    (mapping/document.go:425-520, 533-711).
+
+    When ``nested_out`` is given, ``nested: true`` sub-mappings over
+    array<struct> columns are NOT flattened here; instead
+    ``(relative_path, sub_mapping, element_struct)`` triples are
+    appended to it, and map_table explodes them into child rows
+    (document.go:489-507: one nested child document per object array
+    element). Without the accumulator the legacy behavior (flatten as
+    same-name array instances) is preserved.
+
+    ``base_col`` builds every value expression against a struct COLUMN
+    of that name instead of top-level columns (used for the exploded
+    nested element)."""
     plans: list[PlannedField] = []
 
     def resolve_analyzer(fm: FieldMapping | None, path: list[str]) -> str:
@@ -427,7 +455,7 @@ def plan_document_mapping(
                         resolve_analyzer(fm, path) if ftype == "text"
                         else ("keyword" if ftype == "IP" else None)
                     ),
-                    expr=_path_expr(path),
+                    expr=_path_expr(path, base_col),
                     is_array=is_array,
                     store=fm.store,
                     index=fm.index,
@@ -453,7 +481,7 @@ def plan_document_mapping(
                     resolve_analyzer(None, path) if kind == "text"
                     else None
                 ),
-                expr=_path_expr(path),
+                expr=_path_expr(path, base_col),
                 is_array=is_array,
                 store=im.store_dynamic,
                 index=True,
@@ -473,7 +501,7 @@ def plan_document_mapping(
             PATH_SEP.join([*path[:-1], fm.name]) if fm.name
             else PATH_SEP.join(path)
         )
-        e = _path_expr(path)
+        e = _path_expr(path, base_col)
         if isinstance(dtype, T.StructType):
             members = {f.name.lower(): f.name for f in dtype.fields}
             lon_k = next(
@@ -524,7 +552,7 @@ def plan_document_mapping(
         )
         plans.append(PlannedField(
             name=name, ftype="geoshape", analyzer=None,
-            expr=_path_expr(path), store=fm.store, index=fm.index,
+            expr=_path_expr(path, base_col), store=fm.store, index=fm.index,
             include_in_all=fm.include_in_all,
             src_kind="geoshape", src_dtype=dtype,
         ))
@@ -544,7 +572,7 @@ def plan_document_mapping(
         )
         plans.append(PlannedField(
             name=name, ftype="vector", analyzer=None,
-            expr=_path_expr(path), store=fm.store, index=fm.index,
+            expr=_path_expr(path, base_col), store=fm.store, index=fm.index,
             include_in_all=False,
             src_kind="vector", src_dtype=dtype,
             dims=fm.dims, similarity=fm.similarity or "l2_norm",
@@ -572,9 +600,16 @@ def plan_document_mapping(
             elif isinstance(dt, T.ArrayType):
                 el = dt.elementType
                 if isinstance(el, T.StructType):
-                    # array<struct>: Spark auto-projects a.b over the
-                    # array, so sub-leaves surface as array<atomic>
-                    walk(el, p, True)
+                    if (nested_out is not None and exact is not None
+                            and exact.nested):
+                        # nested: true → child documents, exploded by
+                        # map_table; nothing planned at this level
+                        nested_out.append((p, exact, el))
+                    else:
+                        # array<struct>: Spark auto-projects a.b over
+                        # the array, sub-leaves surface as
+                        # array<atomic>
+                        walk(el, p, True)
                 else:
                     leaf(p, el, True)
             else:
@@ -608,8 +643,11 @@ def _geojson_parts_udf():
     return parse
 
 
-def _path_expr(path: list[str]) -> F.Column:
-    col = F.col(path[0])
+def _path_expr(path: list[str], base: str | None = None) -> F.Column:
+    if base is not None:
+        col = F.col(base)[path[0]]
+    else:
+        col = F.col(path[0])
     for p in path[1:]:
         col = col[p]
     return col
@@ -645,7 +683,9 @@ def map_table(
     keys = set(key_cols or [])
 
     def plan_for(dm: DocumentMapping):
-        plans = plan_document_mapping(schema, dm, im)
+        nested0: list = []
+        plans = plan_document_mapping(schema, dm, im,
+                                      nested_out=nested0)
         # key columns are the _id analogue: bleve's document DATA
         # never contains the external id (index.go:46-65 — id and data
         # are separate arguments), and _id is excluded from _all
@@ -654,34 +694,95 @@ def map_table(
         for p in plans:
             if p.name == "_id":
                 p.include_in_all = False
-        return plans
+        return plans, nested0
 
     routed: list[tuple[F.Column | None, list[PlannedField], DocumentMapping]]
+    nested_specs: list = []
     if im.type_mapping and im.type_field in names:
         routed = []
         declared = sorted(im.type_mapping)
         for t in declared:
+            plans_t, nested_t = plan_for(im.type_mapping[t])
+            if nested_t:
+                raise NotImplementedError(
+                    "nested: true inside a per-type document mapping "
+                    "is not supported (use the default mapping)"
+                )
             routed.append((
-                F.col(im.type_field) == t,
-                plan_for(im.type_mapping[t]),
-                im.type_mapping[t],
+                F.col(im.type_field) == t, plans_t, im.type_mapping[t],
             ))
         default_dm = im.mapping_for_type(im.default_type)
+        plans_d, nested_d = plan_for(default_dm)
+        if nested_d:
+            raise NotImplementedError(
+                "nested: true combined with type_mapping routes is "
+                "not supported"
+            )
         routed.append((
             ~F.col(im.type_field).isin(declared)
             | F.col(im.type_field).isNull(),
-            plan_for(default_dm),
+            plans_d,
             default_dm,
         ))
     else:
         dm = im.mapping_for_type(im.default_type)
-        routed = [(None, plan_for(dm), dm)]
+        plans0, nested_specs = plan_for(dm)
+        routed = [(None, plans0, dm)]
+
+    # ---- nested: true sub-documents (document.go:489-507) --------
+    # each nested array<struct> path becomes a CHILD-ROW group: one
+    # row per array element, carrying the element's planned fields
+    # (full dotted names), the parent keys, and a `_nested_ctx`
+    # string "path:idx[/path2:idx2...]" — the Spark twin of the
+    # reference's nested child documents ("%s_$%s_$%d" ids). Children
+    # are REAL docs in the index (the reference adds them to the
+    # segment; global stats count them), keyed by
+    # key_cols + _nested_ctx.
+    key_list = list(key_cols or [])
+    child_groups: list = []  # (chain, plans, frame, ctx_expr)
+
+    def expand_nested(parent_frame, parent_ctx, base, prefix, chain,
+                      specs):
+        for rel_path, sub_dm, el_struct in specs:
+            full = ((prefix + PATH_SEP) if prefix else "") \
+                + PATH_SEP.join(rel_path)
+            pos, el = f"_pos{len(chain)}", f"_el{len(chain)}"
+            arr = _path_expr(rel_path, base)
+            ex_cols = [F.col(k) for k in key_list]
+            if parent_ctx is not None:
+                ex_cols.append(parent_ctx.alias("_pctx"))
+            ex = parent_frame.select(
+                *ex_cols, F.posexplode(arr).alias(pos, el)
+            )
+            seg = F.concat(F.lit(full + ":"),
+                           F.col(pos).cast("string"))
+            ctx = (F.concat(F.col("_pctx"), F.lit("/"), seg)
+                   if parent_ctx is not None else seg)
+            deeper: list = []
+            cplans = plan_document_mapping(
+                el_struct, sub_dm, im, nested_out=deeper, base_col=el
+            )
+            new_chain = chain + (full,)
+            for p in cplans:
+                p.name = full + PATH_SEP + p.name
+                p.nested_chain = new_chain
+            child_groups.append((new_chain, cplans, ex, ctx))
+            expand_nested(ex, ctx, el, full, new_chain, deeper)
+
+    if nested_specs:
+        if not key_list:
+            raise ValueError(
+                "nested mappings require explicit key_cols (the "
+                "parent doc identity)"
+            )
+        expand_nested(df, None, None, "", (), nested_specs)
 
     # shared flat schema = union of every route's planned fields
     all_names: list[str] = []
     by_name: dict[str, PlannedField] = {}
-    for _, plans, _dm in routed:
-        for p in plans:
+    for plan_group in ([plans for _, plans, _dm in routed]
+                       + [plans for _, plans, _f, _c in child_groups]):
+        for p in plan_group:
             if p.name not in by_name:
                 by_name[p.name] = p
                 all_names.append(p.name)
@@ -701,8 +802,9 @@ def map_table(
     # stay a long — it is also the doc identity); routes disagreeing
     # on the dtype widen to double
     num_dtype: dict[str, T.DataType] = {}
-    for _, plans, _dm in routed:
-        for p in plans:
+    for plan_group in ([plans for _, plans, _dm in routed]
+                       + [plans for _, plans, _f, _c in child_groups]):
+        for p in plan_group:
             if p.ftype != "number" or p.src_dtype is None:
                 continue
             prev = num_dtype.get(p.name)
@@ -712,14 +814,10 @@ def map_table(
                 num_dtype[p.name] = T.DoubleType()
     date_parsers = im.custom_date_parsers()
     frames = []
-    for cond, plans, _dm in routed:
-        if not _dm.enabled:
-            # a disabled document mapping indexes NOTHING for its type
-            # — the doc never reaches the index (MapDocument only
-            # walks when docMapping.Enabled, mapping/index.go:385-397)
-            continue
-        have = {p.name: p for p in plans}
-        cols = [F.col(k) for k in passthrough]
+    def mk_value_cols(have: dict) -> list:
+        """Per-field value/null columns for one frame, shared between
+        the per-type route frames and the nested child frames."""
+        cols: list = []
         for n in all_names:
             p = have.get(n)
             if by_name[n].ftype == "vector":
@@ -809,10 +907,38 @@ def map_table(
                         else:
                             e = F.try_to_timestamp(s)
                 cols.append(e.alias(n))
+        return cols
+
+    has_nested = bool(child_groups)
+    src_dtypes = {f.name: f.dataType for f in schema.fields}
+    for cond, plans, _dm in routed:
+        if not _dm.enabled:
+            # a disabled document mapping indexes NOTHING for its type
+            # — the doc never reaches the index (MapDocument only
+            # walks when docMapping.Enabled, mapping/index.go:385-397)
+            continue
+        cols = [F.col(k) for k in passthrough]
+        cols += mk_value_cols({p.name: p for p in plans})
+        if has_nested:
+            # root rows: EMPTY context (not null — joins and groupBys
+            # on the key column must keep root rows)
+            cols.append(F.lit("").alias("_nested_ctx"))
         # route filter runs BEFORE the projection: the type column may
         # itself be re-planned (or absent) in this route's flat shape
         part = (df.where(cond) if cond is not None else df).select(*cols)
         frames.append(part)
+    for _chain, cplans, frame, ctx in child_groups:
+        # child rows: real key columns, NULL for every other
+        # passthrough source column, the group's own planned fields,
+        # and the nested context key
+        cols = [
+            (F.col(k) if k in keys
+             else F.lit(None).cast(src_dtypes[k]).alias(k))
+            for k in passthrough
+        ]
+        cols += mk_value_cols({p.name: p for p in cplans})
+        cols.append(ctx.alias("_nested_ctx"))
+        frames.append(frame.select(*cols))
     if not frames:
         raise ValueError(
             "every document mapping is disabled — nothing to index"
@@ -874,6 +1000,24 @@ def index_with_mapping(
     from bleve_spark.index.build import index_table
 
     flat, fields, composite, planned = map_table(df, im, key_cols)
+    # nested sub-documents: children are real docs keyed by
+    # key_cols + _nested_ctx (the reference's "%s_$%s_$%d" child ids);
+    # the searcher joins conjunctions on ctx prefixes and folds child
+    # scores into the root hit (collector/topn.go descAdder)
+    nested_chains = {
+        n: p.nested_chain for n, p in planned.items() if p.nested_chain
+    }
+    root_keys = list(key_cols)
+    if nested_chains:
+        key_cols = [*key_cols, "_nested_ctx"]
+        # the nested flat table is a UNION of the root frame plus one
+        # exploded frame per nested path; every plan the index derives
+        # from it re-pays Catalyst analysis of that whole subtree
+        # (measured ~10s per derived plan on a 4-level mapping). Cut
+        # the lineage once: the flat table IS the index's document
+        # store — materializing it here is what the at-rest segment
+        # write does anyway.
+        flat = flat.localCheckpoint(eager=True)
     # synonym sources (mapping/synonym.go + analysis.synonym_sources):
     # a field's synonym_source names a {collection, analyzer} config;
     # the collection keys the index-time thesaurus the caller passes
@@ -911,4 +1055,7 @@ def index_with_mapping(
         idx.field_analyzers[cname] = custom.get(an, an)
     idx.mapping = im
     idx.planned_fields = planned
+    if nested_chains:
+        idx.nested_chains = nested_chains
+        idx.root_key_cols = root_keys
     return idx

@@ -59,9 +59,15 @@ class _DeleteLookup:
     reference merger loading one segment's obsolete bitmap at a time.
     """
 
-    def __init__(self, inline: dict | None, path: str | None):
+    def __init__(self, inline: dict | None, path: str | None,
+                 expected_counts: dict | None = None):
         self.inline = inline
         self.path = path
+        # seg → expected deletion count (driver-computed): a missing
+        # compact parquet dir for a segment that HAS deletions means
+        # the path isn't visible on this executor — keeping the doc
+        # silently would corrupt the remap offsets, so fail loudly
+        self.expected = expected_counts or {}
         self._cache: dict = {}
 
     def get(self, seg: int):
@@ -72,6 +78,14 @@ class _DeleteLookup:
 
             d = os.path.join(self.path, f"seg={seg}")
             if not os.path.isdir(d):
+                if self.expected.get(seg, 0) > 0:
+                    raise FileNotFoundError(
+                        f"delete set for segment {seg} expected "
+                        f"({self.expected[seg]} deletions) but "
+                        f"{d!r} is not visible on this executor — "
+                        "the merge destination must be on shared "
+                        "storage"
+                    )
                 self._cache[seg] = None
             else:
                 t = pq.read_table(d, columns=["local"])
@@ -166,7 +180,8 @@ def merge_level(
                 .write.partitionBy("seg")
                 .mode("overwrite").parquet(dels_path)
             )
-            lookup = _DeleteLookup(None, dels_path)
+            lookup = _DeleteLookup(None, dels_path,
+                                   expected_counts=del_counts)
     bc_deleted = spark.sparkContext.broadcast(lookup)
 
     def _live(m):

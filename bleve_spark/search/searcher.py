@@ -62,6 +62,14 @@ class TooManyClausesError(Exception):
         )
 
 
+def qcol(name: str) -> Column:
+    """Exact source-column reference: backtick-quoted so dotted flat
+    names from the mapping layer ('company.departments.budget') don't
+    resolve as nested struct paths when the original struct column is
+    also present."""
+    return F.col("`" + name.replace("`", "") + "`")
+
+
 def _check_clauses(field: str, count: int) -> None:
     if 0 < DisjunctionMaxClauseCount < count:
         raise TooManyClausesError(field, count)
@@ -87,6 +95,19 @@ class _Ctx:
             .withColumn("score", F.lit(0.0))
         )
 
+    # -- nested sub-documents (index_with_mapping nested:true) --
+    @property
+    def nested(self) -> dict | None:
+        return getattr(self.idx, "nested_chains", None) or None
+
+    @property
+    def root_keys(self) -> list:
+        return getattr(self.idx, "root_key_cols", None) or self.keys
+
+    def chain_of(self, field: str) -> tuple:
+        nc = self.nested
+        return nc.get(field, ()) if nc else ()
+
 
 # ---------------------------------------------------------------- nodes --
 
@@ -103,6 +124,12 @@ class SNode:
         """Unscored doc-key set (for must_not / filter clauses)."""
         return self.compile(ctx).select(*ctx.keys)
 
+    def fields_used(self) -> set:
+        """Field names this subtree matches against — drives the
+        nested-conjunction join depth (the reference computes
+        NestedDepth over the query's FieldSet)."""
+        return set()
+
 
 @dataclass
 class STerm(SNode):
@@ -111,6 +138,9 @@ class STerm(SNode):
     boost: float
     doc_freq: int
     boost_multiplier: float = 1.0  # fuzzy edit-distance 1/(1+d)
+
+    def fields_used(self) -> set:
+        return {self.field}
 
     def _idf(self, ctx: _Ctx) -> float:
         avg = (
@@ -164,10 +194,15 @@ class STerm(SNode):
 @dataclass
 class SConst(SNode):
     """Constant scorer (scorer_constant.go:53): match_all / ids / ranges.
-    ``df_fn(ctx)`` yields the matching doc keys."""
+    ``df_fn(ctx)`` yields the matching doc keys. ``field`` (when the
+    predicate targets one) feeds nested-conjunction depth."""
 
     df_fn: object
     boost: float
+    field: str | None = None
+
+    def fields_used(self) -> set:
+        return {self.field} if self.field else set()
 
     def weight(self, ctx: _Ctx) -> float:
         return self.boost * self.boost
@@ -208,6 +243,77 @@ class SConj(SNode):
     def weight(self, ctx):
         return sum(c.weight(ctx) for c in self.children)
 
+    def fields_used(self) -> set:
+        out: set = set()
+        for c in self.children:
+            out |= c.fields_used()
+        return out
+
+    def _join_depth(self, ctx) -> int:
+        """Nested join depth = length of the common prefix of the
+        nested chains of every field this conjunction touches — the
+        reference's NestedDepth(FieldSet) common value feeding
+        NewNestedConjunctionSearcher's joinIdx."""
+        chains = [ctx.chain_of(f) for f in self.fields_used()]
+        if not chains:
+            return 0
+        d = 0
+        for level in zip(*chains):
+            if len(set(level)) != 1:
+                break
+            d += 1
+        return d
+
+    @staticmethod
+    def _trunc_ctx(d: int):
+        """Truncate a `_nested_ctx` string to its first ``d``
+        segments (the ancestor at the join depth); '' at d=0."""
+        if d == 0:
+            return F.lit("")
+        return F.when(
+            F.col("_nested_ctx") == "", F.lit("")
+        ).otherwise(
+            F.concat_ws(
+                "/", F.slice(F.split("_nested_ctx", "/"), 1, d)
+            )
+        )
+
+    def _compile_nested(self, ctx, scored: bool):
+        """Conjunction over a nested index: legs match CHILD docs;
+        they join on the ancestor context at the common nested depth
+        (search_conjunction_nested.go merge-join on ancestorFromRoot
+        (joinIdx)). A leg may match several children of one ancestor,
+        so the gate is count(DISTINCT leg) = n, and the score is the
+        sum of every contributing child score (the collector later
+        folds ancestors into the root the same way)."""
+        d = self._join_depth(ctx)
+        rk = ctx.root_keys
+        parts = []
+        for i, c in enumerate(self.children):
+            df = c.compile(ctx) if scored else (
+                c.docs(ctx).withColumn("score", F.lit(0.0))
+            )
+            parts.append(df.withColumn("_leg", F.lit(i)))
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        n = len(self.children)
+        out = (
+            u.select(
+                *rk, self._trunc_ctx(d).alias("_nested_ctx"),
+                "score", "_leg",
+            )
+            .groupBy(*rk, "_nested_ctx")
+            .agg(
+                F.sum("score").alias("score"),
+                F.count_distinct(F.col("_leg")).alias("_cnt"),
+            )
+            .where(F.col("_cnt") == n)
+            .drop("_cnt")
+        )
+        cols = [*ctx.keys, "score"] if scored else list(ctx.keys)
+        return out.select(*cols)
+
     def compile(self, ctx):
         if not self.children:
             return ctx.empty()
@@ -215,6 +321,8 @@ class SConj(SNode):
             return ctx.empty()
         if len(self.children) == 1:
             return self.children[0].compile(ctx)
+        if ctx.nested:
+            return self._compile_nested(ctx, scored=True)
         u = _union_children(ctx, [c.compile(ctx) for c in self.children])
         n = len(self.children)
         return (
@@ -234,6 +342,8 @@ class SConj(SNode):
             return ctx.empty().select(*ctx.keys)
         if len(self.children) == 1:
             return self.children[0].docs(ctx)
+        if ctx.nested:
+            return self._compile_nested(ctx, scored=False)
         u = _union_children(ctx, [c.docs(ctx) for c in self.children])
         n = len(self.children)
         return (
@@ -255,6 +365,12 @@ class SDisj(SNode):
 
     def weight(self, ctx):
         return sum(c.weight(ctx) for c in self.children)
+
+    def fields_used(self) -> set:
+        out: set = set()
+        for c in self.children:
+            out |= c.fields_used()
+        return out
 
     def _bulk_terms(self) -> list[STerm] | None:
         """All-STerm same-field disjunctions compile to one broadcast
@@ -415,6 +531,9 @@ class SDictDisj(SNode):
     boost: float = 1.0
     _stats: object = dc_field(default=None, repr=False)
 
+    def fields_used(self) -> set:
+        return {self.field}
+
     def _agg(self, ctx) -> tuple[int, float]:
         if self._stats is None:
             w = (
@@ -467,6 +586,13 @@ class SBool(SNode):
     should: SDisj | None = None
     must_not: SNode | None = None
     filter: SNode | None = None
+
+    def fields_used(self) -> set:
+        out: set = set()
+        for c in (self.must, self.should, self.must_not, self.filter):
+            if c is not None:
+                out |= c.fields_used()
+        return out
 
     def weight(self, ctx):
         w = 0.0
@@ -533,6 +659,9 @@ class SPhrase(SNode):
 
     slots: list[tuple[int, list[STerm]]] = dc_field(default_factory=list)
     slop: int = 0
+
+    def fields_used(self) -> set:
+        return {t.field for _, alts in self.slots for t in alts}
 
     def weight(self, ctx):
         return sum(
@@ -993,18 +1122,19 @@ class Compiler:
 
         def df_fn(ctx, q=q, f=f):
             src = ctx.idx.source
+            c = qcol(f)
             pred = F.lit(True)
             if q.min is not None:
                 pred = pred & (
-                    F.col(f) >= q.min if q.inclusive_min else F.col(f) > q.min
+                    c >= q.min if q.inclusive_min else c > q.min
                 )
             if q.max is not None:
                 pred = pred & (
-                    F.col(f) <= q.max if q.inclusive_max else F.col(f) < q.max
+                    c <= q.max if q.inclusive_max else c < q.max
                 )
             return src.where(pred)
 
-        return SConst(df_fn, q.boost)
+        return SConst(df_fn, q.boost, self._field(q))
 
     def _geo_cols(self, q) -> tuple[str, str]:
         f = self._field(q)
@@ -1023,7 +1153,7 @@ class Compiler:
                 )
             )
 
-        return SConst(df_fn, q.boost)
+        return SConst(df_fn, q.boost, self._field(q))
 
     def _r_GeoBoundingBoxQuery(self, q: Q.GeoBoundingBoxQuery) -> SNode:
         from bleve_spark.search.geo import bbox_pred
@@ -1039,7 +1169,7 @@ class Compiler:
                 )
             )
 
-        return SConst(df_fn, q.boost)
+        return SConst(df_fn, q.boost, self._field(q))
 
     def _r_GeoPolygonQuery(self, q: Q.GeoPolygonQuery) -> SNode:
         from bleve_spark.search.geo import polygon_pred
@@ -1051,7 +1181,7 @@ class Compiler:
                 polygon_pred(F.col(lat_c), F.col(lon_c), q.points)
             )
 
-        return SConst(df_fn, q.boost)
+        return SConst(df_fn, q.boost, self._field(q))
 
     def _r_GeoShapeQuery(self, q: Q.GeoShapeQuery) -> SNode:
         from bleve_spark.search.geo import shape_relation_pred
@@ -1130,7 +1260,7 @@ class Compiler:
                 )
             )
 
-        return SConst(df_fn, q.boost)
+        return SConst(df_fn, q.boost, self._field(q))
 
     def _r_CustomScoreQuery(self, q: Q.CustomScoreQuery) -> SNode:
         sub = self.resolve(q.sub)
@@ -1139,6 +1269,9 @@ class Compiler:
         class SCustom(SNode):
             def weight(self, ctx):
                 return sub.weight(ctx)
+
+            def fields_used(self):
+                return sub.fields_used()
 
             def compile(self, ctx):
                 df = sub.compile(ctx)
@@ -1194,7 +1327,7 @@ class Compiler:
                     h.isNotNull() & h.between(lo_hex, hi_hex)
                 )
 
-            return SConst(df_fn6, q.boost)
+            return SConst(df_fn6, q.boost, self._field(q))
 
         def df_fn(ctx, f=f, lo=lo, hi=hi):
             o = F.split(F.col(f), r"\.")
@@ -1206,7 +1339,7 @@ class Compiler:
             )
             return ctx.idx.source.where(as_int.between(lo, hi))
 
-        return SConst(df_fn, q.boost)
+        return SConst(df_fn, q.boost, self._field(q))
 
     def _r_DateRangeQuery(self, q: Q.DateRangeQuery) -> SNode:
         f = self._field(q)
@@ -1215,20 +1348,19 @@ class Compiler:
 
         def df_fn(ctx, q=q, f=f, start=start, end=end):
             src = ctx.idx.source
+            c = qcol(f)
             pred = F.lit(True)
             if start is not None:
                 pred = pred & (
-                    F.col(f) >= start
-                    if q.inclusive_start
-                    else F.col(f) > start
+                    c >= start if q.inclusive_start else c > start
                 )
             if end is not None:
                 pred = pred & (
-                    F.col(f) <= end if q.inclusive_end else F.col(f) < end
+                    c <= end if q.inclusive_end else c < end
                 )
             return src.where(pred)
 
-        return SConst(df_fn, q.boost)
+        return SConst(df_fn, q.boost, self._field(q))
 
     def _r_BoolFieldQuery(self, q: Q.BoolFieldQuery) -> SNode:
         f = self._field(q)
@@ -1328,7 +1460,21 @@ def compile_query(idx: IndexedTable, q: Q.Query | dict) -> DataFrame:
     if isinstance(node, _COMPOSITE):
         w = node.weight(ctx)
         ctx.qn = 1.0 / math.sqrt(w) if w > 0 else 1.0
-    return node.compile(ctx)
+    out = node.compile(ctx)
+    if ctx.nested:
+        # fold child-doc matches into their ROOT document, summing
+        # scores — the collector's descAdder (collector/topn.go:145:
+        # parent.Score += child.Score); hits are always roots
+        rk = ctx.root_keys
+        out = (
+            out.groupBy(*rk)
+            .agg(F.sum("score").alias("score"))
+            .select(
+                *rk, F.lit("").alias("_nested_ctx"), "score"
+            )
+            .select(*ctx.keys, "score")
+        )
+    return out
 
 
 def search_df(
@@ -1542,7 +1688,12 @@ def search(
         rows = rows[from_:]
         hits = [
             {
-                "id": ":".join(str(r[k]) for k in idx.key_cols),
+                # root hits on nested indexes carry an EMPTY
+                # _nested_ctx segment — skip it, like doc_id_col()
+                "id": ":".join(
+                    str(r[k]) for k in idx.key_cols
+                    if not (k == "_nested_ctx" and not r[k])
+                ),
                 "score": 0.0 if score == "none" else float(r["score"]),
             }
             for r in rows
@@ -1565,7 +1716,8 @@ def search(
             fetched = {
                 tuple(fr[k] for k in idx.key_cols): fr
                 for fr in idx.source.where(pred)
-                .select(*idx.key_cols, *want).collect()
+                .select(*[qcol(c) for c in (*idx.key_cols, *want)])
+                .collect()
             }
             for h, kt in zip(hits, key_tuples):
                 fr = fetched.get(kt)
@@ -1577,33 +1729,65 @@ def search(
 
             qq = Q.parse_query(q) if isinstance(q, dict) else q
             qf = getattr(qq, "field", None) or _default_field(idx)
+            # a COMPOSITE query field (`_all`) has no source column:
+            # locations come from its member fields, each analyzed
+            # with its own analyzer (the reference records locations
+            # per underlying field — field_composite.go Compose keeps
+            # member field names)
+            comp = getattr(idx, "composite_fields", None) or {}
+            if qf in idx.source.columns:
+                loc_fields = [qf]
+            else:
+                loc_fields = [
+                    f for f in comp.get(qf, [])
+                    if f in idx.source.columns
+                ]
             terms = _query_terms(idx, qq, qf)
-            an = get_analyzer(idx.field_analyzers.get(qf, "standard"))
             key_tuples = [
                 tuple(r[k] for k in idx.key_cols) for r in rows
             ]
-            pred = None
-            for kt in key_tuples:
-                one = F.lit(True)
-                for kcol, kval in zip(idx.key_cols, kt):
-                    one = one & (F.col(kcol) == F.lit(kval))
-                pred = one if pred is None else (pred | one)
-            texts = {
-                tuple(tr[k] for k in idx.key_cols): tr[qf]
-                for tr in idx.source.where(pred)
-                .select(*idx.key_cols, qf).collect()
-            }
+            if loc_fields and terms:
+                pred = None
+                for kt in key_tuples:
+                    one = F.lit(True)
+                    for kcol, kval in zip(idx.key_cols, kt):
+                        one = one & (F.col(kcol) == F.lit(kval))
+                    pred = one if pred is None else (pred | one)
+                texts = {
+                    tuple(tr[k] for k in idx.key_cols): tr
+                    for tr in idx.source.where(pred)
+                    .select(*[qcol(c) for c in
+                              (*idx.key_cols, *loc_fields)])
+                    .collect()
+                }
+            else:
+                texts = {}
             for h, kt in zip(hits, key_tuples):
-                locs: dict = {}
-                text = texts.get(kt)
-                if text is not None and terms:
-                    for t in an.analyze(str(text)):
-                        if t.term in terms:
-                            locs.setdefault(t.term, []).append(
-                                {"pos": t.pos, "start": t.start,
-                                 "end": t.end}
-                            )
-                h["locations"] = {qf: locs} if locs else {}
+                by_field: dict = {}
+                tr = texts.get(kt)
+                if tr is not None:
+                    for lf in loc_fields:
+                        an = get_analyzer(
+                            idx.field_analyzers.get(lf, "standard")
+                        )
+                        text = tr[lf]
+                        if text is None:
+                            continue
+                        vals = (
+                            text if isinstance(text, list) else [text]
+                        )
+                        locs: dict = {}
+                        for v in vals:
+                            for t in an.analyze(str(v)):
+                                if t.term in terms:
+                                    locs.setdefault(t.term, []).append(
+                                        {"pos": t.pos,
+                                         "start": t.start,
+                                         "end": t.end}
+                                    )
+                        if locs:
+                            by_field[lf] = locs
+                h["locations"] = by_field
         if explain and rows:
             from bleve_spark.search.explain import explain_hits
 

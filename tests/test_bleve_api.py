@@ -162,3 +162,41 @@ def test_multi_field_highlight(spark, idx_path):
     frags = res["hits"][0]["fragments"]
     assert set(frags) == {"title", "body"}
     assert "spark" in frags["title"][0] and "join" in frags["body"][0]
+
+
+def test_batch_last_op_wins(tmp_path, spark):
+    """index.go Batch ops map: index-then-delete of the same id inside
+    ONE batch deletes it; delete-then-index keeps it (last op wins)."""
+    import bleve_spark.bleve as bleve
+
+    idx = bleve.new(str(tmp_path / "b1"), None, spark=spark)
+    b = bleve.Batch()
+    b.index("a", {"text": "alpha"})
+    b.delete("a")
+    b.delete("b")
+    b.index("b", {"text": "beta"})
+    assert len(b) == 2
+    idx.batch(b)
+    assert idx.doc_count() == 1
+    assert idx.document("a") is None
+    assert idx.document("b") is not None
+    idx.close()
+
+
+def test_sort_branch_reports_true_total(tmp_path, spark):
+    """The sort/search_after branch reports the real match total, not
+    the collected page length."""
+    import bleve_spark.bleve as bleve
+
+    idx = bleve.new(str(tmp_path / "b2"), None, spark=spark)
+    b = bleve.Batch()
+    for i in range(7):
+        b.index(f"d{i}", {"text": "quick fox", "n": i})
+    idx.batch(b)
+    res = idx.search({
+        "query": {"field": "text", "match": "quick"},
+        "size": 2, "from": 1, "sort": ["_id"],
+    })
+    assert res["total_hits"] == 7
+    assert len(res["hits"]) == 2
+    idx.close()

@@ -1,0 +1,235 @@
+"""nested: true sub-documents — mirrors the reference's
+search_nested_test.go TestNestedConjunctionQuery (company /
+departments[] / employees[] / projects[] / locations[]): a conjunction
+binds at the deepest common nested ancestor of its fields
+(search_conjunction_nested.go joins on ancestorFromRoot(joinIdx)),
+and hits are ROOT documents with child scores folded in
+(collector/topn.go descAdder)."""
+
+import pytest
+from pyspark.sql import Row
+
+from bleve_spark.index.mapping import IndexMapping, index_with_mapping
+from bleve_spark.search.searcher import search_df
+
+MAPPING = {
+    "default_mapping": {
+        "properties": {
+            "company": {
+                "properties": {
+                    "id": {"fields": [{"type": "text"}]},
+                    "name": {"fields": [{"type": "text"}]},
+                    "departments": {
+                        "nested": True,
+                        "properties": {
+                            "name": {"fields": [{"type": "text"}]},
+                            "budget": {"fields": [{"type": "number"}]},
+                            "employees": {
+                                "nested": True,
+                                "properties": {
+                                    "name": {"fields": [{"type": "text"}]},
+                                    "role": {"fields": [{"type": "text"}]},
+                                },
+                            },
+                            "projects": {
+                                "nested": True,
+                                "properties": {
+                                    "title": {"fields": [{"type": "text"}]},
+                                    "status": {"fields": [{"type": "text"}]},
+                                },
+                            },
+                        },
+                    },
+                    "locations": {
+                        "nested": True,
+                        "properties": {
+                            "city": {"fields": [{"type": "text"}]},
+                            "country": {"fields": [{"type": "text"}]},
+                        },
+                    },
+                }
+            }
+        }
+    }
+}
+
+
+def _dept(name, budget, emps, projs):
+    return Row(
+        name=name, budget=budget,
+        employees=[Row(name=n, role=r) for n, r in emps],
+        projects=[Row(title=t, status=s) for t, s in projs],
+    )
+
+
+def _corpus(spark):
+    rows = [
+        Row(doc_id="doc1", company=Row(
+            id="c1", name="TechCorp",
+            departments=[
+                _dept("Engineering", 2000000.0,
+                      [("Alice", "Engineer"), ("Bob", "Manager")],
+                      [("Project X", "ongoing"),
+                       ("Project Y", "completed")]),
+                _dept("Sales", 300000.0,
+                      [("Eve", "Salesperson"), ("Mallory", "Manager")],
+                      [("Project A", "completed"),
+                       ("Project B", "ongoing")]),
+            ],
+            locations=[Row(city="Athens", country="Greece"),
+                       Row(city="Berlin", country="USA")],
+        )),
+        Row(doc_id="doc2", company=Row(
+            id="c2", name="BizInc",
+            departments=[
+                _dept("Marketing", 800000.0,
+                      [("Eve", "Marketer"), ("David", "Manager")],
+                      [("Project Z", "ongoing"),
+                       ("Project W", "planned")]),
+                _dept("Engineering", 800000.0,
+                      [("Frank", "Manager"), ("Grace", "Engineer")],
+                      [("Project Alpha", "completed"),
+                       ("Project Beta", "ongoing")]),
+            ],
+            locations=[Row(city="Athens", country="USA"),
+                       Row(city="London", country="UK")],
+        )),
+        Row(doc_id="doc3", company=Row(
+            id="c3", name="WebSolutions",
+            departments=[
+                _dept("HR", 800000.0,
+                      [("Eve", "Manager"), ("Frank", "HR")],
+                      [("Project Beta", "completed"),
+                       ("Project B", "ongoing")]),
+                _dept("Engineering", 200000.0,
+                      [("Heidi", "Support Engineer"), ("Ivan", "Manager")],
+                      [("Project Helpdesk", "ongoing"),
+                       ("Project FAQ", "completed")]),
+            ],
+            locations=[Row(city="Edinburgh", country="UK"),
+                       Row(city="London", country="Canada")],
+        )),
+    ]
+    return spark.createDataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def nidx(spark):
+    df = _corpus(spark)
+    im = IndexMapping.from_dict(MAPPING)
+    return index_with_mapping(df, ["doc_id"], im, persist=True)
+
+
+def _ids(nidx, q):
+    rows = search_df(nidx, q, size=10, sort=["_id"]).collect()
+    return [r["doc_id"] for r in rows]
+
+
+def _m(field, text):
+    return {"field": field, "match": text}
+
+
+def test_child_docs_are_real_docs(nidx):
+    # 3 roots + 6 departments + 12 employees + 12 projects + 6 locations
+    assert nidx.stats.doc_count == 39
+
+
+def test_conj_same_department(nidx):
+    # search_nested_test.go Test 1: Engineering AND budget >= 800000
+    # in the SAME department
+    q = {"conjuncts": [
+        _m("company.departments.name", "Engineering"),
+        {"field": "company.departments.budget", "min": 800000.0},
+    ]}
+    assert _ids(nidx, q) == ["doc1", "doc2"]
+
+
+def test_conj_emp_and_project_same_department(nidx):
+    # Test 2: employee Eve AND a completed project in her department
+    q = {"conjuncts": [
+        _m("company.departments.employees.name", "Eve"),
+        _m("company.departments.projects.status", "completed"),
+    ]}
+    assert _ids(nidx, q) == ["doc1", "doc3"]
+
+
+def test_conj_same_location(nidx):
+    # Test 3: located in Athens, USA (same location element) AND an
+    # Engineering department
+    q = {"conjuncts": [
+        {"conjuncts": [_m("company.locations.country", "USA"),
+                       _m("company.locations.city", "Athens")]},
+        _m("company.departments.name", "Engineering"),
+    ]}
+    assert _ids(nidx, q) == ["doc2"]
+
+
+def test_conj_nested_subgroup_budget(nidx):
+    # Test 4a/4b: Athens+USA AND (Engineering AND budget > 1M) → none;
+    # Athens+Greece version → doc1
+    loc_usa = {"conjuncts": [_m("company.locations.country", "USA"),
+                             _m("company.locations.city", "Athens")]}
+    dept = {"conjuncts": [
+        _m("company.departments.name", "Engineering"),
+        {"field": "company.departments.budget", "min": 1000000.0},
+    ]}
+    assert _ids(nidx, {"conjuncts": [loc_usa, dept]}) == []
+    loc_gr = {"conjuncts": [_m("company.locations.country", "Greece"),
+                            _m("company.locations.city", "Athens")]}
+    assert _ids(nidx, {"conjuncts": [loc_gr, dept]}) == ["doc1"]
+
+
+def test_conj_employee_and_project_groups(nidx):
+    # Test 5a/5b: (Frank AND Manager same employee) AND
+    # ("Project Beta" phrase AND status same project), joined at the
+    # department level
+    emp = {"conjuncts": [
+        _m("company.departments.employees.name", "Frank"),
+        _m("company.departments.employees.role", "Manager"),
+    ]}
+    proj_completed = {"conjuncts": [
+        {"field": "company.departments.projects.title",
+         "match_phrase": "Project Beta"},
+        _m("company.departments.projects.status", "completed"),
+    ]}
+    proj_ongoing = {"conjuncts": [
+        {"field": "company.departments.projects.title",
+         "match_phrase": "Project Beta"},
+        _m("company.departments.projects.status", "ongoing"),
+    ]}
+    assert _ids(nidx, {"conjuncts": [emp, proj_completed]}) == []
+    assert _ids(nidx, {"conjuncts": [emp, proj_ongoing]}) == ["doc2"]
+
+
+def test_conj_employee_and_location(nidx):
+    # Test 6a/6b: (Eve AND Manager same employee) AND (London+UK /
+    # London+Canada same location)
+    emp = {"conjuncts": [
+        _m("company.departments.employees.name", "Eve"),
+        _m("company.departments.employees.role", "Manager"),
+    ]}
+    loc_uk = {"conjuncts": [_m("company.locations.country", "UK"),
+                            _m("company.locations.city", "London")]}
+    loc_ca = {"conjuncts": [_m("company.locations.country", "Canada"),
+                            _m("company.locations.city", "London")]}
+    assert _ids(nidx, {"conjuncts": [emp, loc_uk]}) == []
+    assert _ids(nidx, {"conjuncts": [emp, loc_ca]}) == ["doc3"]
+
+
+def test_root_and_nested_field_conjunction(nidx):
+    # root-level field forces the join to the root context
+    q = {"conjuncts": [
+        _m("company.name", "TechCorp"),
+        _m("company.departments.employees.role", "Engineer"),
+    ]}
+    assert _ids(nidx, q) == ["doc1"]
+
+
+def test_hits_are_roots_with_clean_ids(nidx):
+    from bleve_spark.search.searcher import search
+
+    res = search(nidx, _m("company.departments.employees.name", "Eve"),
+                 size=10)
+    ids = sorted(h["id"] for h in res["hits"])
+    assert ids == ["doc1", "doc2", "doc3"]
+    assert all(h["score"] > 0 for h in res["hits"])

@@ -79,3 +79,32 @@ def test_ipv6_cidr_range(spark):
         idx, {"field": "addr", "cidr": "::ffff:10.0.0.0/104"}, size=10
     )["hits"]}
     assert got4 == {"4", "5"}
+
+
+def test_include_locations_composite_all(spark):
+    """Field-less query on a mapping-built index resolves to the
+    composite `_all`, which has NO source column: locations must come
+    from the member fields (keyed by member name), not from selecting
+    `_all` off the source (r3 raised UNRESOLVED_COLUMN here)."""
+    from bleve_spark.index.mapping import (
+        IndexMapping,
+        index_with_mapping,
+    )
+    from bleve_spark.search.searcher import search
+
+    df = spark.createDataFrame(
+        [(1, "quick brown fox", "lazy dog"),
+         (2, "quick dog", "fox den")],
+        "doc_id int, title string, body string",
+    )
+    im = IndexMapping.from_dict({"default_mapping": {"properties": {
+        "title": {"fields": [{"type": "text"}]},
+        "body": {"fields": [{"type": "text"}]},
+    }}})
+    idx = index_with_mapping(df, ["doc_id"], im, persist=True)
+    res = search(idx, {"match": "fox"}, size=5,
+                 include_locations=True)
+    assert res["total_hits"] == 2
+    by_id = {h["id"]: h["locations"] for h in res["hits"]}
+    assert "title" in by_id["1"] and "fox" in by_id["1"]["title"]
+    assert "body" in by_id["2"] and "fox" in by_id["2"]["body"]
