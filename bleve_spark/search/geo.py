@@ -229,7 +229,10 @@ def polygon_pred(
 # "doc shape RELATION query shape" with PLANAR lon/lat geometry — the
 # reference uses s2 geodesic edges; at the city-park scale of its
 # golden suite the two agree, and the divergence is documented here
-# rather than hidden. Polygon holes / multi* are out of scope v1.
+# rather than hidden. QUERY polygon holes are honored (r3: GeoJSON
+# ring nesting [outer, hole...] subtracts the holes); multi* query
+# shapes decompose member-wise below; DOC-side hole rings require the
+# parts engine (geoshape.py), which the mapping layer uses.
 
 
 def _pip_expr(x: Column, y: Column, qpts: list[tuple[float, float]]):

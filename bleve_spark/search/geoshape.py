@@ -8,9 +8,10 @@ to a LIST OF PARTS, each part one of four primitive kinds:
 
 point → 1 part; multipoint → one point part per coordinate;
 linestring/multilinestring → path parts; polygon/multipolygon → outer
-rings (holes out of scope, documented); envelope → its rectangle
-ring; circle → a center part + radius (meters); geometrycollection →
-the concatenation of its members' parts.
+rings plus hole rings (r3: a 4th struct field `holes`; a point inside
+a hole is outside the polygon); envelope → its rectangle ring; circle
+→ a center part + radius (meters); geometrycollection → the
+concatenation of its members' parts.
 
 Document storage: one column `<field>_parts`
 (array<struct<kind string, ring array<array<double>>, radius double>>)
@@ -20,9 +21,10 @@ semantics restated planar (equirectangular metric distances at city
 scale; haversine for point radii):
 
 * intersects: ∃ doc part, ∃ query part: parts intersect
-* within:     ∀ doc parts: ∃ query part containing it (union
-              approximated member-wise — a part straddling two query
-              members is not recognized; documented)
+* within:     ∀ doc parts: contained in the UNION of the query parts
+              (r3 exact polygon-union path: a doc part straddling two
+              adjacent query polygons is recognized via the native
+              union test; see q_geo_shape_union_within)
 * contains:   ∀ query parts: ∃ doc part containing it
 
 Verified against the reference's LARGEST golden suite
