@@ -3356,6 +3356,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .cast("double").alias("hist0"),
         )
 
+    def q_mapping_update(spark, sf):
+        """Live mapping-update validation + apply
+        (index_update.go:46-126 DeletedFields / compareMappings,
+        bleve_spark/index/update.py): a static mapping over
+        documents(text, source) is legally updated to DROP the
+        `source` field; the updated index stops matching source terms
+        while the text field keeps EXACT scores (per-field stats are
+        untouched). Rows: ('kept', doc_id, score) for the text term
+        query on the UPDATED index — the oracle computes the same
+        BM25 scores from the corpus; the deleted-field search
+        contributes zero rows by construction (a wrong apply would
+        change the row count)."""
+        from bleve_spark.index.mapping import (
+            IndexMapping,
+            index_with_mapping,
+        )
+        from bleve_spark.index.update import apply_index_update
+
+        def im(with_source):
+            props = {"text": {"fields": [
+                {"type": "text", "include_in_all": False}]}}
+            if with_source:
+                props["source"] = {"fields": [
+                    {"type": "text", "analyzer": "keyword",
+                     "include_in_all": False}]}
+            return IndexMapping.from_dict({
+                "index_dynamic": False, "store_dynamic": False,
+                "docvalues_dynamic": False,
+                "scoring_model": "bm25",
+                "default_mapping": {"dynamic": False,
+                                    "properties": props},
+            })
+
+        key = (spark.sparkContext.applicationId, "mapping-update", sf)
+        if key not in _INDEX_CACHE:
+            df = spark.read.parquet(f"{sf}/documents.parquet")
+            idx = index_with_mapping(df, ["doc_id"], im(True),
+                                     persist=True)
+            _INDEX_CACHE[key] = apply_index_update(idx, im(False))
+        upd = _INDEX_CACHE[key]
+        kept = _topk(upd, {"field": "text", "term": "spark"}).select(
+            F.lit("kept").alias("case"), "doc_id", "score"
+        )
+        deleted = _topk(
+            upd, {"field": "source", "term": "src3"}
+        ).select(F.lit("deleted").alias("case"), "doc_id", "score")
+        return kept.unionByName(deleted)
+
     def multimodal_png_decode(spark, sf):
         """REAL PNG decode end-to-end (functions/png.py: stdlib zlib
         inflate + per-row unfilter, all five filter types exercised
@@ -3434,6 +3482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_mapping_array_tags": q_mapping_array_tags,
             "q_mapping_custom_ngram": q_mapping_custom_ngram,
             "q_mapping_nested_array": q_mapping_nested_array,
+            "q_mapping_update": q_mapping_update,
             "q_knn_request": q_knn_request,
             "q_mapping_geo_bbox": q_mapping_geo_bbox,
             "q_ip_range": q_ip_range,
@@ -3628,6 +3677,10 @@ def oracle_sql() -> dict[str, str]:
         "q_mapping_array_tags": _sql_mapping_tags(),
         "q_mapping_custom_ngram": _sql_mapping_custom_ngram(),
         "q_mapping_nested_array": _NESTED_ORACLE,
+        "q_mapping_update": (
+            "SELECT 'kept' AS \"case\", doc_id, score FROM ("
+            + _sql_single_term("spark") + ")"
+        ),
         "q_knn_request": _sql_knn_request(),
         # same deterministic synthetic coordinates as q_geo_bbox, but
         # reached through the mapping layer's geopoint flattening
