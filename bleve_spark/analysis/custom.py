@@ -68,7 +68,10 @@ _TOKENIZERS = {
 _SNOWBALL_LANGS = {
     "danish": "da", "dutch": "nl", "finnish": "fi",
     "norwegian": "no", "russian": "ru", "swedish": "sv",
-    "english": "porter",
+    "hungarian": "hu", "romanian": "ro", "turkish": "tr",
+    # snowballstem's "english" is porter2 (snowball.py stem_en) —
+    # distinct from the porter1 filter the `en` analyzer wires
+    "english": "en",
 }
 
 
@@ -155,8 +158,6 @@ def _mk_token_filter(cfg: dict, token_maps: dict):
             raise ValueError(
                 f"snowball language {cfg['language']!r} not ported"
             )
-        if lang == "porter":
-            return PorterFilter()
         return SnowballStemmerFilter(getattr(sb, f"stem_{lang}"))
     if t == "elision":
         return ElisionFilter(token_maps[cfg["articles_token_map"]])
@@ -235,6 +236,8 @@ def builtin_token_filter(name: str):
         return PorterFilter()
     if name == "stemmer_en_plural":
         return EnglishPluralStemmerFilter()
+    if name == "stemmer_en_snowball":
+        return SnowballStemmerFilter(sb.stem_en)
     m = _SNOWBALL_NAME.match(name)
     if m and hasattr(sb, f"stem_{m.group(1)}"):
         return SnowballStemmerFilter(getattr(sb, f"stem_{m.group(1)}"))

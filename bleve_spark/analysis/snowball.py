@@ -1,8 +1,9 @@
 """Snowball stemmers, pure-Python ports of the PUBLISHED Snowball
 algorithms (snowballstem.org) for the languages whose reference
-analyzers use snowballstem (analysis/lang/{ru,nl,sv,da,no,fi,hu,tr}/
-stemmer_*.go wire SnowballStemmerName): russian, dutch, swedish,
-danish, norwegian, finnish, hungarian, turkish.
+analyzers use snowballstem (analysis/lang/*/stemmer_*.go wire
+SnowballStemmerName): russian, dutch, swedish, danish, norwegian,
+finnish, hungarian, romanian, turkish, and english (porter2 — the
+"stemmer_en_snowball" filter, distinct from porter1).
 
 Each ``stem_xx(word) -> str`` expects an already-lowercased token
 (the reference pipelines lowercase before stemming). Implementations
@@ -1243,3 +1244,172 @@ def stem_tr(word: str) -> str:
         if repl:
             word = word[:-1] + repl
     return word
+
+
+# ============================================================ ENGLISH (porter2)
+# The "english" Snowball algorithm (porter2,
+# snowballstem.org/algorithms/english/stemmer.html) — what the
+# reference registers as "stemmer_en_snowball"
+# (analysis/lang/en/stemmer_en_snowball.go). Distinct from the porter1
+# stemmer the default `en` analyzer wires (analysis/porter.py).
+
+_EN_VOWELS = "aeiouy"
+_EN_DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+_EN_LI = "cdeghkmnrt"
+_EN_EXCEPTIONS = {
+    "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+    "tying": "tie", "idly": "idl", "gently": "gentl", "ugly": "ugli",
+    "early": "earli", "only": "onli", "singly": "singl",
+    "sky": "sky", "news": "news", "howe": "howe", "atlas": "atlas",
+    "cosmos": "cosmos", "bias": "bias", "andes": "andes",
+}
+_EN_EXCEPTIONS2 = {
+    "inning", "outing", "canning", "herring", "earring", "proceed",
+    "exceed", "succeed",
+}
+_EN_STEP2 = [
+    ("ization", "ize"), ("ational", "ate"), ("fulness", "ful"),
+    ("ousness", "ous"), ("iveness", "ive"), ("tional", "tion"),
+    ("biliti", "ble"), ("lessli", "less"), ("entli", "ent"),
+    ("ation", "ate"), ("alism", "al"), ("aliti", "al"),
+    ("ousli", "ous"), ("iviti", "ive"), ("fulli", "ful"),
+    ("enci", "ence"), ("anci", "ance"), ("abli", "able"),
+    ("izer", "ize"), ("ator", "ate"), ("alli", "al"), ("bli", "ble"),
+]
+_EN_STEP3 = [
+    ("ational", "ate"), ("tional", "tion"), ("alize", "al"),
+    ("icate", "ic"), ("iciti", "ic"), ("ical", "ic"),
+    ("ful", ""), ("ness", ""),
+]
+_EN_STEP4 = (
+    "ement ance ence able ible ment ant ent ism ate iti ous ive ize "
+    "al er ic".split()
+)
+
+
+def _en_is_short_syllable(w: str, i: int) -> bool:
+    """Short syllable ending at index i (inclusive of the vowel at i):
+    (a) vowel at i, non-vowel at i+1 not in wxY, non-vowel at i-1; or
+    (b) i == 0 and vowel followed by non-vowel."""
+    if i < 0 or i >= len(w) or w[i] not in _EN_VOWELS:
+        return False
+    if i == 0:
+        return len(w) > 1 and w[1] not in _EN_VOWELS
+    return (
+        i + 1 < len(w)
+        and w[i + 1] not in _EN_VOWELS and w[i + 1] not in "wxY"
+        and w[i - 1] not in _EN_VOWELS
+    )
+
+
+def _en_ends_short_syllable(w: str) -> bool:
+    return _en_is_short_syllable(w, len(w) - 2)
+
+
+def stem_en(word: str) -> str:
+    if len(word) <= 2:
+        return word
+    if word.startswith("'"):
+        word = word[1:]
+    if word in _EN_EXCEPTIONS:
+        return _EN_EXCEPTIONS[word]
+    # mark consonant-y: initial y or y after vowel
+    chars = list(word)
+    if chars[0] == "y":
+        chars[0] = "Y"
+    for i in range(1, len(chars)):
+        if chars[i] == "y" and chars[i - 1] in _EN_VOWELS:
+            chars[i] = "Y"
+    word = "".join(chars)
+
+    # R1, with the gener-/commun-/arsen- prefix exception
+    r1 = None
+    for pre in ("gener", "commun", "arsen"):
+        if word.startswith(pre):
+            r1 = len(pre)
+            break
+    if r1 is None:
+        r1 = _r1_pos(word, _EN_VOWELS)
+    r2 = len(word)
+    for i in range(r1, len(word) - 1):
+        if word[i] in _EN_VOWELS and word[i + 1] not in _EN_VOWELS:
+            r2 = i + 2
+            break
+
+    # step 0: apostrophe suffixes
+    for s in ("'s'", "'s", "'"):
+        if word.endswith(s):
+            word = word[: -len(s)]
+            break
+    # step 1a
+    if word.endswith("sses"):
+        word = word[:-2]
+    elif word.endswith(("ied", "ies")):
+        word = word[:-3] + ("i" if len(word) > 4 else "ie")
+    elif word.endswith(("us", "ss")):
+        pass
+    elif word.endswith("s"):
+        if any(c in _EN_VOWELS for c in word[:-2]):
+            word = word[:-1]
+    if word in _EN_EXCEPTIONS2:
+        return word.replace("Y", "y")
+    # step 1b
+    s = _ends_in(word, 0, ("eedly", "ingly", "edly", "eed", "ing",
+                           "ed"))
+    if s in ("eed", "eedly"):
+        if len(word) - len(s) >= r1:
+            word = word[: -len(s)] + "ee"
+    elif s:
+        stem = word[: -len(s)]
+        if any(c in _EN_VOWELS for c in stem):
+            word = stem
+            if word.endswith(("at", "bl", "iz")):
+                word += "e"
+            elif word.endswith(_EN_DOUBLES):
+                word = word[:-1]
+            elif r1 >= len(word) and _en_ends_short_syllable(word):
+                word += "e"
+    # step 1c: y -> i after a consonant that is not the first letter
+    if (len(word) > 2 and word[-1] in "yY"
+            and word[-2] not in _EN_VOWELS):
+        word = word[:-1] + "i"
+    # step 2 (R1)
+    for suf, rep in _EN_STEP2:
+        if word.endswith(suf):
+            if len(word) - len(suf) >= r1:
+                word = word[: -len(suf)] + rep
+            break
+    else:
+        if word.endswith("ogi"):
+            if len(word) - 3 >= r1 and word[-4:-3] == "l":
+                word = word[:-1]
+        elif word.endswith("li"):
+            if len(word) - 2 >= r1 and word[-3:-2] in set(_EN_LI):
+                word = word[:-2]
+    # step 3 (R1; ative needs R2)
+    for suf, rep in _EN_STEP3:
+        if word.endswith(suf):
+            if len(word) - len(suf) >= r1:
+                word = word[: -len(suf)] + rep
+            break
+    else:
+        if word.endswith("ative") and len(word) - 5 >= r2:
+            word = word[:-5]
+    # step 4 (R2)
+    s = _ends_in(word, r2, _EN_STEP4)
+    if s:
+        word = word[: -len(s)]
+    elif word.endswith("ion") and len(word) - 3 >= r2 \
+            and word[-4:-3] in ("s", "t"):
+        word = word[:-3]
+    # step 5
+    if word.endswith("e"):
+        if len(word) - 1 >= r2 or (
+            len(word) - 1 >= r1
+            and not _en_ends_short_syllable(word[:-1])
+        ):
+            word = word[:-1]
+    elif word.endswith("l") and len(word) - 1 >= r2 \
+            and word[-2:-1] == "l":
+        word = word[:-1]
+    return word.replace("Y", "y")

@@ -33,9 +33,10 @@ REF_NAMED_TOKEN_FILTERS = (
     "stop_pl stop_pt stop_ro stop_ru stop_sv stop_tr "
     "stemmer_ar stemmer_ckb stemmer_hi stemmer_hr stemmer_pl "
     "stemmer_porter stemmer_en_plural "
-    "stemmer_da_snowball stemmer_fi_snowball stemmer_hu_snowball "
-    "stemmer_nl_snowball stemmer_no_snowball stemmer_ro_snowball "
-    "stemmer_ru_snowball stemmer_sv_snowball stemmer_tr_snowball "
+    "stemmer_da_snowball stemmer_en_snowball stemmer_fi_snowball "
+    "stemmer_hu_snowball stemmer_nl_snowball stemmer_no_snowball "
+    "stemmer_ro_snowball stemmer_ru_snowball stemmer_sv_snowball "
+    "stemmer_tr_snowball "
     "stemmer_de_light stemmer_es_light stemmer_fr_light "
     "stemmer_it_light stemmer_pt_light "
     "normalize_ar normalize_ckb normalize_de normalize_es normalize_fa "
@@ -48,12 +49,10 @@ REF_NAMED_TOKEN_FILTERS = (
 # - stemmer_{de,es,fr,it}_snowball + stemmer_fr_min: the reference's
 #   default language pipelines wire the LIGHT stemmers (ported); the
 #   alternate full-snowball variants for these four languages are not.
-# - stemmer_en_snowball: porter2; stemmer_porter (porter1) is what
-#   analyzer_en wires.
 # - cjk_width / cjk_bigram: composed into the cjk analyzer's tokenizer.
 REF_EXCLUDED = (
     "stemmer_de_snowball stemmer_es_snowball stemmer_fr_snowball "
-    "stemmer_it_snowball stemmer_fr_min stemmer_en_snowball "
+    "stemmer_it_snowball stemmer_fr_min "
     "cjk_width cjk_bigram".split()
 )
 
@@ -137,3 +136,22 @@ def test_named_filters_produce_tokens():
     assert f.apply_terms(["книги"]) == ["книг"]
     f = builtin_token_filter("elision_fr")
     assert f.apply_terms(["l'avion"]) == ["avion"]
+
+
+def test_porter2_english_snowball_vectors():
+    """stemmer_en_snowball = snowball "english" (porter2), distinct
+    from the porter1 filter the en analyzer wires."""
+    from bleve_spark.analysis.snowball import stem_en
+
+    for w, e in [("caresses", "caress"), ("ponies", "poni"),
+                 ("ties", "tie"), ("agreed", "agre"),
+                 ("conflated", "conflat"), ("troubled", "troubl"),
+                 ("hopping", "hop"), ("filing", "file"),
+                 ("happy", "happi"), ("dying", "die"),
+                 ("early", "earli"), ("generate", "generat"),
+                 ("relational", "relat"), ("vietnamization", "vietnam"),
+                 ("decisiveness", "decis"), ("electrical", "electr"),
+                 ("adjustable", "adjust"), ("replacement", "replac"),
+                 ("adoption", "adopt"), ("knightly", "knight"),
+                 ("differently", "differ"), ("formative", "format")]:
+        assert stem_en(w) == e, (w, stem_en(w), e)
