@@ -1413,3 +1413,77 @@ def stem_en(word: str) -> str:
             and word[-2:-1] == "l":
         word = word[:-1]
     return word.replace("Y", "y")
+
+
+# =================================================================== GERMAN
+# The "german" Snowball algorithm
+# (snowballstem.org/algorithms/german/stemmer.html) — the reference's
+# "stemmer_de_snowball" registered variant (the default de analyzer
+# wires the LIGHT stemmer instead).
+
+_DE_VOWELS = "aeiouyäöü"
+_DE_S_END = "bdfghklmnrt"
+_DE_ST_END = "bdfghklmnt"
+
+
+def stem_de(word: str) -> str:
+    if len(word) <= 2:
+        return word
+    word = word.replace("ß", "ss")
+    # protect u/y between vowels
+    chars = list(word)
+    for i in range(1, len(chars) - 1):
+        if chars[i] in "uy" and chars[i - 1] in _DE_VOWELS \
+                and chars[i + 1] in _DE_VOWELS:
+            chars[i] = chars[i].upper()
+    word = "".join(chars)
+    vowels = _DE_VOWELS + "UY"
+
+    r1 = _r1_pos(word, vowels)
+    r1 = max(r1, 3) if len(word) >= 3 else len(word)
+    r2 = _r2_pos(word, vowels)
+
+    # step 1
+    s = _ends_in(word, r1, ("em", "ern", "er", "e", "en", "es", "s"))
+    if s == "s":
+        if len(word) >= 2 and word[-2] in _DE_S_END:
+            word = word[:-1]
+    elif s in ("e", "en", "es"):
+        word = word[: -len(s)]
+        if word.endswith("niss"):
+            word = word[:-1]
+    elif s:
+        word = word[: -len(s)]
+
+    # step 2
+    s = _ends_in(word, r1, ("est", "en", "er", "st"))
+    if s == "st":
+        if len(word) >= 6 and word[-3] in _DE_ST_END:
+            word = word[:-2]
+    elif s:
+        word = word[: -len(s)]
+
+    # step 3: d-suffixes
+    s = _ends_in(word, r2, ("end", "ung", "isch", "lich", "heit",
+                            "keit", "ig", "ik"))
+    if s in ("end", "ung"):
+        word = word[: -len(s)]
+        if (word.endswith("ig") and len(word) - 2 >= r2
+                and word[-3:-2] != "e"):
+            word = word[:-2]
+    elif s in ("ig", "ik", "isch"):
+        if word[-len(s) - 1:-len(s)] != "e":
+            word = word[: -len(s)]
+    elif s in ("lich", "heit"):
+        word = word[: -len(s)]
+        t = _ends_in(word, r1, ("er", "en"))
+        if t:
+            word = word[: -len(t)]
+    elif s == "keit":
+        word = word[:-4]
+        t = _ends_in(word, r2, ("lich", "ig"))
+        if t:
+            word = word[: -len(t)]
+
+    table = str.maketrans("UYäöü", "uyaou")
+    return word.translate(table)

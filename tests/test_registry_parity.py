@@ -33,7 +33,8 @@ REF_NAMED_TOKEN_FILTERS = (
     "stop_pl stop_pt stop_ro stop_ru stop_sv stop_tr "
     "stemmer_ar stemmer_ckb stemmer_hi stemmer_hr stemmer_pl "
     "stemmer_porter stemmer_en_plural "
-    "stemmer_da_snowball stemmer_en_snowball stemmer_fi_snowball "
+    "stemmer_da_snowball stemmer_de_snowball stemmer_en_snowball "
+    "stemmer_fi_snowball "
     "stemmer_hu_snowball stemmer_nl_snowball stemmer_no_snowball "
     "stemmer_ro_snowball stemmer_ru_snowball stemmer_sv_snowball "
     "stemmer_tr_snowball "
@@ -46,12 +47,12 @@ REF_NAMED_TOKEN_FILTERS = (
 
 # documented exclusions (reference names the repo deliberately does
 # not resolve):
-# - stemmer_{de,es,fr,it}_snowball + stemmer_fr_min: the reference's
+# - stemmer_{es,fr,it}_snowball + stemmer_fr_min: the reference's
 #   default language pipelines wire the LIGHT stemmers (ported); the
 #   alternate full-snowball variants for these four languages are not.
 # - cjk_width / cjk_bigram: composed into the cjk analyzer's tokenizer.
 REF_EXCLUDED = (
-    "stemmer_de_snowball stemmer_es_snowball stemmer_fr_snowball "
+    "stemmer_es_snowball stemmer_fr_snowball "
     "stemmer_it_snowball stemmer_fr_min "
     "cjk_width cjk_bigram".split()
 )
@@ -155,3 +156,20 @@ def test_porter2_english_snowball_vectors():
                  ("adoption", "adopt"), ("knightly", "knight"),
                  ("differently", "differ"), ("formative", "format")]:
         assert stem_en(w) == e, (w, stem_en(w), e)
+
+
+def test_german_snowball_vectors():
+    """stemmer_de_snowball (the registered full-snowball variant; the
+    de analyzer itself wires the light stemmer)."""
+    from bleve_spark.analysis.snowball import stem_de
+
+    for w, e in [("aufeinander", "aufeinand"),
+                 ("kategorien", "kategori"),
+                 ("verwendungen", "verwend"),
+                 ("möglichkeiten", "moglich"),
+                 ("verständlich", "verstand"),
+                 ("bezeichnungen", "bezeichn"),
+                 ("lebhaftigkeit", "lebhaft"), ("kindern", "kind"),
+                 ("schönes", "schon"), ("hauses", "haus"),
+                 ("aber", "aber")]:
+        assert stem_de(w) == e, (w, stem_de(w), e)
