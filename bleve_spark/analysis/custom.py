@@ -69,7 +69,7 @@ _SNOWBALL_LANGS = {
     "danish": "da", "dutch": "nl", "finnish": "fi",
     "norwegian": "no", "russian": "ru", "swedish": "sv",
     "hungarian": "hu", "romanian": "ro", "turkish": "tr",
-    "german": "de",
+    "german": "de", "spanish": "es", "italian": "it",
     # snowballstem's "english" is porter2 (snowball.py stem_en) —
     # distinct from the porter1 filter the `en` analyzer wires
     "english": "en",
@@ -241,6 +241,10 @@ def builtin_token_filter(name: str):
         return SnowballStemmerFilter(sb.stem_en)
     if name == "stemmer_de_snowball":
         return SnowballStemmerFilter(sb.stem_de)
+    if name == "stemmer_es_snowball":
+        return SnowballStemmerFilter(sb.stem_es)
+    if name == "stemmer_it_snowball":
+        return SnowballStemmerFilter(sb.stem_it)
     m = _SNOWBALL_NAME.match(name)
     if m and hasattr(sb, f"stem_{m.group(1)}"):
         return SnowballStemmerFilter(getattr(sb, f"stem_{m.group(1)}"))

@@ -1487,3 +1487,339 @@ def stem_de(word: str) -> str:
 
     table = str.maketrans("UYäöü", "uyaou")
     return word.translate(table)
+
+
+# ================================================================== SPANISH
+# The "spanish" Snowball algorithm
+# (snowballstem.org/algorithms/spanish/stemmer.html) — the registered
+# "stemmer_es_snowball" variant (the es analyzer wires the light
+# stemmer).
+
+_ES_VOWELS = "aeiouáéíóúü"
+
+_ES_PRON = (
+    "selas selos sela selo las les los nos me se la le lo".split()
+)
+_ES_PRON_A = {"iéndo": "iendo", "ándo": "ando", "ár": "ar",
+              "ér": "er", "ír": "ir"}
+_ES_PRON_B = ("ando", "iendo", "ar", "er", "ir")
+
+_ES_S1_DEL_R2 = (
+    "amientos imientos amiento imiento anzas anza icos icas ico ica "
+    "ismos ismo ables ibles able ible istas ista osos osas oso osa"
+    .split()
+)
+_ES_S1_ADOR = (
+    "aciones adoras adores ancias adora ación antes ancia ador ante"
+    .split()
+)
+_ES_S1_IVA = ("ivas", "ivos", "iva", "ivo")
+_ES_S1_IDAD = ("idades", "idad")
+
+_ES_VERB_Y = (
+    "yeron yendo yamos yais ya ye yan yen yas yes yo yó".split()
+)
+_ES_VERB = (
+    "aríamos eríamos iríamos iéramos iésemos aríais aremos arían "
+    "arías eríais eremos erían erías iríais iremos irían irías "
+    "ierais ieseis asteis isteis ábamos áramos ásemos arían aría "
+    "aréis erían ería eréis irían iría iréis aseis íamos emos "
+    "arán arás aban aran asen aron ado ando aba ada ara ase erán "
+    "erás erá eré irán irás irá iré aré ían ieran iesen ieron "
+    "iendo ieras ieses abais arais íais ados idos amos imos ida "
+    "ía iera iese aste iste an ían ado ido ió ar er ir as abas "
+    "adas idas ías aras ieras ases ieses ís áis en es éis ad ed id"
+    .split()
+)
+_ES_RESIDUAL = ("os", "a", "o", "á", "í", "ó")
+
+
+def _es_rv(word: str) -> int:
+    n = len(word)
+    if n < 3:
+        return n
+    if word[1] not in _ES_VOWELS:
+        for i in range(2, n):
+            if word[i] in _ES_VOWELS:
+                return i + 1
+        return n
+    if word[0] in _ES_VOWELS and word[1] in _ES_VOWELS:
+        for i in range(2, n):
+            if word[i] not in _ES_VOWELS:
+                return i + 1
+        return n
+    return 3
+
+
+def stem_es(word: str) -> str:
+    r1 = _r1_pos(word, _ES_VOWELS)
+    r2 = _r2_pos(word, _ES_VOWELS)
+    rv = _es_rv(word)
+
+    # step 0: attached pronoun — strip it when preceded (in RV) by a
+    # gerund/infinitive ending; accented endings lose the accent
+    p = _ends_in(word, 0, _ES_PRON)
+    if p:
+        base = word[: -len(p)]
+        for suf, rep in _ES_PRON_A.items():
+            if base.endswith(suf) and len(base) - len(suf) >= rv:
+                word = base[: -len(suf)] + rep
+                break
+        else:
+            for suf in _ES_PRON_B:
+                if base.endswith(suf) and len(base) - len(suf) >= rv:
+                    word = base
+                    break
+            else:
+                if base.endswith("yendo") and base[-6:-5] == "u" \
+                        and len(base) - 5 >= rv:
+                    word = base
+
+    changed = False
+    # step 1: standard suffixes
+    s = _ends_in(
+        word, 0,
+        _ES_S1_DEL_R2 + _ES_S1_ADOR + list(_ES_S1_IVA)
+        + list(_ES_S1_IDAD)
+        + ["logías", "logía", "uciones", "ución", "encias", "encia",
+           "amente", "mente"],
+    )
+    if s:
+        start = len(word) - len(s)
+        if s in _ES_S1_DEL_R2 and start >= r2:
+            word = word[:start]
+            changed = True
+        elif s in _ES_S1_ADOR and start >= r2:
+            word = word[:start]
+            changed = True
+            if word.endswith("ic") and len(word) - 2 >= r2:
+                word = word[:-2]
+        elif s in ("logías", "logía") and start >= r2:
+            word = word[:start] + "log"
+            changed = True
+        elif s in ("uciones", "ución") and start >= r2:
+            word = word[:start] + "u"
+            changed = True
+        elif s in ("encias", "encia") and start >= r2:
+            word = word[:start] + "ente"
+            changed = True
+        elif s == "amente" and start >= r1:
+            word = word[:start]
+            changed = True
+            if word.endswith("iv") and len(word) - 2 >= r2:
+                word = word[:-2]
+                if word.endswith("at") and len(word) - 2 >= r2:
+                    word = word[:-2]
+            else:
+                for t in ("os", "ic", "ad"):
+                    if word.endswith(t) and len(word) - 2 >= r2:
+                        word = word[:-2]
+                        break
+        elif s == "mente" and start >= r2:
+            word = word[:start]
+            changed = True
+            for t in ("ante", "able", "ible"):
+                if word.endswith(t) and len(word) - 4 >= r2:
+                    word = word[:-4]
+                    break
+        elif s in _ES_S1_IDAD and start >= r2:
+            word = word[:start]
+            changed = True
+            for t in ("abil", "ic", "iv"):
+                if word.endswith(t) and len(word) - len(t) >= r2:
+                    word = word[: -len(t)]
+                    break
+        elif s in _ES_S1_IVA and start >= r2:
+            word = word[:start]
+            changed = True
+            if word.endswith("at") and len(word) - 2 >= r2:
+                word = word[:-2]
+
+    # step 2a: verb suffixes beginning y (only if step 1 did nothing)
+    if not changed:
+        s = _ends_in(word, rv, _ES_VERB_Y)
+        if s and word[-len(s) - 1: -len(s)] == "u":
+            word = word[: -len(s)]
+            changed = True
+    # step 2b: other verb suffixes
+    if not changed:
+        s = _ends_in(word, rv, _ES_VERB)
+        if s:
+            word = word[: -len(s)]
+            if s in ("en", "es", "éis", "emos") \
+                    and word.endswith("gu"):
+                word = word[:-1]
+
+    # step 3: residual suffix
+    s = _ends_in(word, rv, _ES_RESIDUAL)
+    if s:
+        word = word[: -len(s)]
+    elif word.endswith(("e", "é")):
+        if len(word) - 1 >= rv:
+            word = word[:-1]
+            if word.endswith("gu") and len(word) - 1 >= rv:
+                word = word[:-1]
+
+    return word.translate(str.maketrans("áéíóú", "aeiou"))
+
+
+# ================================================================== ITALIAN
+# The "italian" Snowball algorithm
+# (snowballstem.org/algorithms/italian/stemmer.html) — the registered
+# "stemmer_it_snowball" variant (the it analyzer wires the light
+# stemmer).
+
+_IT_VOWELS = "aeiouàèìòù"
+
+_IT_PRON = (
+    "gliela gliele glieli glielo gliene mela mele meli melo mene "
+    "tela tele teli telo tene cela cele celi celo cene vela vele "
+    "veli velo vene gli ci la le li lo mi ne si ti vi".split()
+)
+_IT_S1_DEL_R2 = (
+    "atrice atrici abile abili ibile ibili mente anza anze iche ichi "
+    "ismo ismi ista iste isti istà istè istì ante anti ico ici ica "
+    "ice oso osi osa ose".split()
+)
+_IT_VERB = (
+    "erebbero irebbero assero assimo eremmo iremmo iscano iscono "
+    "issero arono erono avamo avano avate eranno erebbe ereste "
+    "eresti eremo erete essero iranno irebbe ireste iresti iremo "
+    "irete irono ivamo ivano ivate ammo ando asse assi emmo enda "
+    "ende endi endo erai erei Yamo iamo immo irai irei isca isce "
+    "isci isco ano are ata ate ati ato ava avi avo erà ere erò ete "
+    "eva evi evo irà ire irò ita ite iti ito iva ivi ivo ono uta "
+    "ute uti uto ar ir".split()
+)
+
+
+def _it_prelude(word: str) -> str:
+    word = word.translate(str.maketrans("áéíóú", "àèìòù"))
+    chars = list(word)
+    for i in range(1, len(chars)):
+        if chars[i] == "u" and chars[i - 1] == "q":
+            chars[i] = "U"
+    for i in range(1, len(chars) - 1):
+        if chars[i] in "ui" and chars[i - 1] in _IT_VOWELS \
+                and chars[i + 1] in _IT_VOWELS:
+            chars[i] = chars[i].upper()
+    return "".join(chars)
+
+
+def stem_it(word: str) -> str:
+    word = _it_prelude(word)
+    vowels = _IT_VOWELS
+    r1 = _r1_pos(word, vowels)
+    r2 = _r2_pos(word, vowels)
+    n = len(word)
+    if n < 3:
+        rv = n
+    elif word[1] not in vowels:
+        rv = n
+        for i in range(2, n):
+            if word[i] in vowels:
+                rv = i + 1
+                break
+    elif word[0] in vowels and word[1] in vowels:
+        rv = n
+        for i in range(2, n):
+            if word[i] not in vowels:
+                rv = i + 1
+                break
+    else:
+        rv = 3
+
+    # step 0: attached pronoun after ando/endo (delete) or ar/er/ir
+    # (replace with e), ending in RV
+    p = _ends_in(word, 0, _IT_PRON)
+    if p:
+        base = word[: -len(p)]
+        for suf in ("ando", "endo"):
+            if base.endswith(suf) and len(base) - len(suf) >= rv:
+                word = base
+                break
+        else:
+            for suf in ("ar", "er", "ir"):
+                if base.endswith(suf) and len(base) - len(suf) >= rv:
+                    word = base + "e"
+                    break
+
+    changed = False
+    # step 1: standard suffixes
+    s = _ends_in(
+        word, 0,
+        _IT_S1_DEL_R2
+        + ["azione", "azioni", "atore", "atori", "logia", "logie",
+           "uzione", "uzioni", "usione", "usioni", "enza", "enze",
+           "amento", "amenti", "imento", "imenti", "amente", "ità",
+           "ivo", "ivi", "iva", "ive"],
+    )
+    if s:
+        start = len(word) - len(s)
+        if s == "amente" and start >= r1:
+            word = word[:start]
+            changed = True
+            if word.endswith("iv") and len(word) - 2 >= r2:
+                word = word[:-2]
+                if word.endswith("at") and len(word) - 2 >= r2:
+                    word = word[:-2]
+            else:
+                for t in ("os", "ic", "abil"):
+                    if word.endswith(t) and len(word) - len(t) >= r2:
+                        word = word[: -len(t)]
+                        break
+        elif s in ("amento", "amenti", "imento", "imenti") \
+                and start >= rv:
+            word = word[:start]
+            changed = True
+        elif s in _IT_S1_DEL_R2 and start >= r2:
+            word = word[:start]
+            changed = True
+        elif s in ("azione", "azioni", "atore", "atori") \
+                and start >= r2:
+            word = word[:start]
+            changed = True
+            if word.endswith("ic") and len(word) - 2 >= r2:
+                word = word[:-2]
+        elif s in ("logia", "logie") and start >= r2:
+            word = word[:start] + "log"
+            changed = True
+        elif s in ("uzione", "uzioni", "usione", "usioni") \
+                and start >= r2:
+            word = word[:start] + "u"
+            changed = True
+        elif s in ("enza", "enze") and start >= r2:
+            word = word[:start] + "ente"
+            changed = True
+        elif s == "ità" and start >= r2:
+            word = word[:start]
+            changed = True
+            for t in ("abil", "ic", "iv"):
+                if word.endswith(t) and len(word) - len(t) >= r2:
+                    word = word[: -len(t)]
+                    break
+        elif s in ("ivo", "ivi", "iva", "ive") and start >= r2:
+            word = word[:start]
+            changed = True
+            if word.endswith("at") and len(word) - 2 >= r2:
+                word = word[:-2]
+                if word.endswith("ic") and len(word) - 2 >= r2:
+                    word = word[:-2]
+
+    # step 2: verb suffixes (only if step 1 removed nothing)
+    if not changed:
+        s = _ends_in(word, rv, _IT_VERB)
+        if s:
+            word = word[: -len(s)]
+
+    # step 3a: final vowel (and a following i) in RV
+    s = _ends_in(word, rv, ("a", "e", "i", "o", "à", "è", "ì", "ò"))
+    if s:
+        word = word[:-1]
+        if word.endswith("i") and len(word) - 1 >= rv:
+            word = word[:-1]
+    # step 3b
+    if len(word) - 1 >= rv and word.endswith(("ch", "gh")):
+        word = word[:-1]
+
+    return word.translate(str.maketrans("UI", "ui"))

@@ -34,7 +34,7 @@ REF_NAMED_TOKEN_FILTERS = (
     "stemmer_ar stemmer_ckb stemmer_hi stemmer_hr stemmer_pl "
     "stemmer_porter stemmer_en_plural "
     "stemmer_da_snowball stemmer_de_snowball stemmer_en_snowball "
-    "stemmer_fi_snowball "
+    "stemmer_es_snowball stemmer_fi_snowball stemmer_it_snowball "
     "stemmer_hu_snowball stemmer_nl_snowball stemmer_no_snowball "
     "stemmer_ro_snowball stemmer_ru_snowball stemmer_sv_snowball "
     "stemmer_tr_snowball "
@@ -47,13 +47,12 @@ REF_NAMED_TOKEN_FILTERS = (
 
 # documented exclusions (reference names the repo deliberately does
 # not resolve):
-# - stemmer_{es,fr,it}_snowball + stemmer_fr_min: the reference's
+# - stemmer_fr_snowball + stemmer_fr_min: the reference's
 #   default language pipelines wire the LIGHT stemmers (ported); the
 #   alternate full-snowball variants for these four languages are not.
 # - cjk_width / cjk_bigram: composed into the cjk analyzer's tokenizer.
 REF_EXCLUDED = (
-    "stemmer_es_snowball stemmer_fr_snowball "
-    "stemmer_it_snowball stemmer_fr_min "
+    "stemmer_fr_snowball stemmer_fr_min "
     "cjk_width cjk_bigram".split()
 )
 
@@ -173,3 +172,23 @@ def test_german_snowball_vectors():
                  ("schönes", "schon"), ("hauses", "haus"),
                  ("aber", "aber")]:
         assert stem_de(w) == e, (w, stem_de(w), e)
+
+
+def test_spanish_italian_snowball_vectors():
+    """stemmer_es_snowball / stemmer_it_snowball (registered
+    full-snowball variants; the es/it analyzers wire light
+    stemmers)."""
+    from bleve_spark.analysis.snowball import stem_es, stem_it
+
+    for w, e in [("haciéndola", "hac"), ("cantándolas", "cant"),
+                 ("comunicarse", "comunic"), ("canciones", "cancion"),
+                 ("cantaría", "cant"), ("biología", "biolog"),
+                 ("rápidamente", "rapid"), ("relatividad", "relat"),
+                 ("nacionalismo", "nacional"), ("chequeo", "cheque")]:
+        assert stem_es(w) == e, (w, stem_es(w), e)
+    for w, e in [("abbandonata", "abbandon"), ("abbandonò", "abbandon"),
+                 ("dormiremo", "dorm"), ("crederono", "cred"),
+                 ("biologia", "biolog"), ("comunicazione", "comun"),
+                 ("guardandogli", "guard"), ("nazionale", "nazional"),
+                 ("felicità", "felic"), ("generosità", "generos")]:
+        assert stem_it(w) == e, (w, stem_it(w), e)
