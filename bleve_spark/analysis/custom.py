@@ -251,6 +251,7 @@ def builtin_token_filter(name: str):
     light = {
         "stemmer_es_light": L.SpanishLightStemmerFilter,
         "stemmer_fr_light": L.FrenchLightStemmerFilter,
+        "stemmer_fr_min": L.FrenchMinimalStemmerFilter,
         "stemmer_de_light": L.GermanLightStemmerFilter,
         "stemmer_it_light": L.ItalianLightStemmerFilter,
         "stemmer_pt_light": L.PortugueseLightStemmerFilter,

@@ -719,3 +719,36 @@ def register_language_analyzers() -> None:
 
 
 register_language_analyzers()
+
+
+def stem_fr_minimal(term: str) -> str:
+    """French MINIMAL stemmer — analysis/lang/fr/minimal_stemmer_fr.go
+    ("stemmer_fr_min", Savoy's minimal rules): words ≥ 6 runes drop a
+    final x (aux → al), then one each of s, r, e, é, and a doubled
+    final letter."""
+    if len(term) < 6:
+        return term
+    if term.endswith("x"):
+        if term[-3] == "a" and term[-2] == "u":
+            term = term[:-3] + "al"
+            return term
+        return term[:-1]
+    if term.endswith("s"):
+        term = term[:-1]
+    if term.endswith("r"):
+        term = term[:-1]
+    if term.endswith("e"):
+        term = term[:-1]
+    if term.endswith("é"):
+        term = term[:-1]
+    if len(term) >= 2 and term[-1] == term[-2]:
+        term = term[:-1]
+    return term
+
+
+class FrenchMinimalStemmerFilter(TokenFilter):
+    def apply_terms(self, terms):
+        return [stem_fr_minimal(t) for t in terms]
+
+    def _one(self, term):
+        return (stem_fr_minimal(term),)

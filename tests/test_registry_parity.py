@@ -39,6 +39,7 @@ REF_NAMED_TOKEN_FILTERS = (
     "stemmer_ro_snowball stemmer_ru_snowball stemmer_sv_snowball "
     "stemmer_tr_snowball "
     "stemmer_de_light stemmer_es_light stemmer_fr_light "
+    "stemmer_fr_min "
     "stemmer_it_light stemmer_pt_light "
     "normalize_ar normalize_ckb normalize_de normalize_es normalize_fa "
     "normalize_hi normalize_in hr_suffix_transformation_filter "
@@ -47,13 +48,11 @@ REF_NAMED_TOKEN_FILTERS = (
 
 # documented exclusions (reference names the repo deliberately does
 # not resolve):
-# - stemmer_fr_snowball + stemmer_fr_min: the reference's
-#   default language pipelines wire the LIGHT stemmers (ported); the
-#   alternate full-snowball variants for these four languages are not.
+# - stemmer_fr_snowball: the only remaining unported snowball variant
+#   (the fr analyzer wires the light stemmer; fr_min is ported).
 # - cjk_width / cjk_bigram: composed into the cjk analyzer's tokenizer.
 REF_EXCLUDED = (
-    "stemmer_fr_snowball stemmer_fr_min "
-    "cjk_width cjk_bigram".split()
+    "stemmer_fr_snowball cjk_width cjk_bigram".split()
 )
 
 # config-typed token filter types
@@ -192,3 +191,16 @@ def test_spanish_italian_snowball_vectors():
                  ("guardandogli", "guard"), ("nazionale", "nazional"),
                  ("felicità", "felic"), ("generosità", "generos")]:
         assert stem_it(w) == e, (w, stem_it(w), e)
+
+
+def test_french_minimal_stemmer_vectors():
+    """minimal_stemmer_fr.go rules (aux→al, one each of s/r/e/é,
+    undouble)."""
+    from bleve_spark.analysis.lang import stem_fr_minimal
+
+    for w, e in [("chevaux", "cheval"), ("hiboux", "hibou"),
+                 ("chantés", "chant"), ("chanter", "chant"),
+                 ("chante", "chant"), ("baronnes", "baron"),
+                 ("barons", "baron"), ("baron", "baron"),
+                 ("chat", "chat")]:
+        assert stem_fr_minimal(w) == e
