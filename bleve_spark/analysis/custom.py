@@ -70,6 +70,7 @@ _SNOWBALL_LANGS = {
     "norwegian": "no", "russian": "ru", "swedish": "sv",
     "hungarian": "hu", "romanian": "ro", "turkish": "tr",
     "german": "de", "spanish": "es", "italian": "it",
+    "french": "fr",
     # snowballstem's "english" is porter2 (snowball.py stem_en) —
     # distinct from the porter1 filter the `en` analyzer wires
     "english": "en",
@@ -245,6 +246,8 @@ def builtin_token_filter(name: str):
         return SnowballStemmerFilter(sb.stem_es)
     if name == "stemmer_it_snowball":
         return SnowballStemmerFilter(sb.stem_it)
+    if name == "stemmer_fr_snowball":
+        return SnowballStemmerFilter(sb.stem_fr)
     m = _SNOWBALL_NAME.match(name)
     if m and hasattr(sb, f"stem_{m.group(1)}"):
         return SnowballStemmerFilter(getattr(sb, f"stem_{m.group(1)}"))
@@ -268,8 +271,8 @@ def builtin_token_filter(name: str):
         "normalize_ckb": LM.SoraniNormalizeFilter,
         "hr_suffix_transformation_filter":
             LM.CroatianSuffixTransformFilter,
-        # cjk_width / cjk_bigram are composed into the cjk analyzer's
-        # tokenizer (CJKBigramTokenizer) — not resolvable standalone;
+        "cjk_width": L.CJKWidthFilter,
+        "cjk_bigram": L.CJKBigramFilter,
         # hierarchy is config-typed (needs a delimiter), resolved in
         # _mk_token_filter
     }

@@ -752,3 +752,38 @@ class FrenchMinimalStemmerFilter(TokenFilter):
 
     def _one(self, term):
         return (stem_fr_minimal(term),)
+
+
+class CJKWidthFilter(TokenFilter):
+    """Standalone cjk_width token filter (token/cjk/cjk_width.go):
+    fold full-width forms to ASCII and half-width katakana to
+    katakana (NFKC over the Halfwidth/Fullwidth block)."""
+
+    def apply_terms(self, terms):
+        return [CJKBigramTokenizer._fold_width(t) for t in terms]
+
+    def _one(self, term):
+        return (CJKBigramTokenizer._fold_width(term),)
+
+
+class CJKBigramFilter(TokenFilter):
+    """Standalone cjk_bigram token filter (token/cjk/cjk_bigram.go):
+    runs of consecutive single-ideograph tokens re-emit as overlapping
+    bigrams (isolated ideographs stay unigrams); non-ideograph tokens
+    flush the run and pass through. WHOLE-STREAM semantics, like the
+    reference's ring buffer."""
+
+    WHOLE_STREAM = True
+
+    def apply_terms(self, terms):
+        out: list[str] = []
+        run = ""
+        for tok in terms:
+            if tok and all(_is_ideo(c) for c in tok):
+                run += tok
+            else:
+                CJKBigramTokenizer._flush(run, out)
+                run = ""
+                out.append(tok)
+        CJKBigramTokenizer._flush(run, out)
+        return out

@@ -1823,3 +1823,245 @@ def stem_it(word: str) -> str:
         word = word[:-1]
 
     return word.translate(str.maketrans("UI", "ui"))
+
+
+# =================================================================== FRENCH
+# The "french" Snowball algorithm
+# (snowballstem.org/algorithms/french/stemmer.html) — the registered
+# "stemmer_fr_snowball" variant (the fr analyzer wires the light
+# stemmer).
+
+_FR_VOWELS = "aeiouyâàëéêèïîôûù"
+
+_FR_S1_DEL_R2 = (
+    "iqUes ances ismes ables istes ance iqUe isme able iste eux"
+    .split()
+)
+_FR_S1_ATEUR = ("atrices", "ateurs", "ations", "atrice", "ateur",
+                "ation")
+_FR_2A = (
+    "issaIent issantes issants issante issions issiez issons isses "
+    "issent issait issais isse issez îtes irions iraIent iraient "
+    "iriez irons iront irent irais irait isses îmes irez iras irai "
+    "ira ies ir is it ît ie i".split()
+)
+_FR_2B_ER = (
+    "eraIent eraient erions assiez assions èrent erais erait eras "
+    "erez eriez erons eront ées era erai iez ée és er ez é".split()
+)
+_FR_2B_A = (
+    "assent aIent aient antes asses âmes âtes ante ants asse ais "
+    "ait ant ât as ai a".split()
+)
+
+
+def _fr_prelude(word: str) -> str:
+    chars = list(word)
+    n = len(chars)
+    i = 0
+    while i < n:
+        c = chars[i]
+        if c in _FR_VOWELS and c not in "UIY":
+            if i + 2 < n and chars[i + 1] == "u" \
+                    and chars[i + 2] in _FR_VOWELS:
+                chars[i + 1] = "U"
+            elif i + 2 < n and chars[i + 1] == "i" \
+                    and chars[i + 2] in _FR_VOWELS:
+                chars[i + 1] = "I"
+            elif i + 1 < n and chars[i + 1] == "y":
+                chars[i + 1] = "Y"
+        if c == "y" and i + 1 < n and chars[i + 1] in _FR_VOWELS:
+            chars[i] = "Y"
+        if c == "q" and i + 1 < n and chars[i + 1] == "u":
+            chars[i + 1] = "U"
+        i += 1
+    return "".join(chars)
+
+
+def stem_fr(word: str) -> str:
+    word = _fr_prelude(word)
+    vowels = _FR_VOWELS
+
+    n = len(word)
+    if n >= 3 and word[0] in vowels and word[1] in vowels:
+        rv = 3
+    elif word[:3] in ("par", "col", "tap"):
+        rv = 3
+    else:
+        rv = n
+        for i in range(1, n):
+            if word[i] in vowels:
+                rv = i + 1
+                break
+    r1 = _r1_pos(word, vowels)
+    r2 = _r2_pos(word, vowels)
+
+    changed = False
+    do_2a = False
+
+    # ---- step 1: standard suffixes ----
+    s = _ends_in(
+        word, 0,
+        _FR_S1_DEL_R2 + list(_FR_S1_ATEUR)
+        + ["logies", "logie", "usions", "utions", "usion", "ution",
+           "ences", "ence", "ements", "ement", "ités", "ité",
+           "ives", "ifs", "ive", "if", "eaux", "aux", "euses",
+           "euse", "issements", "issement", "amment", "emment",
+           "ments", "ment"],
+    )
+    if s:
+        start = len(word) - len(s)
+        if s in _FR_S1_DEL_R2 and start >= r2:
+            word = word[:start]
+            changed = True
+        elif s in _FR_S1_ATEUR and start >= r2:
+            word = word[:start]
+            changed = True
+            if word.endswith("ic"):
+                if len(word) - 2 >= r2:
+                    word = word[:-2]
+                else:
+                    word = word[:-2] + "iqU"
+        elif s in ("logies", "logie") and start >= r2:
+            word = word[:start] + "log"
+            changed = True
+        elif s in ("usions", "utions", "usion", "ution") \
+                and start >= r2:
+            word = word[:start] + "u"
+            changed = True
+        elif s in ("ences", "ence") and start >= r2:
+            word = word[:start] + "ent"
+            changed = True
+        elif s in ("ements", "ement") and start >= rv:
+            word = word[:start]
+            changed = True
+            if word.endswith("iv") and len(word) - 2 >= r2:
+                word = word[:-2]
+                if word.endswith("at") and len(word) - 2 >= r2:
+                    word = word[:-2]
+            elif word.endswith("eus"):
+                if len(word) - 3 >= r2:
+                    word = word[:-3]
+                elif len(word) - 3 >= r1:
+                    word = word[:-3] + "eux"
+            elif word.endswith(("abl", "iqU")) \
+                    and len(word) - 3 >= r2:
+                word = word[:-3]
+            elif word.endswith(("ièr", "Ièr")) \
+                    and len(word) - 3 >= rv:
+                word = word[:-3] + "i"
+        elif s in ("ités", "ité") and start >= r2:
+            word = word[:start]
+            changed = True
+            if word.endswith("abil"):
+                if len(word) - 4 >= r2:
+                    word = word[:-4]
+                else:
+                    word = word[:-4] + "abl"
+            elif word.endswith("ic"):
+                if len(word) - 2 >= r2:
+                    word = word[:-2]
+                else:
+                    word = word[:-2] + "iqU"
+            elif word.endswith("iv") and len(word) - 2 >= r2:
+                word = word[:-2]
+        elif s in ("ives", "ifs", "ive", "if") and start >= r2:
+            word = word[:start]
+            changed = True
+            if word.endswith("at") and len(word) - 2 >= r2:
+                word = word[:-2]
+                if word.endswith("ic"):
+                    if len(word) - 2 >= r2:
+                        word = word[:-2]
+                    else:
+                        word = word[:-2] + "iqU"
+        elif s == "eaux":
+            word = word[:start] + "eau"
+            changed = True
+        elif s == "aux" and start >= r1:
+            word = word[:start] + "al"
+            changed = True
+        elif s in ("euses", "euse"):
+            if start >= r2:
+                word = word[:start]
+                changed = True
+            elif start >= r1:
+                word = word[:start] + "eux"
+                changed = True
+        elif s in ("issements", "issement") and start >= r1 \
+                and start > 0 and word[start - 1] not in vowels:
+            word = word[:start]
+            changed = True
+        elif s == "amment" and start >= rv:
+            word = word[:start] + "ant"
+            changed = True
+            do_2a = True
+        elif s == "emment" and start >= rv:
+            word = word[:start] + "ent"
+            changed = True
+            do_2a = True
+        elif s in ("ments", "ment") and start >= 1 \
+                and word[start - 1] in vowels and start - 1 >= rv:
+            word = word[:start]
+            changed = True
+            do_2a = True
+
+    # ---- steps 2a / 2b: verb suffixes ----
+    if not changed or do_2a:
+        s = _ends_in(word, rv, _FR_2A)
+        if s and len(word) - len(s) > 0 \
+                and word[len(word) - len(s) - 1] not in vowels \
+                and len(word) - len(s) - 1 >= rv:
+            word = word[: -len(s)]
+            changed = True
+        elif not changed:
+            # step 2b
+            s = _ends_in(word, rv, ["ions"] + _FR_2B_ER + _FR_2B_A)
+            if s == "ions":
+                if len(word) - 4 >= r2:
+                    word = word[:-4]
+                    changed = True
+            elif s in _FR_2B_ER:
+                word = word[: -len(s)]
+                changed = True
+            elif s in _FR_2B_A:
+                word = word[: -len(s)]
+                changed = True
+                if word.endswith("e") and len(word) - 1 >= rv:
+                    word = word[:-1]
+
+    if changed:
+        # step 3
+        if word.endswith("Y"):
+            word = word[:-1] + "i"
+        elif word.endswith("ç"):
+            word = word[:-1] + "c"
+    else:
+        # step 4: residual suffix
+        if word.endswith("s") and len(word) >= 2 \
+                and word[-2] not in "aiouès":
+            word = word[:-1]
+        s = _ends_in(word, rv, ("Ière", "ière", "Ier", "ier", "ion",
+                                "e", "ë"))
+        if s == "ion":
+            if len(word) - 3 >= r2 and len(word) >= 4 \
+                    and word[-4] in "st":
+                word = word[:-3]
+        elif s in ("Ière", "ière", "Ier", "ier"):
+            word = word[: -len(s)] + "i"
+        elif s == "e":
+            word = word[:-1]
+        elif s == "ë" and word[-3:-1] == "gu":
+            word = word[:-1]
+
+    # step 5: un-double
+    if word.endswith(("enn", "onn", "ett", "ell", "eill")):
+        word = word[:-1]
+    # step 6: un-accent — é/è followed by only non-vowels to the end
+    for i in range(len(word) - 1, -1, -1):
+        if word[i] in vowels:
+            if word[i] in "éè" and i < len(word) - 1:
+                word = word[:i] + "e" + word[i + 1:]
+            break
+
+    return word.translate(str.maketrans("IUY", "iuy"))

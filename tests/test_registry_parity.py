@@ -34,26 +34,24 @@ REF_NAMED_TOKEN_FILTERS = (
     "stemmer_ar stemmer_ckb stemmer_hi stemmer_hr stemmer_pl "
     "stemmer_porter stemmer_en_plural "
     "stemmer_da_snowball stemmer_de_snowball stemmer_en_snowball "
-    "stemmer_es_snowball stemmer_fi_snowball stemmer_it_snowball "
+    "stemmer_es_snowball stemmer_fi_snowball stemmer_fr_snowball "
+    "stemmer_it_snowball "
     "stemmer_hu_snowball stemmer_nl_snowball stemmer_no_snowball "
     "stemmer_ro_snowball stemmer_ru_snowball stemmer_sv_snowball "
     "stemmer_tr_snowball "
     "stemmer_de_light stemmer_es_light stemmer_fr_light "
     "stemmer_fr_min "
     "stemmer_it_light stemmer_pt_light "
+    "cjk_width cjk_bigram "
     "normalize_ar normalize_ckb normalize_de normalize_es normalize_fa "
     "normalize_hi normalize_in hr_suffix_transformation_filter "
     "elision_ca elision_fr elision_ga elision_it".split()
 )
 
-# documented exclusions (reference names the repo deliberately does
-# not resolve):
-# - stemmer_fr_snowball: the only remaining unported snowball variant
-#   (the fr analyzer wires the light stemmer; fr_min is ported).
-# - cjk_width / cjk_bigram: composed into the cjk analyzer's tokenizer.
-REF_EXCLUDED = (
-    "stemmer_fr_snowball cjk_width cjk_bigram".split()
-)
+# no exclusions remain: every reference-registered component name
+# resolves (all snowball variants ported r4; cjk_width/cjk_bigram
+# available standalone as well as composed into the cjk analyzer)
+REF_EXCLUDED: list = []
 
 # config-typed token filter types
 REF_CONFIG_TOKEN_FILTERS = [
@@ -204,3 +202,30 @@ def test_french_minimal_stemmer_vectors():
                  ("barons", "baron"), ("baron", "baron"),
                  ("chat", "chat")]:
         assert stem_fr_minimal(w) == e
+
+
+def test_french_snowball_vectors():
+    """stemmer_fr_snowball — the reference's own
+    stemmer_fr_snowball_test.go vectors plus spec-traced cases."""
+    from bleve_spark.analysis.snowball import stem_fr
+
+    for w, e in [("antagoniste", "antagon"),
+                 ("barbouillait", "barbouill"),
+                 ("calculateur", "calcul"), ("majestueux", "majestu"),
+                 ("chevaux", "cheval"), ("châteaux", "château"),
+                 ("nationalité", "national"),
+                 ("communication", "commun"),
+                 ("évidemment", "évident"), ("rapidement", "rapid"),
+                 ("chantaient", "chant"), ("chanter", "chant"),
+                 ("finissait", "fin"), ("continua", "continu")]:
+        assert stem_fr(w) == e, (w, stem_fr(w), e)
+
+
+def test_cjk_standalone_filters():
+    from bleve_spark.analysis.custom import builtin_token_filter
+
+    w = builtin_token_filter("cjk_width")
+    assert w.apply_terms(["ｶﾀｶﾅ", "Ｔｅｓｔ"]) == ["カタカナ", "Test"]
+    b = builtin_token_filter("cjk_bigram")
+    assert b.apply_terms(["数", "据", "系", "统"]) == ["数据", "据系", "系统"]
+    assert b.apply_terms(["数", "spark", "据"]) == ["数", "spark", "据"]
