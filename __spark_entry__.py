@@ -3404,6 +3404,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select(F.lit("deleted").alias("case"), "doc_id", "score")
         return kept.unionByName(deleted)
 
+    def q_mapping_dynamic_map(spark, sf):
+        """DYNAMIC mapping over RUNTIME MapType keys — bleve indexes
+        unseen JSON object keys via reflection
+        (mapping/document.go:425); the Spark twin explodes the map at
+        index time so the postings' `field` column carries
+        "attrs.<key>" names no static plan ever saw
+        (index/build.py _dynamic_map_postings). A term query against
+        a runtime key scores plain BM25; the oracle recomputes it
+        from the same closed-form map synthesis."""
+        from bleve_spark.index.mapping import (
+            IndexMapping,
+            index_with_mapping,
+        )
+
+        key = (spark.sparkContext.applicationId, "dynamic-map", sf)
+        if key not in _INDEX_CACHE:
+            df = (
+                spark.read.parquet(f"{sf}/documents.parquet")
+                .select(
+                    "doc_id", "text",
+                    F.create_map(
+                        F.lit("color"),
+                        F.element_at(
+                            F.array(F.lit("red"), F.lit("blue"),
+                                    F.lit("green")),
+                            (F.col("doc_id") % 3 + 1).cast("int"),
+                        ),
+                        F.lit("grade"),
+                        F.concat(F.lit("g"),
+                                 (F.col("doc_id") % 5).cast("string")),
+                    ).alias("attrs"),
+                )
+            )
+            im = IndexMapping.from_dict({
+                "scoring_model": "bm25",
+                "default_mapping": {
+                    "dynamic": True,
+                    "properties": {"text": {"fields": [
+                        {"type": "text",
+                         "include_in_all": False}]}},
+                },
+            })
+            _INDEX_CACHE[key] = index_with_mapping(
+                df, ["doc_id"], im, persist=True
+            )
+        return _topk(
+            _INDEX_CACHE[key],
+            {"field": "attrs.color", "term": "red"},
+        )
+
     def multimodal_png_decode(spark, sf):
         """REAL PNG decode end-to-end (functions/png.py: stdlib zlib
         inflate + per-row unfilter, all five filter types exercised
@@ -3483,6 +3533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_mapping_custom_ngram": q_mapping_custom_ngram,
             "q_mapping_nested_array": q_mapping_nested_array,
             "q_mapping_update": q_mapping_update,
+            "q_mapping_dynamic_map": q_mapping_dynamic_map,
             "q_knn_request": q_knn_request,
             "q_mapping_geo_bbox": q_mapping_geo_bbox,
             "q_ip_range": q_ip_range,
@@ -3677,6 +3728,20 @@ def oracle_sql() -> dict[str, str]:
         "q_mapping_array_tags": _sql_mapping_tags(),
         "q_mapping_custom_ngram": _sql_mapping_custom_ngram(),
         "q_mapping_nested_array": _NESTED_ORACLE,
+        "q_mapping_dynamic_map": """
+WITH docs AS (SELECT doc_id FROM documents),
+ndocs AS (SELECT count(*) AS n FROM docs),
+post AS (SELECT doc_id, 1 AS tf, CAST(1.0 AS DOUBLE) AS norm
+         FROM docs WHERE doc_id % 3 = 0),
+avgl AS (SELECT ceil(CAST(3 AS DOUBLE) / (SELECT n FROM ndocs)) AS v),
+q AS (SELECT ln(1 + ((SELECT n FROM ndocs) - df + 0.5) / (df + 0.5))
+      AS idf FROM (SELECT count(*) AS df FROM post))
+SELECT p.doc_id,
+       round((q.idf * (sqrt(p.tf)*1.2) / (sqrt(p.tf) + 1.2*(0.25 +
+             (0.75 * (1.0/(p.norm*p.norm))) / (SELECT v FROM avgl)))),
+             6) AS score
+FROM post p CROSS JOIN q
+ORDER BY score DESC, p.doc_id LIMIT 20""",
         "q_mapping_update": (
             "SELECT 'kept' AS \"case\", doc_id, score FROM ("
             + _sql_single_term("spark") + ")"

@@ -347,6 +347,32 @@ def _field_postings(
     )
 
 
+def _dynamic_map_postings(
+    df: DataFrame, keys: list[str], map_path: str, analyzer: str,
+) -> DataFrame:
+    """Postings for a DYNAMIC MapType column: bleve's dynamic mapping
+    indexes unseen JSON object keys at index time
+    (mapping/document.go:425 walkDocument reflection); Spark CAN
+    enumerate runtime map keys — explode(map) yields (key, value)
+    rows, so the postings' `field` column (which is data, not schema)
+    carries "<path>.<key>" names no static column planning ever saw.
+    Each entry is its own field instance with its own length/norm.
+    Term and match queries against any runtime key then resolve purely
+    through the postings/dictionary; no flat column is required."""
+    ex = df.select(
+        *keys, F.explode(qcol(map_path)).alias("_mk", "_mv")
+    ).select(
+        *keys,
+        F.concat(F.lit(map_path + "."), F.col("_mk")).alias("_field"),
+        F.col("_mv").cast("string").alias("_text"),
+    )
+    p = _field_postings(ex, [*keys, "_field"], "__dyn__", analyzer,
+                        src_col="_text")
+    return p.drop("field").withColumnRenamed("_field", "field").select(
+        "field", "term", *keys, "tf", "positions", "norm"
+    )
+
+
 def _typed_member_postings(
     df: DataFrame, keys: list[str], member: str, kind: str,
 ) -> DataFrame:
@@ -613,8 +639,11 @@ def index_table(
     composite_fields: dict[str, list[str]] | None = None,
     thesaurus: DataFrame | None = None,
     synonym_collections: dict | None = None,
+    extra_postings: list | None = None,
 ) -> IndexedTable:
-    """Build the index for ``df``.
+    """Build the index for ``df``. ``extra_postings``: pre-built
+    postings DataFrames (same schema) unioned in before
+    persist/dictionary/stats — the dynamic-MapType path.
 
     ``fields`` maps column name → analyzer name (e.g. ``{"text":
     "standard", "role": "keyword"}``). Numeric / timestamp / boolean
@@ -638,6 +667,8 @@ def index_table(
             _composite_postings(df2, key_cols, cname, members, fields)
         )
         fields_all[cname] = fields_all.get(cname, "standard")
+    for ep in (extra_postings or []):
+        parts.append(ep)
     postings = parts[0]
     for p in parts[1:]:
         postings = postings.unionByName(p)

@@ -48,9 +48,16 @@ children into the root (search/collector/topn.go descAdder). Limits:
 nested inside per-type mappings is not supported, and the nested path
 is in-memory index_table only (not the at-rest segment layout).
 
-Unsupported (documented): dynamic mapping over MapType columns with
-unknown runtime keys (explicitly-mapped keys work; bleve can enumerate
-JSON object keys per row, a static plan cannot).
+Dynamic mapping over MapType columns (r4): bleve enumerates unseen
+JSON object keys by reflection (mapping/document.go:425); Spark
+enumerates runtime map keys with explode(map), so string-keyed maps
+under a dynamic mapping index as data-driven postings whose `field`
+column carries "<path>.<key>" names no static plan ever saw
+(build._dynamic_map_postings). Term/match/phrase queries against any
+runtime key resolve purely through the postings/dictionary; stored
+retrieval returns the whole map column. Not covered: numeric range /
+sort over map values (postings are text), maps inside nested child
+rows.
 """
 
 from __future__ import annotations
@@ -390,6 +397,7 @@ def plan_document_mapping(
     schema: T.StructType, dm: DocumentMapping, im: IndexMapping,
     nested_out: list | None = None,
     base_col: str | None = None,
+    dynamic_maps_out: list | None = None,
 ) -> list[PlannedField]:
     """Compile one DocumentMapping against a Spark schema: the static
     twin of walkDocument/processProperty
@@ -597,6 +605,21 @@ def plan_document_mapping(
                 # geopoint mapping (processProperty sets walkDocument
                 # true) — members still index per dynamic rules
                 walk(dt, p, in_array)
+            elif isinstance(dt, T.MapType):
+                # dynamic mapping over RUNTIME keys: bleve walks the
+                # JSON object with reflection (mapping/document.go:425)
+                # — Spark's explode(map) enumerates the keys at index
+                # time, so a string-keyed map under a dynamic mapping
+                # becomes data-driven postings (build._dynamic_map_
+                # postings); no static column is planned
+                dmn = exact if exact is not None else dm
+                if (dynamic_maps_out is not None
+                        and isinstance(dt.keyType, T.StringType)
+                        and dmn.dynamic and im.index_dynamic):
+                    dynamic_maps_out.append((
+                        PATH_SEP.join(p),
+                        resolve_analyzer(None, p),
+                    ))
             elif isinstance(dt, T.ArrayType):
                 el = dt.elementType
                 if isinstance(el, T.StructType):
@@ -662,6 +685,7 @@ def _all_disabled(dm: DocumentMapping) -> bool:
 
 def map_table(
     df: DataFrame, im: IndexMapping, key_cols: list[str] | None = None,
+    dynamic_maps_out: list | None = None,
 ) -> tuple[DataFrame, dict, dict, dict]:
     """Compile ``im`` against ``df``: returns (flat_df, fields,
     composite_fields, planned) where ``flat_df`` carries one column
@@ -685,7 +709,8 @@ def map_table(
     def plan_for(dm: DocumentMapping):
         nested0: list = []
         plans = plan_document_mapping(schema, dm, im,
-                                      nested_out=nested0)
+                                      nested_out=nested0,
+                                      dynamic_maps_out=dynamic_maps_out)
         # key columns are the _id analogue: bleve's document DATA
         # never contains the external id (index.go:46-65 — id and data
         # are separate arguments), and _id is excluded from _all
@@ -999,7 +1024,10 @@ def index_with_mapping(
     index.go:55 / util.go scoring models)."""
     from bleve_spark.index.build import index_table
 
-    flat, fields, composite, planned = map_table(df, im, key_cols)
+    dynamic_maps: list = []
+    flat, fields, composite, planned = map_table(
+        df, im, key_cols, dynamic_maps_out=dynamic_maps
+    )
     # nested sub-documents: children are real docs keyed by
     # key_cols + _nested_ctx (the reference's "%s_$%s_$%d" child ids);
     # the searcher joins conjunctions on ctx prefixes and folds child
@@ -1035,6 +1063,13 @@ def index_with_mapping(
                 ) from None
     if syn_cols:
         kw.setdefault("synonym_collections", syn_cols)
+    if dynamic_maps:
+        from bleve_spark.index.build import _dynamic_map_postings
+
+        kw.setdefault("extra_postings", [
+            _dynamic_map_postings(flat, key_cols, path, an)
+            for path, an in dynamic_maps
+        ])
     idx = index_table(
         flat,
         key_cols,
@@ -1044,6 +1079,26 @@ def index_with_mapping(
         composite_fields=composite or None,
         **kw,
     )
+    if dynamic_maps:
+        # match queries against runtime keys ("attrs.color") resolve
+        # their analyzer through the mapping default chain, exactly
+        # like AnalyzerNameForPath on an unmapped path
+        class _FieldAnalyzers(dict):
+            def __init__(self, base, default):
+                super().__init__(base)
+                self._default = default
+
+            def get(self, k, d=None):
+                if k in self:
+                    return super().get(k)
+                return self._default if self._default else d
+
+        custom0 = im.custom_analyzers()
+        dflt = custom0.get(im.default_analyzer, im.default_analyzer)
+        idx.field_analyzers = _FieldAnalyzers(
+            idx.field_analyzers, dflt
+        )
+        idx.dynamic_map_fields = dict(dynamic_maps)
     # QUERY-time analyzer for the composite resolves through the
     # mapping like any other path: AnalyzerNameForPath("_all") finds
     # no field mapping and falls through the default-analyzer chain to

@@ -663,3 +663,59 @@ def test_incremental_indexer_with_mapping(spark, tmp_path):
     # both-of-fields() raises when neither/both config given
     with pytest.raises(ValueError, match="exactly one"):
         IncrementalIndexer(root, ["doc_id"])
+
+
+def test_dynamic_map_runtime_keys(spark):
+    """Dynamic mapping over a MapType column: runtime keys become
+    searchable fields via exploded postings (the Spark analogue of
+    mapping/document.go:425 reflection over JSON objects); the
+    analyzer for an unmapped runtime path resolves through the
+    mapping default chain."""
+    from bleve_spark.index.mapping import (
+        IndexMapping,
+        index_with_mapping,
+    )
+    from bleve_spark.search.searcher import search_df
+
+    df = spark.createDataFrame(
+        [(1, "quick fox", {"color": "red", "size": "big"}),
+         (2, "lazy dog", {"color": "red blue",
+                          "topic": "spark engine"}),
+         (3, "fox den", {"size": "small"})],
+        "doc_id int, text string, attrs map<string,string>",
+    )
+    im = IndexMapping.from_dict({
+        "scoring_model": "bm25",
+        "default_mapping": {
+            "dynamic": True,
+            "properties": {"text": {"fields": [{"type": "text"}]}},
+        },
+    })
+    idx = index_with_mapping(df, ["doc_id"], im, persist=True)
+    dyn_fields = {
+        r["field"]
+        for r in idx.dictionary.select("field").distinct().collect()
+    }
+    assert {"attrs.color", "attrs.size", "attrs.topic"} <= dyn_fields
+
+    got = [r["doc_id"] for r in search_df(
+        idx, {"field": "attrs.color", "term": "red"}, size=10
+    ).collect()]
+    assert sorted(got) == [1, 2]
+    # multi-token value analyzed with the default analyzer
+    got = [r["doc_id"] for r in search_df(
+        idx, {"field": "attrs.topic", "match": "spark"}, size=10
+    ).collect()]
+    assert got == [2]
+    # per-entry field length: doc 1's color has 1 token (norm 1),
+    # doc 2's has 2 (norm 1/sqrt(2)) → doc 1 scores higher
+    rows = search_df(idx, {"field": "attrs.color", "term": "red"},
+                     size=10).collect()
+    by_id = {r["doc_id"]: r["score"] for r in rows}
+    assert by_id[1] > by_id[2]
+    # composes with static fields in a conjunction
+    got = [r["doc_id"] for r in search_df(
+        idx, {"conjuncts": [{"field": "text", "match": "fox"},
+                            {"field": "attrs.color", "term": "red"}]},
+        size=10).collect()]
+    assert got == [1]
