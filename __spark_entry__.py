@@ -3454,6 +3454,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             {"field": "attrs.color", "term": "red"},
         )
 
+    def q_mapping_numeric_array(spark, sf):
+        """array<numeric> number field through the mapping layer: the
+        range matches when ANY element qualifies (one numeric field
+        instance per element, document.go:480-511 array walk) —
+        compiled to a native EXISTS over the array column. Constant-
+        scored; oracle recomputes membership from the same closed-form
+        arrays."""
+        from bleve_spark.index.mapping import (
+            IndexMapping,
+            index_with_mapping,
+        )
+
+        key = (spark.sparkContext.applicationId, "numeric-array", sf)
+        if key not in _INDEX_CACHE:
+            df = (
+                spark.read.parquet(f"{sf}/documents.parquet")
+                .select(
+                    "doc_id", "text",
+                    F.array(
+                        (F.col("doc_id") % 7).cast("double"),
+                        (F.col("doc_id") % 13).cast("double"),
+                    ).alias("scores"),
+                )
+            )
+            im = IndexMapping.from_dict({
+                "scoring_model": "bm25",
+                "default_mapping": {"properties": {
+                    "text": {"fields": [
+                        {"type": "text", "include_in_all": False}]},
+                    "scores": {"fields": [
+                        {"type": "number",
+                         "include_in_all": False}]},
+                }},
+            })
+            _INDEX_CACHE[key] = index_with_mapping(
+                df, ["doc_id"], im, persist=True
+            )
+        from bleve_spark.search.searcher import compile_query
+
+        return (
+            compile_query(
+                _INDEX_CACHE[key],
+                {"field": "scores", "min": 5.0, "max": 7.0},
+            )
+            .select("doc_id")
+            .orderBy("doc_id")
+        )
+
     def multimodal_png_decode(spark, sf):
         """REAL PNG decode end-to-end (functions/png.py: stdlib zlib
         inflate + per-row unfilter, all five filter types exercised
@@ -3534,6 +3582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_mapping_nested_array": q_mapping_nested_array,
             "q_mapping_update": q_mapping_update,
             "q_mapping_dynamic_map": q_mapping_dynamic_map,
+            "q_mapping_numeric_array": q_mapping_numeric_array,
             "q_knn_request": q_knn_request,
             "q_mapping_geo_bbox": q_mapping_geo_bbox,
             "q_ip_range": q_ip_range,
@@ -3728,6 +3777,10 @@ def oracle_sql() -> dict[str, str]:
         "q_mapping_array_tags": _sql_mapping_tags(),
         "q_mapping_custom_ngram": _sql_mapping_custom_ngram(),
         "q_mapping_nested_array": _NESTED_ORACLE,
+        "q_mapping_numeric_array": """
+SELECT doc_id FROM documents
+WHERE (doc_id % 7 BETWEEN 5 AND 6) OR (doc_id % 13 BETWEEN 5 AND 6)
+ORDER BY doc_id""",
         "q_mapping_dynamic_map": """
 WITH docs AS (SELECT doc_id FROM documents),
 ndocs AS (SELECT count(*) AS n FROM docs),

@@ -430,11 +430,12 @@ def plan_document_mapping(
         kind = _spark_kind(dtype)
         if kind is None:
             return
-        if is_array and kind != "text":
-            # v1 limitation: numeric/bool/datetime ARRays would need
-            # array-aware range predicates (bleve emits one numeric
-            # field instance per element); text arrays are the case
-            # real corpora hit (tags, authors)
+        if is_array and kind not in ("text", "number"):
+            # boolean/datetime ARRays stay unplanned (rare); text
+            # arrays index per element (same-name instances), numeric
+            # arrays (r4) keep the array column and range predicates
+            # compile to native EXISTS over the elements — bleve's
+            # one-numeric-field-instance-per-element semantics
             return
         exact, closest = dm.mapping_for_path(path)
         if exact is not None and not exact.enabled:
@@ -896,6 +897,12 @@ def map_table(
                 ref = by_name[n]
                 if ref.is_array and ref.ftype == "text":
                     null_t = "array<string>"
+                elif ref.is_array and ref.ftype == "number":
+                    null_t = (
+                        "array<"
+                        + num_dtype.get(n, T.DoubleType()).simpleString()
+                        + ">"
+                    )
                 elif ref.ftype == "number":
                     null_t = num_dtype.get(
                         n, T.DoubleType()
@@ -910,6 +917,11 @@ def map_table(
                     e = e.cast("string")
                 elif p.ftype == "text" and p.is_array:
                     e = e.cast("array<string>")
+                elif p.ftype == "number" and p.is_array:
+                    e = e.cast(
+                        "array<" + num_dtype[p.name].simpleString()
+                        + ">"
+                    )
                 elif p.ftype == "number":
                     e = e.cast(num_dtype[p.name].simpleString())
                 elif p.ftype == "datetime":
@@ -1002,8 +1014,11 @@ def map_table(
             if p.include_in_all and p.index
             # geo fields' cell/morton terms are not modeled as _all
             # TOKENS (their _all queries take the member-wise
-            # fallback in the searcher); vectors never carry terms
+            # fallback in the searcher); vectors never carry terms;
+            # numeric ARRAYS are excluded (the trie-term member
+            # machinery is scalar — documented)
             and p.ftype not in ("geoshape", "geopoint", "vector")
+            and not (p.is_array and p.ftype == "number")
         ]
         if members:
             composite[im.default_field] = members

@@ -1121,18 +1121,34 @@ class Compiler:
         f = self._field(q)
 
         def df_fn(ctx, q=q, f=f):
+            from pyspark.sql import types as T
+
             src = ctx.idx.source
-            c = qcol(f)
-            pred = F.lit(True)
-            if q.min is not None:
-                pred = pred & (
-                    c >= q.min if q.inclusive_min else c > q.min
+
+            def elem_pred(c):
+                pred = F.lit(True)
+                if q.min is not None:
+                    pred = pred & (
+                        c >= q.min if q.inclusive_min else c > q.min
+                    )
+                if q.max is not None:
+                    pred = pred & (
+                        c <= q.max if q.inclusive_max else c < q.max
+                    )
+                return pred
+
+            try:
+                is_arr = isinstance(
+                    src.schema[f].dataType, T.ArrayType
                 )
-            if q.max is not None:
-                pred = pred & (
-                    c <= q.max if q.inclusive_max else c < q.max
-                )
-            return src.where(pred)
+            except KeyError:
+                is_arr = False
+            if is_arr:
+                # numeric ARRAY field: bleve emits one numeric field
+                # instance per element — a range matches if ANY
+                # element satisfies it. Native EXISTS, codegen-able.
+                return src.where(F.exists(qcol(f), elem_pred))
+            return src.where(elem_pred(qcol(f)))
 
         return SConst(df_fn, q.boost, self._field(q))
 

@@ -719,3 +719,37 @@ def test_dynamic_map_runtime_keys(spark):
                             {"field": "attrs.color", "term": "red"}]},
         size=10).collect()]
     assert got == [1]
+
+
+def test_numeric_array_range(spark):
+    """array<numeric> mapped number fields: a range matches when ANY
+    element satisfies it (bleve emits one numeric field instance per
+    element) — compiled to a native EXISTS over the array."""
+    from bleve_spark.index.mapping import (
+        IndexMapping,
+        index_with_mapping,
+    )
+    from bleve_spark.search.searcher import search_df
+
+    df = spark.createDataFrame(
+        [(1, "a", [1.5, 9.0]), (2, "b", [3.0]),
+         (3, "c", [12.0, 20.0]), (4, "d", [])],
+        "doc_id int, text string, ratings array<double>",
+    )
+    im = IndexMapping.from_dict({
+        "scoring_model": "bm25",
+        "default_mapping": {"properties": {
+            "text": {"fields": [{"type": "text"}]},
+            "ratings": {"fields": [{"type": "number"}]},
+        }},
+    })
+    idx = index_with_mapping(df, ["doc_id"], im, persist=True)
+
+    def ids(q):
+        return sorted(
+            r["doc_id"] for r in search_df(idx, q, size=10).collect()
+        )
+
+    assert ids({"field": "ratings", "min": 8.0}) == [1, 3]
+    assert ids({"field": "ratings", "min": 2.0, "max": 4.0}) == [2]
+    assert ids({"field": "ratings", "max": 2.0}) == [1]
