@@ -1129,3 +1129,61 @@ def index_with_mapping(
         idx.nested_chains = nested_chains
         idx.root_key_cols = root_keys
     return idx
+
+
+def index_with_mapping_at_rest(
+    df: DataFrame,
+    key_cols: list[str],
+    im: IndexMapping,
+    root: str,
+    spark=None,
+    n_segments: int = 8,
+    scoring: str | None = None,
+    persist: bool = True,
+):
+    """Index ``df`` through an IndexMapping into AT-REST segments and
+    return the segment-backed IndexedTable — the durable twin of
+    :func:`index_with_mapping`. nested:true child rows are real docs
+    in the segments (keyed by key_cols + `_nested_ctx`), so nested
+    conjunctions and root-folding work identically from segment
+    postings. Dynamic MapType columns are NOT built at rest
+    (documented; use the in-memory path)."""
+    from bleve_spark.index.segments import SegmentStore, build_segments
+
+    spark = spark or df.sparkSession
+    dynamic_maps: list = []
+    flat, fields, composite, planned = map_table(
+        df, im, key_cols, dynamic_maps_out=dynamic_maps
+    )
+    if dynamic_maps:
+        raise NotImplementedError(
+            "dynamic MapType fields are not supported on the at-rest "
+            "segment path"
+        )
+    nested_chains = {
+        n: p.nested_chain for n, p in planned.items() if p.nested_chain
+    }
+    root_keys = list(key_cols)
+    keys_eff = list(key_cols)
+    if nested_chains:
+        keys_eff = [*key_cols, "_nested_ctx"]
+        flat = flat.localCheckpoint(eager=True)
+    build_segments(
+        flat, keys_eff, fields, root, n_segments=n_segments,
+        composite_fields=composite or None,
+    )
+    idx = SegmentStore(spark, root).to_indexed_table(
+        flat, keys_eff, fields,
+        scoring=scoring or (im.scoring_model or "tfidf"),
+        persist=persist,
+    )
+    custom = im.custom_analyzers()
+    for cname in composite:
+        an = im.analyzer_name_for_path(cname)
+        idx.field_analyzers[cname] = custom.get(an, an)
+    idx.mapping = im
+    idx.planned_fields = planned
+    if nested_chains:
+        idx.nested_chains = nested_chains
+        idx.root_key_cols = root_keys
+    return idx

@@ -233,3 +233,46 @@ def test_hits_are_roots_with_clean_ids(nidx):
     ids = sorted(h["id"] for h in res["hits"])
     assert ids == ["doc1", "doc2", "doc3"]
     assert all(h["score"] > 0 for h in res["hits"])
+
+
+def test_nested_at_rest_matches_in_memory(nidx, spark, tmp_path):
+    """The segment (at-rest) path indexes nested child rows as real
+    docs; nested conjunctions and root folding produce EXACTLY the
+    in-memory results (ids and scores)."""
+    from bleve_spark.index.mapping import (
+        IndexMapping,
+        index_with_mapping_at_rest,
+    )
+    from bleve_spark.search.searcher import search_df
+
+    df = _corpus(spark)
+    im = IndexMapping.from_dict(MAPPING)
+    at_rest = index_with_mapping_at_rest(
+        df, ["doc_id"], im, str(tmp_path / "segs"), n_segments=2
+    )
+    assert at_rest.stats.doc_count == 39
+    queries = [
+        {"conjuncts": [
+            _m("company.departments.name", "Engineering"),
+            {"field": "company.departments.budget", "min": 800000.0},
+        ]},
+        {"conjuncts": [
+            _m("company.departments.employees.name", "Eve"),
+            _m("company.departments.projects.status", "completed"),
+        ]},
+        {"conjuncts": [
+            {"conjuncts": [_m("company.locations.country", "USA"),
+                           _m("company.locations.city", "Athens")]},
+            _m("company.departments.name", "Engineering"),
+        ]},
+    ]
+    for q in queries:
+        mem = sorted(
+            (r["doc_id"], round(r["score"], 6))
+            for r in search_df(nidx, q, size=10).collect()
+        )
+        rest = sorted(
+            (r["doc_id"], round(r["score"], 6))
+            for r in search_df(at_rest, q, size=10).collect()
+        )
+        assert rest == mem, (q, mem, rest)
