@@ -430,12 +430,12 @@ def plan_document_mapping(
         kind = _spark_kind(dtype)
         if kind is None:
             return
-        if is_array and kind not in ("text", "number"):
-            # boolean/datetime ARRays stay unplanned (rare); text
-            # arrays index per element (same-name instances), numeric
+        if is_array and kind not in ("text", "number", "datetime"):
+            # boolean ARRays stay unplanned (rare); text arrays index
+            # per element (same-name instances), numeric/datetime
             # arrays (r4) keep the array column and range predicates
             # compile to native EXISTS over the elements — bleve's
-            # one-numeric-field-instance-per-element semantics
+            # one-field-instance-per-element semantics
             return
         exact, closest = dm.mapping_for_path(path)
         if exact is not None and not exact.enabled:
@@ -903,6 +903,8 @@ def map_table(
                         + num_dtype.get(n, T.DoubleType()).simpleString()
                         + ">"
                     )
+                elif ref.is_array and ref.ftype == "datetime":
+                    null_t = "array<timestamp>"
                 elif ref.ftype == "number":
                     null_t = num_dtype.get(
                         n, T.DoubleType()
@@ -922,6 +924,24 @@ def map_table(
                         "array<" + num_dtype[p.name].simpleString()
                         + ">"
                     )
+                elif p.ftype == "datetime" and p.is_array:
+                    if p.src_kind == "datetime":
+                        e = e.cast("array<timestamp>")
+                    else:
+                        pats = date_parsers.get(p.date_format)
+                        if pats:
+                            e = F.transform(
+                                e.cast("array<string>"),
+                                lambda s: F.coalesce(*[
+                                    F.try_to_timestamp(s, F.lit(pt))
+                                    for pt in pats
+                                ]),
+                            )
+                        else:
+                            e = F.transform(
+                                e.cast("array<string>"),
+                                F.try_to_timestamp,
+                            )
                 elif p.ftype == "number":
                     e = e.cast(num_dtype[p.name].simpleString())
                 elif p.ftype == "datetime":

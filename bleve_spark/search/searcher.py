@@ -1363,18 +1363,32 @@ class Compiler:
         end = _parse_dt(q.end)
 
         def df_fn(ctx, q=q, f=f, start=start, end=end):
+            from pyspark.sql import types as T
+
             src = ctx.idx.source
-            c = qcol(f)
-            pred = F.lit(True)
-            if start is not None:
-                pred = pred & (
-                    c >= start if q.inclusive_start else c > start
+
+            def elem_pred(c):
+                pred = F.lit(True)
+                if start is not None:
+                    pred = pred & (
+                        c >= start if q.inclusive_start else c > start
+                    )
+                if end is not None:
+                    pred = pred & (
+                        c <= end if q.inclusive_end else c < end
+                    )
+                return pred
+
+            try:
+                is_arr = isinstance(
+                    src.schema[f].dataType, T.ArrayType
                 )
-            if end is not None:
-                pred = pred & (
-                    c <= end if q.inclusive_end else c < end
-                )
-            return src.where(pred)
+            except KeyError:
+                is_arr = False
+            if is_arr:
+                # datetime ARRAY field: one instance per element
+                return src.where(F.exists(qcol(f), elem_pred))
+            return src.where(elem_pred(qcol(f)))
 
         return SConst(df_fn, q.boost, self._field(q))
 

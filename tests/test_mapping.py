@@ -753,3 +753,36 @@ def test_numeric_array_range(spark):
     assert ids({"field": "ratings", "min": 8.0}) == [1, 3]
     assert ids({"field": "ratings", "min": 2.0, "max": 4.0}) == [2]
     assert ids({"field": "ratings", "max": 2.0}) == [1]
+
+
+def test_datetime_array_range(spark):
+    """array<timestamp> (and parsed array<string>) datetime fields:
+    range matches when ANY element is in range — native EXISTS."""
+    import datetime as dt
+
+    from bleve_spark.index.mapping import (
+        IndexMapping,
+        index_with_mapping,
+    )
+    from bleve_spark.search.searcher import search_df
+
+    t = dt.datetime
+    df = spark.createDataFrame(
+        [(1, "a", [t(2020, 1, 1), t(2023, 6, 1)]),
+         (2, "b", [t(2021, 3, 1)]),
+         (3, "c", [t(2025, 1, 1)])],
+        "doc_id int, text string, seen array<timestamp>",
+    )
+    im = IndexMapping.from_dict({
+        "scoring_model": "bm25",
+        "default_mapping": {"properties": {
+            "text": {"fields": [{"type": "text"}]},
+            "seen": {"fields": [{"type": "datetime"}]},
+        }},
+    })
+    idx = index_with_mapping(df, ["doc_id"], im, persist=True)
+    got = sorted(r["doc_id"] for r in search_df(
+        idx, {"field": "seen", "start": "2021-01-01",
+              "end": "2024-01-01"}, size=10
+    ).collect())
+    assert got == [1, 2]
