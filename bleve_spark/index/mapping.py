@@ -1038,7 +1038,7 @@ def map_table(
             # numeric ARRAYS are excluded (the trie-term member
             # machinery is scalar — documented)
             and p.ftype not in ("geoshape", "geopoint", "vector")
-            and not (p.is_array and p.ftype == "number")
+            and not (p.is_array and p.ftype in ("number", "datetime"))
         ]
         if members:
             composite[im.default_field] = members
