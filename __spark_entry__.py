@@ -3502,6 +3502,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
         )
 
+    def dedup_components(spark, sf):
+        """Candidate pairs → connected COMPONENTS (node, component =
+        min node of its cluster) — the step between LSH pairs and
+        "keep one doc per cluster" in a real dedup pipeline. Min-label
+        propagation with per-round lineage cuts (LSH clusters are
+        near-cliques → tiny diameter; see functions/dedup.py). Oracle:
+        DuckDB recursive transitive closure over the SAME minhash
+        pairs."""
+        from bleve_spark.functions.dedup import (
+            connected_components,
+            minhash_lsh_pairs,
+        )
+
+        df = spark.read.parquet(f"{sf}/documents.parquet")
+        pairs = minhash_lsh_pairs(df, "text", "doc_id")
+        return (
+            connected_components(pairs)
+            .select("node", "component")
+            .orderBy("node")
+        )
+
     def multimodal_png_decode(spark, sf):
         """REAL PNG decode end-to-end (functions/png.py: stdlib zlib
         inflate + per-row unfilter, all five filter types exercised
@@ -3583,6 +3604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_mapping_update": q_mapping_update,
             "q_mapping_dynamic_map": q_mapping_dynamic_map,
             "q_mapping_numeric_array": q_mapping_numeric_array,
+            "dedup_components": dedup_components,
             "q_knn_request": q_knn_request,
             "q_mapping_geo_bbox": q_mapping_geo_bbox,
             "q_ip_range": q_ip_range,
@@ -3777,6 +3799,22 @@ def oracle_sql() -> dict[str, str]:
         "q_mapping_array_tags": _sql_mapping_tags(),
         "q_mapping_custom_ngram": _sql_mapping_custom_ngram(),
         "q_mapping_nested_array": _NESTED_ORACLE,
+        "dedup_components": (
+            "WITH RECURSIVE p AS (" + _minhash_pairs_sql() + "), "
+            """e(src, dst) AS (
+  SELECT key_a, key_b FROM p UNION SELECT key_b, key_a FROM p
+),
+reach(a, b) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src
+  WHERE e.dst <> r.a
+)
+SELECT n.node, least(n.node, coalesce(min(r.b), n.node)) AS component
+FROM (SELECT DISTINCT src AS node FROM e) n
+LEFT JOIN reach r ON r.a = n.node
+GROUP BY n.node ORDER BY n.node"""
+        ),
         "q_mapping_numeric_array": """
 SELECT doc_id FROM documents
 WHERE (doc_id % 7 BETWEEN 5 AND 6) OR (doc_id % 13 BETWEEN 5 AND 6)

@@ -447,3 +447,62 @@ def embedding_cosine_pairs(
         )
     )
     return cand.where(F.col("cosine") >= threshold)
+
+
+def connected_components(
+    pairs: DataFrame,
+    a: str = "key_a",
+    b: str = "key_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node in the candidate-pair graph,
+    component = MIN node id of its connected component — the step a
+    real dedup pipeline needs between LSH candidate PAIRS and "keep
+    one doc per cluster".
+
+    Min-label propagation with a lineage cut per round: each round is
+    one join + groupBy(min), converging in O(graph diameter) rounds.
+    Near-dup clusters from LSH banding are near-cliques (every member
+    collides with most others), so the diameter is tiny — 2-4 rounds
+    in practice — which makes propagation the right scale choice over
+    the log-n star algorithms and their extra shuffles per round. The
+    localCheckpoint keeps Catalyst from re-analyzing an O(rounds)-deep
+    plan (and bounds recovery lineage); convergence is detected with a
+    changed-label count, one tiny aggregate per round."""
+    edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    edges = (
+        edges.union(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels, edges["src"] == labels["node"]
+        ).select(F.col("dst").alias("node"), F.col("component"))
+        new = (
+            labels.select("node", "component")
+            .union(prop)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels

@@ -118,3 +118,50 @@ def test_phrase_path_matches_bruteforce(pos_lists, slop):
         return False
 
     assert _find_phrase_path(arrays, gaps, slop) == brute()
+
+
+def test_connected_components_property(spark):
+    """Random graphs: propagation components match a NetworkX-free
+    union-find reference."""
+    import random
+
+    from bleve_spark.functions.dedup import connected_components
+
+    rng = random.Random(11)
+    for trial in range(3):
+        n = 40
+        edges = [(rng.randrange(n), rng.randrange(n))
+                 for _ in range(30)]
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {}
+        nodes = {x for e in edges for x in e}
+        for x in nodes:
+            expected[x] = find(x)
+        # canonicalize to min member per component
+        comp_min = {}
+        for x, r in expected.items():
+            comp_min.setdefault(r, x)
+            comp_min[r] = min(comp_min[r], x)
+        expected = {x: comp_min[find(x)] for x in nodes}
+
+        pairs = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in edges],
+            "key_a long, key_b long",
+        )
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(pairs).collect()
+        }
+        assert got == expected, (trial, got, expected)
