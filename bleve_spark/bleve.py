@@ -167,6 +167,56 @@ class Index:
         b.delete(id)
         self.batch(b)
 
+    def index_synonym(self, id: str, collection: str,
+                      definition: dict) -> None:
+        """index_impl.go:336 IndexSynonym: a SynonymDefinition
+        ({"input": [...], "synonyms": [...]}, input optional →
+        bidirectional) indexed INTO the index under ``collection``;
+        it persists next to the docs (same generation liveness:
+        re-indexing an id replaces it) and fields wired to a synonym
+        source with that collection expand through it at query time."""
+        self._check_open()
+        if not id:
+            raise ValueError("synonym document: empty id")
+        syns = definition.get("synonyms") or []
+        if not syns:
+            raise ValueError("synonym definition: empty synonyms")
+        gen = self._next_gen()
+        row = json.dumps({
+            "_syn_id": str(id), "collection": collection,
+            "input": list(definition.get("input") or []),
+            "synonyms": list(syns), "_gen": gen,
+        })
+        self._spark.read.json(
+            self._spark.sparkContext.parallelize([row])
+        ).write.mode("append").option("mergeSchema", "true").parquet(
+            os.path.join(self.path, "synonyms")
+        )
+        self._idx = None
+
+    def _live_synonym_defs(self):
+        d = os.path.join(self.path, "synonyms")
+        if not os.path.isdir(d):
+            return {}
+        from pyspark.sql.window import Window
+
+        df = self._spark.read.option("mergeSchema", "true").parquet(d)
+        w = Window.partitionBy("_syn_id").orderBy(
+            F.col("_gen").desc()
+        )
+        rows = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .collect()
+        )
+        by_coll: dict[str, list] = {}
+        for r in rows:
+            by_coll.setdefault(r["collection"], []).append({
+                "input": list(r["input"] or []),
+                "synonyms": list(r["synonyms"] or []),
+            })
+        return by_coll
+
     def _next_gen(self) -> int:
         gp = os.path.join(self.path, "gen.txt")
         g = 0
@@ -235,7 +285,31 @@ class Index:
             docs = self._live_docs()
             if docs is None:
                 raise ValueError("index is empty — nothing indexed yet")
-            self._idx = index_with_mapping(docs, [_ID], self._mapping)
+            kw = {}
+            by_coll = self._live_synonym_defs()
+            if by_coll:
+                from bleve_spark.index.thesaurus import (
+                    build_thesaurus,
+                    merge_thesauri,
+                )
+
+                ss_cfg = (self._mapping.analysis or {}).get(
+                    "synonym_sources"
+                ) or {}
+                dfs = []
+                for coll, defs in by_coll.items():
+                    an = "standard"
+                    for cfg in ss_cfg.values():
+                        if cfg.get("collection") == coll:
+                            an = cfg.get("analyzer") or "standard"
+                    dfs.append(build_thesaurus(
+                        self._spark, defs, analyzer=an,
+                        collection=coll,
+                    ))
+                kw["thesaurus"] = merge_thesauri(dfs)
+            self._idx = index_with_mapping(
+                docs, [_ID], self._mapping, **kw
+            )
         return self._idx
 
     def search(self, req: dict) -> dict:
@@ -357,6 +431,41 @@ class Index:
             "field_cardinality": dict(idx.stats.field_cardinality),
             "scoring": idx.stats.scoring,
         }
+
+    def set_internal(self, key: str, val: str) -> None:
+        """index_impl.go:1372 SetInternal — app-level KV riding inside
+        the index directory (file-per-key; last write wins)."""
+        self._check_open()
+        d = os.path.join(self.path, "internal")
+        os.makedirs(d, exist_ok=True)
+        import hashlib as _h
+
+        fn = _h.sha256(key.encode()).hexdigest()[:32] + ".json"
+        with _open(os.path.join(d, fn), "w") as f:
+            f.write(json.dumps({"k": key, "v": val}))
+
+    def get_internal(self, key: str) -> str | None:
+        """index_impl.go:1347 GetInternal."""
+        self._check_open()
+        import hashlib as _h
+
+        fn = _h.sha256(key.encode()).hexdigest()[:32] + ".json"
+        p = os.path.join(self.path, "internal", fn)
+        if not os.path.exists(p):
+            return None
+        with _open(p) as f:
+            d = json.load(f)
+        return d["v"] if d.get("k") == key else None
+
+    def delete_internal(self, key: str) -> None:
+        """index_impl.go:1383 DeleteInternal."""
+        self._check_open()
+        import hashlib as _h
+
+        fn = _h.sha256(key.encode()).hexdigest()[:32] + ".json"
+        p = os.path.join(self.path, "internal", fn)
+        if os.path.exists(p):
+            os.remove(p)
 
     def name(self) -> str:
         return os.path.basename(self.path.rstrip("/"))

@@ -200,3 +200,45 @@ def test_sort_branch_reports_true_total(tmp_path, spark):
     assert res["total_hits"] == 7
     assert len(res["hits"]) == 2
     idx.close()
+
+
+def test_index_synonym_and_internal_kv(tmp_path, spark):
+    """IndexSynonym (index_impl.go:336): synonym definitions indexed
+    into the index expand wired fields at query time; plus the
+    internal KV (Get/Set/DeleteInternal)."""
+    import bleve_spark.bleve as bleve
+
+    mapping = {
+        "analysis": {"synonym_sources": {
+            "mysrc": {"collection": "c1", "analyzer": "standard"},
+        }},
+        "default_mapping": {"properties": {
+            "text": {"fields": [{"type": "text",
+                                 "synonym_source": "mysrc"}]},
+        }},
+    }
+    idx = bleve.new(str(tmp_path / "syn"), mapping, spark=spark)
+    b = bleve.Batch()
+    b.index("d1", {"text": "the quick brown fox"})
+    b.index("d2", {"text": "a slow red panda"})
+    idx.batch(b)
+    # before the synonym doc: no match for 'fast'
+    res = idx.search({"query": {"field": "text", "match": "fast"}})
+    assert res["total_hits"] == 0
+    idx.index_synonym("s1", "c1",
+                      {"synonyms": ["quick", "fast", "rapid"]})
+    res = idx.search({"query": {"field": "text", "match": "fast"}})
+    assert res["total_hits"] == 1
+    assert res["hits"][0]["id"] == "d1"
+    # re-indexing the same synonym id REPLACES the definition
+    idx.index_synonym("s1", "c1", {"synonyms": ["slow", "fast"]})
+    res = idx.search({"query": {"field": "text", "match": "fast"}})
+    assert [h["id"] for h in res["hits"]] == ["d2"]
+
+    idx.set_internal("checkpoint", "42")
+    assert idx.get_internal("checkpoint") == "42"
+    idx.set_internal("checkpoint", "43")
+    assert idx.get_internal("checkpoint") == "43"
+    idx.delete_internal("checkpoint")
+    assert idx.get_internal("checkpoint") is None
+    idx.close()
