@@ -430,13 +430,15 @@ def plan_document_mapping(
         kind = _spark_kind(dtype)
         if kind is None:
             return
-        if is_array and kind not in ("text", "number", "datetime"):
-            # boolean ARRays stay unplanned (rare); text arrays index
-            # per element (same-name instances), numeric/datetime
-            # arrays (r4) keep the array column and range predicates
-            # compile to native EXISTS over the elements — bleve's
-            # one-field-instance-per-element semantics
-            return
+        if is_array and kind == "boolean":
+            # boolean arrays: match via native EXISTS like numeric /
+            # datetime arrays (bool_field queries check the column
+            # type); no postings needed
+            pass
+        # text arrays index per element (same-name instances);
+        # numeric/datetime/boolean arrays (r4) keep the array column
+        # and predicates compile to native EXISTS over the elements —
+        # bleve's one-field-instance-per-element semantics
         exact, closest = dm.mapping_for_path(path)
         if exact is not None and not exact.enabled:
             return
@@ -905,6 +907,8 @@ def map_table(
                     )
                 elif ref.is_array and ref.ftype == "datetime":
                     null_t = "array<timestamp>"
+                elif ref.is_array and ref.ftype == "boolean":
+                    null_t = "array<boolean>"
                 elif ref.ftype == "number":
                     null_t = num_dtype.get(
                         n, T.DoubleType()
@@ -924,6 +928,8 @@ def map_table(
                         "array<" + num_dtype[p.name].simpleString()
                         + ">"
                     )
+                elif p.ftype == "boolean" and p.is_array:
+                    e = e.cast("array<boolean>")
                 elif p.ftype == "datetime" and p.is_array:
                     if p.src_kind == "datetime":
                         e = e.cast("array<timestamp>")
@@ -1022,6 +1028,14 @@ def map_table(
         for n, p in by_name.items()
         if p.ftype == "text" and p.index
     }
+    # scalar BOOLEAN fields index a single T/F term
+    # (document/field_boolean.go) through the boolean analyzer, so
+    # bool_field queries resolve via postings like every term query;
+    # boolean ARRAYS match via EXISTS instead (searcher handles the
+    # array dtype)
+    for n, p in by_name.items():
+        if p.ftype == "boolean" and p.index and not p.is_array:
+            fields.setdefault(n, "boolean")
     if not fields:
         raise ValueError("mapping plans no indexed text field")
     # _all membership: include_in_all fields of any type — numeric /
@@ -1038,7 +1052,8 @@ def map_table(
             # numeric ARRAYS are excluded (the trie-term member
             # machinery is scalar — documented)
             and p.ftype not in ("geoshape", "geopoint", "vector")
-            and not (p.is_array and p.ftype in ("number", "datetime"))
+            and not (p.is_array
+                     and p.ftype in ("number", "datetime", "boolean"))
         ]
         if members:
             composite[im.default_field] = members

@@ -1394,6 +1394,24 @@ class Compiler:
 
     def _r_BoolFieldQuery(self, q: Q.BoolFieldQuery) -> SNode:
         f = self._field(q)
+        from pyspark.sql import types as T
+
+        try:
+            dt = self.idx.source.schema[f].dataType
+        except KeyError:
+            dt = None
+        if isinstance(dt, T.ArrayType):
+            # boolean ARRAY: matches when any element equals the
+            # queried value (one instance per element); constant-
+            # scored native EXISTS — arrays carry no T/F postings
+            want = bool(q.bool_value)
+
+            def df_fn(ctx, f=f, want=want):
+                return ctx.idx.source.where(
+                    F.exists(qcol(f), lambda x: x == F.lit(want))
+                )
+
+            return SConst(df_fn, q.boost, f)
         term = "T" if q.bool_value else "F"
         return self._terms(f, [term], q.boost)[0]
 

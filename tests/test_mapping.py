@@ -786,3 +786,39 @@ def test_datetime_array_range(spark):
               "end": "2024-01-01"}, size=10
     ).collect())
     assert got == [1, 2]
+
+
+def test_boolean_scalar_and_array_fields(spark):
+    """Scalar boolean fields index a T/F term (field_boolean.go) and
+    resolve bool_field queries through postings; boolean ARRAYS match
+    via native EXISTS (any element equal)."""
+    from bleve_spark.index.mapping import (
+        IndexMapping,
+        index_with_mapping,
+    )
+    from bleve_spark.search.searcher import search_df
+
+    df = spark.createDataFrame(
+        [(1, "a", True, [True, False]), (2, "b", False, [False]),
+         (3, "c", True, [])],
+        "doc_id int, text string, ok boolean, flags array<boolean>",
+    )
+    im = IndexMapping.from_dict({
+        "scoring_model": "bm25",
+        "default_mapping": {"properties": {
+            "text": {"fields": [{"type": "text"}]},
+            "ok": {"fields": [{"type": "boolean"}]},
+            "flags": {"fields": [{"type": "boolean"}]},
+        }},
+    })
+    idx = index_with_mapping(df, ["doc_id"], im, persist=True)
+
+    def ids(q):
+        return sorted(
+            r["doc_id"] for r in search_df(idx, q, size=10).collect()
+        )
+
+    assert ids({"field": "ok", "bool": True}) == [1, 3]
+    assert ids({"field": "ok", "bool": False}) == [2]
+    assert ids({"field": "flags", "bool": True}) == [1]
+    assert ids({"field": "flags", "bool": False}) == [1, 2]
