@@ -3523,6 +3523,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("node")
         )
 
+    def q_mapping_bool_field(spark, sf):
+        """bool_field query over a MAPPED scalar boolean (single T/F
+        term through the boolean analyzer, field_boolean.go:130-138)
+        and a boolean ARRAY (native EXISTS, one instance per element).
+        Rows: (case, doc_id)."""
+        from bleve_spark.index.mapping import (
+            IndexMapping,
+            index_with_mapping,
+        )
+        from bleve_spark.search.searcher import compile_query
+
+        key = (spark.sparkContext.applicationId, "bool-field", sf)
+        if key not in _INDEX_CACHE:
+            df = (
+                spark.read.parquet(f"{sf}/documents.parquet")
+                .where("doc_id < 200")
+                .select(
+                    "doc_id", "text",
+                    (F.col("doc_id") % 2 == 0).alias("ok"),
+                    F.array(
+                        F.col("doc_id") % 3 == 0,
+                        F.col("doc_id") % 5 == 0,
+                    ).alias("flags"),
+                )
+            )
+            im = IndexMapping.from_dict({
+                "scoring_model": "bm25",
+                "default_mapping": {"properties": {
+                    "text": {"fields": [
+                        {"type": "text", "include_in_all": False}]},
+                    "ok": {"fields": [
+                        {"type": "boolean",
+                         "include_in_all": False}]},
+                    "flags": {"fields": [
+                        {"type": "boolean",
+                         "include_in_all": False}]},
+                }},
+            })
+            _INDEX_CACHE[key] = index_with_mapping(
+                df, ["doc_id"], im, persist=True
+            )
+        idx = _INDEX_CACHE[key]
+        scalar = compile_query(idx, {"field": "ok", "bool": True}) \
+            .select(F.lit("scalar_true").alias("case"), "doc_id")
+        arr = compile_query(idx, {"field": "flags", "bool": True}) \
+            .select(F.lit("array_any_true").alias("case"), "doc_id")
+        return scalar.unionByName(arr).orderBy("case", "doc_id")
+
     def multimodal_png_decode(spark, sf):
         """REAL PNG decode end-to-end (functions/png.py: stdlib zlib
         inflate + per-row unfilter, all five filter types exercised
@@ -3605,6 +3653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_mapping_dynamic_map": q_mapping_dynamic_map,
             "q_mapping_numeric_array": q_mapping_numeric_array,
             "dedup_components": dedup_components,
+            "q_mapping_bool_field": q_mapping_bool_field,
             "q_knn_request": q_knn_request,
             "q_mapping_geo_bbox": q_mapping_geo_bbox,
             "q_ip_range": q_ip_range,
@@ -3799,6 +3848,13 @@ def oracle_sql() -> dict[str, str]:
         "q_mapping_array_tags": _sql_mapping_tags(),
         "q_mapping_custom_ngram": _sql_mapping_custom_ngram(),
         "q_mapping_nested_array": _NESTED_ORACLE,
+        "q_mapping_bool_field": """
+SELECT 'array_any_true' AS "case", doc_id FROM documents
+WHERE doc_id < 200 AND (doc_id % 3 = 0 OR doc_id % 5 = 0)
+UNION ALL
+SELECT 'scalar_true', doc_id FROM documents
+WHERE doc_id < 200 AND doc_id % 2 = 0
+ORDER BY 1, 2""",
         "dedup_components": (
             "WITH RECURSIVE p AS (" + _minhash_pairs_sql() + "), "
             """e(src, dst) AS (
