@@ -474,6 +474,11 @@ def build_date_time_parsers(analysis_cfg: dict) -> dict[str, list[str]]:
             out[name] = [go_layout_to_spark(la) for la in layouts]
         elif t == "percentstyle":
             out[name] = [percent_layout_to_spark(la) for la in layouts]
+        elif t == "isostyle":
+            # analysis/datetime/iso: layouts ARE java
+            # DateTimeFormatter patterns — Spark's native dialect,
+            # passed through verbatim
+            out[name] = list(layouts)
         else:
             raise ValueError(
                 f"date parser {name!r}: unknown type {t!r}"

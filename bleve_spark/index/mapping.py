@@ -388,7 +388,10 @@ _COMPAT = {
     "text": {"text"},
     "number": {"number"},
     "boolean": {"boolean"},
-    "datetime": {"datetime", "text"},
+    # numeric sources are meaningful for datetime ONLY through the
+    # epoch parsers (unix_sec/milli/micro/nano); other formats
+    # stringify and fail to parse → index nothing, like the reference
+    "datetime": {"datetime", "text", "number"},
     "IP": {"text"},
 }
 
@@ -679,6 +682,13 @@ def _path_expr(path: list[str], base: str | None = None) -> F.Column:
     return col
 
 
+# analysis/datetime/timestamp registered names → epoch divisor
+_UNIX_PARSERS = {
+    "unix_sec": 1, "unix_milli": 1_000, "unix_micro": 1_000_000,
+    "unix_nano": 1_000_000_000,
+}
+
+
 def _all_disabled(dm: DocumentMapping) -> bool:
     # MapDocument checks documentMappingForPath("_all").Enabled
     # (mapping/index.go:390-396)
@@ -960,15 +970,32 @@ def map_table(
                         # the reference. date_format naming a custom
                         # date_time_parsers entry cascades ITS layouts
                         # (flexible.go ParseDateTime tries in order).
-                        s = e.cast("string")
-                        pats = date_parsers.get(p.date_format)
-                        if pats:
-                            e = F.coalesce(*[
-                                F.try_to_timestamp(s, F.lit(pt))
-                                for pt in pats
-                            ])
+                        if p.date_format in _UNIX_PARSERS:
+                            # analysis/datetime/timestamp: epoch
+                            # numbers at second/milli/micro/nano
+                            # resolution
+                            div = _UNIX_PARSERS[p.date_format]
+                            e = F.try_to_timestamp(
+                                F.from_unixtime(
+                                    F.try_divide(
+                                        e.cast("string")
+                                        .cast("double"),
+                                        F.lit(float(div)),
+                                    )
+                                )
+                            )
                         else:
-                            e = F.try_to_timestamp(s)
+                            s = e.cast("string")
+                            pats = date_parsers.get(p.date_format)
+                            if pats:
+                                e = F.coalesce(*[
+                                    F.try_to_timestamp(s, F.lit(pt))
+                                    for pt in pats
+                                ])
+                            else:
+                                # "" / "dateTimeOptional": the
+                                # default flexible layout set
+                                e = F.try_to_timestamp(s)
                 cols.append(e.alias(n))
         return cols
 

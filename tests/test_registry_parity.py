@@ -229,3 +229,49 @@ def test_cjk_standalone_filters():
     b = builtin_token_filter("cjk_bigram")
     assert b.apply_terms(["数", "据", "系", "统"]) == ["数据", "据系", "系统"]
     assert b.apply_terms(["数", "spark", "据"]) == ["数", "spark", "据"]
+
+
+def test_reference_datetime_parser_names():
+    """analysis/datetime/*: flexiblego / sanitizedgo / percentstyle /
+    isostyle compile through build_date_time_parsers; dateTimeOptional
+    is the default; unix_sec/milli/micro/nano are built-in
+    date_format names in the mapping layer."""
+    from bleve_spark.analysis.custom import build_date_time_parsers
+    from bleve_spark.index.mapping import _UNIX_PARSERS
+
+    out = build_date_time_parsers({"date_time_parsers": {
+        "a": {"type": "flexiblego", "layouts": ["2006-01-02"]},
+        "b": {"type": "sanitizedgo", "layouts": ["2006/01/02"]},
+        "c": {"type": "percentstyle", "layouts": ["%Y-%m-%d"]},
+        "d": {"type": "isostyle", "layouts": ["yyyy-MM-dd HH:mm"]},
+    }})
+    assert out["a"] == ["yyyy-MM-dd"]
+    assert out["c"] == ["yyyy-MM-dd"]
+    assert out["d"] == ["yyyy-MM-dd HH:mm"]
+    assert set(_UNIX_PARSERS) == {
+        "unix_sec", "unix_milli", "unix_micro", "unix_nano",
+    }
+
+
+def test_unix_timestamp_date_format(spark):
+    from bleve_spark.index.mapping import (
+        IndexMapping,
+        index_with_mapping,
+    )
+    from bleve_spark.search.searcher import search_df
+
+    df = spark.createDataFrame(
+        [(1, "a", 1700000000), (2, "b", 1800000000)],
+        "doc_id int, text string, ts long",
+    )
+    im = IndexMapping.from_dict({"default_mapping": {"properties": {
+        "text": {"fields": [{"type": "text"}]},
+        "ts": {"fields": [{"type": "datetime",
+                           "date_format": "unix_sec"}]},
+    }}})
+    idx = index_with_mapping(df, ["doc_id"], im, persist=True)
+    got = [r["doc_id"] for r in search_df(
+        idx, {"field": "ts", "start": "2023-01-01",
+              "end": "2024-06-01"}, size=10
+    ).collect()]
+    assert got == [1]
