@@ -61,6 +61,11 @@ def _query_terms(idx: IndexedTable, q: Q.Query, field: str) -> set[str]:
 FORMATTERS = {
     "html": ("<mark>", "</mark>"),
     "ansi": ("\x1b[43m", "\x1b[0m"),  # bg_yellow ... reset
+    # search/highlight/format registered names: "plain" emits the
+    # fragment with no markup; "simple" is the default highlighter
+    # (simple fragmenter + html formatter)
+    "plain": ("", ""),
+    "simple": ("<mark>", "</mark>"),
 }
 
 
