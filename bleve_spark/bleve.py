@@ -467,6 +467,23 @@ class Index:
         if os.path.exists(p):
             os.remove(p)
 
+    def advanced(self):
+        """index_impl.go:298 Advanced — the underlying engine handle:
+        here, the compiled :class:`IndexedTable` (source, postings,
+        dictionary, stats) for callers that want to run DataFrame
+        plans directly."""
+        return self._compiled()
+
+    def train(self, b: Batch) -> None:
+        """index_impl.go:368 Train — vector-index training; only
+        meaningful for faiss-backed vector indexes, which are out of
+        scope (LSH/IVF at-rest layouts are the ANN scale path here).
+        Mirrors the reference's unsupported error."""
+        raise NotImplementedError(
+            "train is not supported: vector-index training is "
+            "faiss-specific; ANN uses the LSH/IVF at-rest layouts"
+        )
+
     def name(self) -> str:
         return os.path.basename(self.path.rstrip("/"))
 

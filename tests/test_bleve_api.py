@@ -242,3 +242,17 @@ def test_index_synonym_and_internal_kv(tmp_path, spark):
     idx.delete_internal("checkpoint")
     assert idx.get_internal("checkpoint") is None
     idx.close()
+
+
+def test_advanced_and_train(tmp_path, spark):
+    import pytest as _pytest
+
+    import bleve_spark.bleve as bleve
+
+    idx = bleve.new(str(tmp_path / "adv"), None, spark=spark)
+    idx.index("a", {"text": "hello world"})
+    adv = idx.advanced()
+    assert adv.postings is not None and adv.stats.doc_count == 1
+    with _pytest.raises(NotImplementedError):
+        idx.train(bleve.Batch())
+    idx.close()
