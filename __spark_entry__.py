@@ -1340,7 +1340,12 @@ WHERE EXISTS (SELECT 1 FROM locs lo WHERE lo.doc_id = r.doc_id
 ORDER BY 1, 2"""
 
 
-def _minhash_pairs_sql(num_hashes=64, bands=16, thresh=0.5) -> str:
+def _minhash_pairs_sql(num_hashes=64, bands=16, thresh=0.5,
+                       cap=100) -> str:
+    """Oracle twin of minhash_lsh_pairs with its scale guards:
+    identical signatures collapse to the min-key representative
+    (sigr), and (band, bucket) groups larger than ``cap`` are
+    dropped (hot/cold) — the hot-bucket bound."""
     import numpy as np
 
     rng = np.random.RandomState(42)
@@ -1352,15 +1357,6 @@ def _minhash_pairs_sql(num_hashes=64, bands=16, thresh=0.5) -> str:
     )
     sig_list = "[" + ", ".join(f"h{i}" for i in range(num_hashes)) + "]"
     rpb = num_hashes // bands
-    band_conds = " OR ".join(
-        "("
-        + " AND ".join(
-            f"a.sig[{bd * rpb + j + 1}] = b.sig[{bd * rpb + j + 1}]"
-            for j in range(rpb)
-        )
-        + ")"
-        for bd in range(bands)
-    )
     return f"""
 WITH words AS (
   SELECT doc_id AS key, string_split(lower(text), ' ') AS ws
@@ -1378,19 +1374,39 @@ WITH words AS (
   SELECT key, {mins}
   FROM hashed GROUP BY key
 ), sig AS (SELECT key, {sig_list} AS sig FROM sigs),
+sigr AS (SELECT min(key) AS key, sig FROM sig GROUP BY sig),
+bandrows AS (
+  SELECT key, bd,
+         array_to_string(
+           sig[CAST(bd * {rpb} + 1 AS INT)
+               : CAST(bd * {rpb} + {rpb} AS INT)], ',') AS bucket
+  FROM sigr, (SELECT unnest(range(0, {bands})) AS bd) bds
+),
+hot AS (SELECT bd, bucket FROM bandrows
+        GROUP BY bd, bucket HAVING count(*) > {cap}),
+cold AS (SELECT br.key, br.bd, br.bucket FROM bandrows br
+         LEFT JOIN hot h ON br.bd = h.bd AND br.bucket = h.bucket
+         WHERE h.bd IS NULL),
+cand AS (SELECT DISTINCT a.key AS key_a, b.key AS key_b
+         FROM cold a JOIN cold b
+           ON a.bd = b.bd AND a.bucket = b.bucket AND a.key < b.key),
 pairs AS (
-  SELECT a.key AS key_a, b.key AS key_b,
+  SELECT c.key_a, c.key_b,
          CAST(len(list_filter(range(1, {num_hashes + 1}),
-              i -> a.sig[i] = b.sig[i])) AS DOUBLE)
-           / {float(num_hashes)!r} AS est_jaccard,
-         ({band_conds}) AS banded
-  FROM sig a JOIN sig b ON a.key < b.key
+              i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+           / {float(num_hashes)!r} AS est_jaccard
+  FROM cand c
+  JOIN sigr sa ON sa.key = c.key_a
+  JOIN sigr sb ON sb.key = c.key_b
 )
 SELECT key_a, key_b, est_jaccard FROM pairs
-WHERE banded AND est_jaccard >= {thresh!r}"""
+WHERE est_jaccard >= {thresh!r}"""
 
 
-def _simhash_pairs_sql(bits=60, max_hamming=3) -> str:
+def _simhash_pairs_sql(bits=60, max_hamming=3, cap=100) -> str:
+    """Oracle twin of simhash_pairs with its scale guards: hamming-0
+    cliques (identical simhash) collapse to the min-key rep (shr) and
+    (chunk, val) groups above ``cap`` are dropped."""
     sums = ",\n    ".join(
         f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
         for i in range(bits)
@@ -1398,10 +1414,6 @@ def _simhash_pairs_sql(bits=60, max_hamming=3) -> str:
     acc = " + ".join(
         f"(CASE WHEN b{i} > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
         for i in range(bits)
-    )
-    chunk_conds = " OR ".join(
-        f"(((a.s >> {i * 15}) & 32767) = ((b.s >> {i * 15}) & 32767))"
-        for i in range(4)
     )
     return f"""
 WITH toks AS (
@@ -1414,14 +1426,22 @@ WITH toks AS (
   SELECT key, {sums}
   FROM hashed GROUP BY key
 ), sh AS (SELECT key, ({acc}) AS s FROM bitsums),
-pairs AS (
-  SELECT a.key AS key_a, b.key AS key_b,
-         bit_count(xor(a.s, b.s)) AS hamming,
-         ({chunk_conds}) AS banded
-  FROM sh a JOIN sh b ON a.key < b.key
-)
-SELECT key_a, key_b, CAST(hamming AS INT) AS hamming FROM pairs
-WHERE banded AND hamming <= {max_hamming}"""
+shr AS (SELECT min(key) AS key, s FROM sh GROUP BY s),
+chunks AS (
+  SELECT key, s, c, (s >> CAST(c * 15 AS INT)) & 32767 AS val
+  FROM shr, (SELECT unnest(range(0, 4)) AS c) cs
+),
+hot AS (SELECT c, val FROM chunks
+        GROUP BY c, val HAVING count(*) > {cap}),
+cold AS (SELECT ch.key, ch.s, ch.c, ch.val FROM chunks ch
+         LEFT JOIN hot h ON ch.c = h.c AND ch.val = h.val
+         WHERE h.c IS NULL),
+cand AS (SELECT DISTINCT a.key AS key_a, b.key AS key_b,
+                a.s AS sa, b.s AS sb
+         FROM cold a JOIN cold b
+           ON a.c = b.c AND a.val = b.val AND a.key < b.key)
+SELECT key_a, key_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}"""
 
 
 def _sig_sql(e_expr: str, mat) -> str:
@@ -1438,7 +1458,10 @@ def _sig_sql(e_expr: str, mat) -> str:
     return "CAST((" + " + ".join(terms) + ") AS BIGINT)"
 
 
-def _emb_neardup_sql(planes=8, seed=7, thresh=0.25) -> str:
+def _emb_neardup_sql(planes=8, seed=7, thresh=0.25, cap=50) -> str:
+    """Oracle twin of embedding_cosine_pairs with its scale guards:
+    identical vectors collapse to the min-key rep and buckets above
+    ``cap`` reps are dropped."""
     import numpy as np
 
     mat = np.random.RandomState(seed).standard_normal((planes, 64))
@@ -1458,9 +1481,15 @@ def _emb_neardup_sql(planes=8, seed=7, thresh=0.25) -> str:
 WITH sigs AS (
   SELECT vec_id, embedding, {_sig_sql('embedding', mat)} AS s
   FROM embeddings
-), cand AS (
+), reps AS (
+  SELECT min(vec_id) AS vec_id, embedding, s
+  FROM sigs GROUP BY embedding, s
+), hot AS (SELECT s FROM reps GROUP BY s HAVING count(*) > {cap}),
+cold AS (SELECT r.vec_id, r.embedding, r.s FROM reps r
+         LEFT JOIN hot h ON r.s = h.s WHERE h.s IS NULL),
+cand AS (
   SELECT a.vec_id AS key_a, b.vec_id AS key_b, {cos} AS cosine
-  FROM sigs a JOIN sigs b
+  FROM cold a JOIN cold b
     ON a.s = b.s AND a.vec_id < b.vec_id
 )
 SELECT key_a, key_b, round(cosine, 6) AS cosine FROM cand
@@ -3161,20 +3190,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_minhash_pairs(spark, sf):
         # 64 hashes / 16 bands → LSH s-curve threshold (1/16)^(1/4)≈0.5:
         # finds the corpus's planted near-dup pairs without the
-        # near-all-pairs blowup unigram shingles would cause
+        # near-all-pairs blowup unigram shingles would cause.
+        # collapse_identical (default) + max_bucket_df=100 exercise
+        # the 100 TB hot-bucket guards on the verified path
         from bleve_spark.functions.dedup import minhash_lsh_pairs
 
         df = spark.read.parquet(f"{sf}/documents.parquet")
         return minhash_lsh_pairs(
             df, "text", "doc_id", shingle_n=3, num_hashes=64, bands=16,
-            jaccard_threshold=0.5,
+            jaccard_threshold=0.5, max_bucket_df=100,
         )
 
     def dedup_simhash_pairs(spark, sf):
         from bleve_spark.functions.dedup import simhash_pairs
 
         df = spark.read.parquet(f"{sf}/documents.parquet")
-        return simhash_pairs(df, "text", "doc_id", max_hamming=3)
+        return simhash_pairs(df, "text", "doc_id", max_hamming=3,
+                             max_bucket_df=100)
 
     def ann_cosine_topk(spark, sf):
         from bleve_spark.functions.similarity import cosine_topk
@@ -3223,7 +3255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         df = spark.read.parquet(f"{sf}/embeddings.parquet")
         pairs = embedding_cosine_pairs(
             df, "embedding", "vec_id", threshold=0.25, planes=8,
-            seed=7,
+            seed=7, max_bucket_df=50,
         )
         return pairs.select(
             "key_a", "key_b", F.round("cosine", 6).alias("cosine")
@@ -3516,7 +3548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         df = spark.read.parquet(f"{sf}/documents.parquet")
-        pairs = minhash_lsh_pairs(df, "text", "doc_id")
+        pairs = minhash_lsh_pairs(df, "text", "doc_id",
+                                  max_bucket_df=100)
         return (
             connected_components(pairs)
             .select("node", "component")

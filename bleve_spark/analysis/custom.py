@@ -213,10 +213,9 @@ def builtin_token_filter(name: str):
 
     Name inventory from the reference registry (`const ...Name =` in
     analysis/**): tests/test_registry_parity.py asserts this covers
-    the reference's public token-filter names minus the documented
-    exclusions (the de/es/fr/it *snowball* stemmer variants and
-    stemmer_fr_min — the analyzers ship the light stemmers the
-    reference wires by default)."""
+    ALL of the reference's public token-filter names (its exclusion
+    list is empty — the de/es/fr/it snowball variants and
+    stemmer_fr_min resolve here too)."""
     from bleve_spark.analysis import lang as L
     from bleve_spark.analysis import lang_data as LD
     from bleve_spark.analysis import lang_more as LM

@@ -323,14 +323,27 @@ class Index:
         size = int(req.get("size", 10))
         from_ = int(req.get("from", 0))
         if req.get("knn"):
-            from bleve_spark.search.hybrid import knn_request_df
+            from bleve_spark.search.hybrid import knn_request_full_df
 
-            out = knn_request_df(
-                idx, req["knn"], q=req.get("query"), size=from_ + size,
+            full = knn_request_full_df(
+                idx, req["knn"], q=req.get("query"),
                 knn_operator=req.get("knn_operator", "or"),
-            ).collect()[from_:]
+            ).persist()
+            try:
+                # true match total — the reference's SearchResult.Total
+                # counts every match, not the collected page
+                total = full.count()
+                out = (
+                    full.orderBy(
+                        F.col("score").desc(), F.col(_ID).asc()
+                    )
+                    .limit(from_ + size)
+                    .collect()[from_:]
+                )
+            finally:
+                full.unpersist()
             return {
-                "total_hits": len(out),
+                "total_hits": total,
                 "hits": [
                     {"id": r[_ID], "score": float(r["score"])}
                     for r in out
@@ -340,16 +353,25 @@ class Index:
                 or req.get("search_before"):
             from bleve_spark.search.searcher import compile_query
 
-            rows = search_df(
-                idx, req["query"], size=size, from_=from_,
-                sort=req.get("sort"),
-                search_after=req.get("search_after"),
-                search_before=req.get("search_before"),
-            ).collect()
-            # true match total (the collected page is capped at
-            # from+size and includes skipped rows) — same contract as
-            # the default branch / the reference's SearchResult.Total
-            total = compile_query(idx, req["query"]).count()
+            # compile ONCE, persist, and share the scored frame
+            # between the page and the true-total count — two
+            # uncached passes would scan the postings twice
+            scored = compile_query(idx, req["query"]).persist()
+            try:
+                rows = search_df(
+                    idx, req["query"], size=size, from_=from_,
+                    sort=req.get("sort"),
+                    search_after=req.get("search_after"),
+                    search_before=req.get("search_before"),
+                    precompiled=scored,
+                ).collect()
+                # true match total (the collected page is capped at
+                # from+size and includes skipped rows) — same contract
+                # as the default branch / the reference's
+                # SearchResult.Total
+                total = scored.count()
+            finally:
+                scored.unpersist()
             return {
                 "total_hits": total,
                 "hits": [

@@ -35,13 +35,21 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
 
     The probe uses ``df.inputFiles()`` (pure plan inspection) rather
     than ``df.rdd.getNumPartitions()`` — the RDD conversion forces a
-    full physical planning pass outside AQE per call."""
+    full physical planning pass outside AQE per call. A non-file-backed
+    DataFrame (in-memory, post-shuffle, cached) reports zero files;
+    for those fall back to the partition-count probe instead of
+    unconditionally shuffling an input that may already be wide."""
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
-        n_files = len(df.inputFiles())
+        n = len(df.inputFiles())
     except Exception:
-        n_files = 0
-    if n_files == 0 or n_files < target:
+        n = 0
+    if n == 0:
+        try:
+            n = df.rdd.getNumPartitions()
+        except Exception:
+            n = 0
+    if n < target:
         return df.repartition(target)
     return df
 
@@ -192,6 +200,25 @@ def minhash_signatures_local(
     return hashed.mapInPandas(_fold, schema=out_schema)
 
 
+def _cap_hot_buckets(
+    rows: DataFrame, bucket_cols: list[str], max_bucket_df: int
+) -> DataFrame:
+    """Drop every (bucket) whose member count exceeds
+    ``max_bucket_df`` — the hot-bucket guard that bounds the LSH
+    self-join's worst key group. Without it, m near-identical docs in
+    one bucket emit m²/2 candidate pairs into a single reducer — at
+    100 TB a 1M-doc boilerplate cluster is 5·10¹¹ pairs and a dead
+    executor. Same template as ``ngram_jaccard_pairs``'s
+    ``max_shingle_df`` anti-join."""
+    hot = (
+        rows.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") > int(max_bucket_df))
+        .select(*bucket_cols)
+    )
+    return rows.join(hot, bucket_cols, "left_anti")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -201,17 +228,39 @@ def minhash_lsh_pairs(
     bands: int = 16,
     jaccard_threshold: float = 0.5,
     seed: int = 42,
+    collapse_identical: bool = True,
+    max_bucket_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + banded LSH.
 
     → (key_a, key_b, est_jaccard) with key_a < key_b and estimated
     jaccard (fraction of agreeing minhashes) ≥ threshold. Band-bucket
-    join keeps the self-join linear in bucket sizes."""
+    join keeps the self-join linear in bucket sizes.
+
+    Scale guards (both on by default or caller-tunable — an exact-dup
+    clique must never reach the band self-join, where m identical
+    docs are m²/2 pairs in one reducer):
+
+    * ``collapse_identical`` — docs with IDENTICAL signatures (exact
+      dups and permutation-equal shingle sets) collapse to their
+      min-key representative BEFORE banding; emitted pairs are over
+      representatives. Combine with :func:`exact_dedup` to recover
+      the full pair set (rep ↔ clique members) when needed — the
+      clique itself is redundant for dedup decisions.
+    * ``max_bucket_df`` — (band, bucket) groups larger than this are
+      dropped entirely (near-identical floods the collapse can't
+      catch); recall within a dropped bucket is sacrificed
+      deliberately, exactly like ``ngram_jaccard_pairs``'s
+      ``max_shingle_df`` boilerplate guard."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures_local(
         ensure_parallelism(df), text_col, key_col, shingle_n,
         num_hashes, seed
-    ).persist()
+    )
+    if collapse_identical:
+        sigs = sigs.groupBy("sig").agg(F.min("key").alias("key")) \
+            .select("key", "sig")
+    sigs = sigs.persist()
 
     band_rows = sigs.select(
         "key",
@@ -238,6 +287,10 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("key", "bb.band", "bb.bucket")
+    if max_bucket_df is not None:
+        band_rows = _cap_hot_buckets(
+            band_rows, ["band", "bucket"], max_bucket_df
+        )
 
     cand = (
         band_rows.alias("l")
@@ -306,11 +359,23 @@ def simhash_pairs(
     text_col: str,
     key_col: str,
     max_hamming: int = 3,
+    collapse_identical: bool = True,
+    max_bucket_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming, candidates
     via 4×15-bit chunk banding (a pair within hamming ≤3 must agree on
-    ≥1 of 4 chunks — pigeonhole over the 60-bit hash)."""
-    sh = simhash(ensure_parallelism(df), text_col, key_col).persist()
+    ≥1 of 4 chunks — pigeonhole over the 60-bit hash).
+
+    ``collapse_identical`` collapses hamming-0 cliques (identical
+    simhash — exact dups and token-multiset-equal docs) to their
+    min-key representative before the chunk join; ``max_bucket_df``
+    drops (chunk, val) groups above the bound — see
+    :func:`minhash_lsh_pairs` for why both matter at 100 TB."""
+    sh = simhash(ensure_parallelism(df), text_col, key_col)
+    if collapse_identical:
+        sh = sh.groupBy("simhash").agg(F.min("key").alias("key")) \
+            .select("key", "simhash")
+    sh = sh.persist()
     chunks = sh.select(
         "key",
         "simhash",
@@ -328,6 +393,10 @@ def simhash_pairs(
             )
         ).alias("c"),
     ).select("key", "simhash", "c.chunk", "c.val")
+    if max_bucket_df is not None:
+        chunks = _cap_hot_buckets(
+            chunks, ["chunk", "val"], max_bucket_df
+        )
     cand = (
         chunks.alias("l")
         .join(
@@ -422,9 +491,15 @@ def embedding_cosine_pairs(
     threshold: float = 0.95,
     planes: int = 16,
     seed: int = 7,
+    collapse_identical: bool = True,
+    max_bucket_df: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs: random-hyperplane LSH buckets →
-    exact cosine within buckets. Deterministic planes (seeded)."""
+    exact cosine within buckets. Deterministic planes (seeded).
+
+    ``collapse_identical`` collapses IDENTICAL vectors to their
+    min-key representative before the bucket join; ``max_bucket_df``
+    drops buckets above the bound — see :func:`minhash_lsh_pairs`."""
     from bleve_spark.functions.similarity import (
         add_hyperplane_bucket,
         cosine_expr,
@@ -433,6 +508,12 @@ def embedding_cosine_pairs(
     b = add_hyperplane_bucket(df, vec_col, planes, seed).select(
         F.col(key_col).alias("key"), F.col(vec_col).alias("vec"), "bucket"
     )
+    if collapse_identical:
+        b = b.groupBy("vec", "bucket").agg(
+            F.min("key").alias("key")
+        ).select("key", "vec", "bucket")
+    if max_bucket_df is not None:
+        b = _cap_hot_buckets(b, ["bucket"], max_bucket_df)
     cand = (
         b.alias("l")
         .join(
@@ -468,7 +549,11 @@ def connected_components(
     the log-n star algorithms and their extra shuffles per round. The
     localCheckpoint keeps Catalyst from re-analyzing an O(rounds)-deep
     plan (and bounds recovery lineage); convergence is detected with a
-    changed-label count, one tiny aggregate per round."""
+    changed-label count, one tiny aggregate per round. If ``max_iter``
+    rounds elapse without convergence (possible when the candidate
+    graph has diameter > max_iter — e.g. a long chain of pairwise
+    near-dups) the labels are PARTIAL, so this raises instead of
+    silently returning wrong components."""
     edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     edges = (
         edges.union(
@@ -485,6 +570,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         prop = edges.join(
             labels, edges["src"] == labels["node"]
@@ -504,5 +590,12 @@ def connected_components(
         )
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "rounds — candidate graph diameter exceeds max_iter; "
+            "labels would be partial. Raise max_iter."
+        )
     return labels

@@ -973,16 +973,21 @@ def map_table(
                         if p.date_format in _UNIX_PARSERS:
                             # analysis/datetime/timestamp: epoch
                             # numbers at second/milli/micro/nano
-                            # resolution
+                            # resolution. Exact decimal math straight
+                            # to timestamp micros — a from_unixtime
+                            # string round-trip would format at
+                            # whole-second resolution and silently
+                            # discard sub-second precision, unlike
+                            # the reference's exact epoch parsers
                             div = _UNIX_PARSERS[p.date_format]
-                            e = F.try_to_timestamp(
-                                F.from_unixtime(
-                                    F.try_divide(
-                                        e.cast("string")
-                                        .cast("double"),
-                                        F.lit(float(div)),
-                                    )
-                                )
+                            dec = e.cast("string").try_cast(
+                                "decimal(38,9)"
+                            )
+                            e = F.timestamp_micros(
+                                F.try_divide(
+                                    dec * F.lit(1_000_000),
+                                    F.lit(int(div)),
+                                ).cast("long")
                             )
                         else:
                             s = e.cast("string")

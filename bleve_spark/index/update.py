@@ -392,8 +392,11 @@ def apply_index_update(idx, upd: IndexMapping):
             if k not in drop_index
         }
     if drop_store and getattr(idx, "planned_fields", None):
+        # copy each PlannedField before flipping store — a shared
+        # reference would flip the flag on the ORIGINAL index too
         new.planned_fields = {
-            k: v for k, v in idx.planned_fields.items()
+            k: (copy.copy(v) if k in drop_store else v)
+            for k, v in idx.planned_fields.items()
         }
         for k in drop_store:
             if k in new.planned_fields:

@@ -122,14 +122,19 @@ def _leg_score_expr(vec_col: F.Column, qv: list, similarity: str):
     raise ValueError(f"unknown similarity: {similarity!r}")
 
 
-def knn_request_df(
+def knn_request_full_df(
     idx: IndexedTable,
     knn: list[dict],
     q: Q.Query | dict | None = None,
-    size: int = 10,
     knn_operator: str = "or",
 ) -> DataFrame:
-    """The reference's SearchRequest.KNN contract
+    """UNLIMITED (keys..., score) for a SearchRequest.KNN — every doc
+    matched by the KNN legs (post knn_operator) and/or the optional
+    query; :func:`knn_request_df` adds the top-``size`` cut. Exposed
+    separately so callers can compute the true match total (the
+    reference's SearchResult.Total counts all matches, not the page).
+
+    The reference's SearchRequest.KNN contract
     (/root/reference/search_knn.go:41-97, 460-530): each clause is
     ``{"field": ..., "vector": [...], "k": ..., "boost": ...}`` over a
     MAPPED vector field (mapping_vectors.go; the field's similarity
@@ -199,8 +204,21 @@ def knn_request_df(
     else:
         out = knn_scored.select(F.col(key),
                                 F.col("_knn").alias("score"))
+    return out.select(key, F.round("score", 6).alias("score"))
+
+
+def knn_request_df(
+    idx: IndexedTable,
+    knn: list[dict],
+    q: Q.Query | dict | None = None,
+    size: int = 10,
+    knn_operator: str = "or",
+) -> DataFrame:
+    """Top-``size`` page of :func:`knn_request_full_df` (score desc,
+    key asc tie-break)."""
+    key = idx.key_cols[0]
     return (
-        out.select(key, F.round("score", 6).alias("score"))
+        knn_request_full_df(idx, knn, q=q, knn_operator=knn_operator)
         .orderBy(F.col("score").desc(), F.col(key).asc())
         .limit(size)
     )

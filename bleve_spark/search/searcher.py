@@ -1533,6 +1533,7 @@ def search_df(
     sort: list[str] | None = None,
     search_after: list | None = None,
     search_before: list | None = None,
+    precompiled: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k hits: ORDER BY ... LIMIT from+size — Catalyst's
     TakeOrderedAndProject is the reference's TopNCollector
@@ -1548,8 +1549,14 @@ def search_df(
     Default ["-_score"] with the implicit HitNumber tie-break =
     ascending key order (/root/reference/search/sort.go:269-275).
     Field sorts read native columns — Spark's columnar source IS the
-    reference's docvalues, no uninverting needed."""
-    scored = compile_query(idx, q)
+    reference's docvalues, no uninverting needed.
+
+    ``precompiled`` lets a caller that already compiled (and possibly
+    persisted) the query's scored frame reuse it — e.g. to share one
+    postings scan between the page and the true-total count."""
+    scored = (
+        precompiled if precompiled is not None else compile_query(idx, q)
+    )
     sort = sort or ["-_score"]
     # normalize every entry to (kind, field, desc, missing, mode)
     # following the reference's sort-spec JSON (sort.go:52-120):
@@ -1752,6 +1759,18 @@ def search(
                 if fields == ["*"] or fields == "*"
                 else [c for c in fields if c in idx.source.columns]
             )
+            # honor per-field store flags: a field whose mapping says
+            # store=false (or whose store was dropped by a live mapping
+            # update) is not retrievable — the reference only returns
+            # stored fields (index_impl.go LoadAndHighlightFields reads
+            # the stored-document section; apply_index_update's
+            # store-drop removes stored data)
+            planned = getattr(idx, "planned_fields", None)
+            if planned:
+                want = [
+                    c for c in want
+                    if c not in planned or planned[c].store
+                ]
             key_tuples = [
                 tuple(r[k] for k in idx.key_cols) for r in rows
             ]

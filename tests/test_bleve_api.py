@@ -256,3 +256,34 @@ def test_advanced_and_train(tmp_path, spark):
     with _pytest.raises(NotImplementedError):
         idx.train(bleve.Batch())
     idx.close()
+
+
+def test_total_hits_parity_across_branches(spark, tmp_path):
+    """SearchResult.Total counts ALL matches on every branch —
+    default, sort/search_after, and KNN — not the collected page."""
+    mp = {
+        "default_mapping": {"properties": {
+            "name": {"fields": [{"type": "text"}]},
+            "emb": {"fields": [{"type": "vector", "dims": 2,
+                                "similarity": "dot_product"}]},
+        }},
+        "scoring_model": "bm25",
+    }
+    ix = bleve.new(str(tmp_path / "totals"), mp, spark)
+    b = bleve.Batch()
+    for i in range(5):
+        b.index(f"d{i}", {"name": "quick item",
+                          "emb": [1.0, float(i)]})
+    ix.batch(b)
+    q = {"field": "name", "term": "quick"}
+    default = ix.search({"query": q, "size": 2})
+    sorted_ = ix.search({"query": q, "size": 2, "sort": ["_id"]})
+    knn = ix.search({
+        "knn": [{"field": "emb", "vector": [1.0, 0.0], "k": 5}],
+        "size": 2,
+    })
+    assert default["total_hits"] == 5
+    assert sorted_["total_hits"] == 5
+    assert knn["total_hits"] == 5
+    assert (len(default["hits"]) == len(sorted_["hits"])
+            == len(knn["hits"]) == 2)

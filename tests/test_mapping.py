@@ -822,3 +822,38 @@ def test_boolean_scalar_and_array_fields(spark):
     assert ids({"field": "ok", "bool": False}) == [2]
     assert ids({"field": "flags", "bool": True}) == [1]
     assert ids({"field": "flags", "bool": False}) == [1, 2]
+
+
+def test_unix_epoch_subsecond_precision(spark):
+    """unix_milli/micro/nano parsing keeps sub-second precision —
+    exact decimal→timestamp_micros, no whole-second from_unixtime
+    round-trip (the reference's epoch parsers are exact,
+    analysis/datetime/timestamp)."""
+    df = spark.createDataFrame(
+        [(1, "a", 1250, 1_250_500, 1_250_500_750),
+         (2, "b", 1750, 1_750_500, 1_750_500_750)],
+        "doc_id long, name string, ms long, us long, ns long",
+    )
+    im = IndexMapping.from_dict({
+        "default_mapping": {"dynamic": False, "properties": {
+            "name": {"fields": [{"type": "text"}]},
+            "ms": {"fields": [{"type": "datetime",
+                               "date_format": "unix_milli"}]},
+            "us": {"fields": [{"type": "datetime",
+                               "date_format": "unix_micro"}]},
+            "ns": {"fields": [{"type": "datetime",
+                               "date_format": "unix_nano"}]},
+        }},
+        "scoring_model": "bm25",
+    })
+    idx = index_with_mapping(df, ["doc_id"], im, persist=False)
+    rows = {r["doc_id"]: r
+            for r in idx.source.select("doc_id", "ms", "us", "ns")
+            .collect()}
+    # 500 ms apart → distinct instants with exact sub-second parts
+    assert rows[1]["ms"].microsecond == 250_000
+    assert rows[2]["ms"].microsecond == 750_000
+    assert rows[1]["us"].microsecond == 250_500
+    # nanos truncate to micros (timestamp resolution)
+    assert rows[1]["ns"].microsecond == 250_500
+    assert rows[1]["ms"] != rows[2]["ms"]

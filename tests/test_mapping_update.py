@@ -260,3 +260,45 @@ def test_apply_update_drops_field_keeps_scores(spark):
     # the original index view is untouched
     assert search_df(idx, {"field": "source", "term": "web"},
                      size=10).count() == 2
+
+
+def test_apply_update_store_drop_enforced(spark):
+    """A store-flag drop must actually stop the field from being
+    retrievable (the reference removes the stored data via
+    UpdateFieldInfo), and must NOT mutate the original index's
+    PlannedField objects."""
+    from bleve_spark.index.mapping import index_with_mapping
+    from bleve_spark.search.searcher import search
+
+    def m(store):
+        return IndexMapping.from_dict({"default_mapping": {
+            "dynamic": False,
+            "properties": {
+                "text": {"dynamic": False, "fields": [
+                    {"type": "text", "include_in_all": False},
+                ]},
+                "note": {"dynamic": False, "fields": [
+                    {"type": "text", "analyzer": "keyword",
+                     "include_in_all": False, "store": store},
+                ]},
+            },
+        }})
+
+    df = spark.createDataFrame(
+        [(1, "quick fox", "n1"), (2, "quick dog", "n2")],
+        "doc_id int, text string, note string",
+    )
+    idx = index_with_mapping(df, ["doc_id"], m(True), persist=True)
+    res = search(idx, {"field": "text", "match": "quick"},
+                 fields=["note"])
+    assert all(h["fields"].get("note") for h in res["hits"])
+
+    upd = apply_index_update(idx, m(False))
+    res2 = search(upd, {"field": "text", "match": "quick"},
+                  fields=["note"])
+    assert all("note" not in h["fields"] for h in res2["hits"])
+    # the ORIGINAL index is untouched: flag and retrievability
+    assert idx.planned_fields["note"].store is True
+    res3 = search(idx, {"field": "text", "match": "quick"},
+                  fields=["note"])
+    assert all(h["fields"].get("note") for h in res3["hits"])
