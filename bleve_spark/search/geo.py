@@ -354,14 +354,24 @@ def shape_relation_pred(
     relation = relation.lower()
 
     if prune:
+        from bleve_spark.search import geoshape_np
         from bleve_spark.search.geobbox import (
             flat_prefilter, query_shape_bbox,
         )
 
+        if geoshape_np.ARROW_EXACT:
+            # exact pass as ONE Arrow stage (HOFs are CodegenFallback
+            # — interpreted per element); Catalyst splits the
+            # conjunction so the bbox conjuncts still push into the
+            # scan and the Arrow stage sees only surviving rows
+            exact = geoshape_np.flat_exact_pred(
+                kind_col, coords_col, query_shape, relation
+            )
+        else:
+            exact = shape_relation_pred(
+                kind_col, coords_col, query_shape, relation, prune=False
+            )
         qb = query_shape_bbox(query_shape)
-        exact = shape_relation_pred(
-            kind_col, coords_col, query_shape, relation, prune=False
-        )
         if qb is None:
             return exact
         return flat_prefilter(coords_col, qb, relation, bbox_cols) & exact

@@ -476,14 +476,24 @@ def parts_relation_pred(parts_col: Column, query_shape: dict,
     qparts = geojson_to_parts(query_shape)
     relation = relation.lower()
     if prune:
+        from bleve_spark.search import geoshape_np
         from bleve_spark.search.geobbox import (
             parts_prefilter, query_shape_bbox,
         )
 
+        if geoshape_np.ARROW_EXACT:
+            # exact pass as ONE Arrow stage — HOFs are CodegenFallback
+            # (interpreted per element); the native bbox conjuncts
+            # still push into the scan after Catalyst splits the
+            # conjunction
+            exact = geoshape_np.parts_exact_pred(
+                parts_col, query_shape, relation
+            )
+        else:
+            exact = parts_relation_pred(
+                parts_col, query_shape, relation, prune=False
+            )
         qb = query_shape_bbox(query_shape)
-        exact = parts_relation_pred(
-            parts_col, query_shape, relation, prune=False
-        )
         if qb is None:
             return exact
         return parts_prefilter(parts_col, qb, relation, bbox_cols) & exact
