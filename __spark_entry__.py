@@ -3486,6 +3486,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             {"field": "attrs.color", "term": "red"},
         )
 
+    def q_mapping_dynamic_map_store(spark, sf):
+        """Dynamic MapType AT REST (r5): the same runtime-key term
+        query served from segment postings — each segment task
+        explodes the map into data-driven "attrs.<key>" field streams
+        with per-doc len_ columns (segments._build_one_segment),
+        mirroring the reference's reflection-driven dynamic indexing
+        into ordinary segment fields (mapping/document.go:425).
+        Cardinality normalized to the global distinct (single logical
+        build, like _docs_store) so the in-memory path's oracle
+        applies verbatim."""
+        import math as _math
+        import tempfile
+
+        from bleve_spark.index.mapping import (
+            IndexMapping,
+            index_with_mapping_at_rest,
+        )
+
+        key = (spark.sparkContext.applicationId,
+               "dynamic-map-store", sf)
+        if key not in _INDEX_CACHE:
+            df = (
+                spark.read.parquet(f"{sf}/documents.parquet")
+                .select(
+                    "doc_id", "text",
+                    F.create_map(
+                        F.lit("color"),
+                        F.element_at(
+                            F.array(F.lit("red"), F.lit("blue"),
+                                    F.lit("green")),
+                            (F.col("doc_id") % 3 + 1).cast("int"),
+                        ),
+                        F.lit("grade"),
+                        F.concat(F.lit("g"),
+                                 (F.col("doc_id") % 5).cast("string")),
+                    ).alias("attrs"),
+                )
+            )
+            im = IndexMapping.from_dict({
+                "scoring_model": "bm25",
+                "default_mapping": {
+                    "dynamic": True,
+                    "properties": {"text": {"fields": [
+                        {"type": "text",
+                         "include_in_all": False}]}},
+                },
+            })
+            root = tempfile.mkdtemp(prefix="entry_dynmap_") + "/idx"
+            idx = index_with_mapping_at_rest(
+                df, ["doc_id"], im, root, n_segments=4, persist=True
+            )
+            for fld in ("attrs.color", "attrs.grade"):
+                card = (
+                    idx.dictionary.where(F.col("field") == fld)
+                    .agg(F.count(F.lit(1)).alias("c"))
+                    .collect()[0]["c"]
+                )
+                idx.stats.field_cardinality[fld] = int(card)
+                idx.stats.avg_doc_len[fld] = _math.ceil(
+                    card / idx.stats.doc_count
+                )
+            _INDEX_CACHE[key] = idx
+        return _topk(
+            _INDEX_CACHE[key],
+            {"field": "attrs.color", "term": "red"},
+        )
+
     def q_mapping_numeric_array(spark, sf):
         """array<numeric> number field through the mapping layer: the
         range matches when ANY element qualifies (one numeric field
@@ -3684,6 +3751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_mapping_nested_array": q_mapping_nested_array,
             "q_mapping_update": q_mapping_update,
             "q_mapping_dynamic_map": q_mapping_dynamic_map,
+            "q_mapping_dynamic_map_store": q_mapping_dynamic_map_store,
             "q_mapping_numeric_array": q_mapping_numeric_array,
             "dedup_components": dedup_components,
             "q_mapping_bool_field": q_mapping_bool_field,
@@ -3909,6 +3977,22 @@ SELECT doc_id FROM documents
 WHERE (doc_id % 7 BETWEEN 5 AND 6) OR (doc_id % 13 BETWEEN 5 AND 6)
 ORDER BY doc_id""",
         "q_mapping_dynamic_map": """
+WITH docs AS (SELECT doc_id FROM documents),
+ndocs AS (SELECT count(*) AS n FROM docs),
+post AS (SELECT doc_id, 1 AS tf, CAST(1.0 AS DOUBLE) AS norm
+         FROM docs WHERE doc_id % 3 = 0),
+avgl AS (SELECT ceil(CAST(3 AS DOUBLE) / (SELECT n FROM ndocs)) AS v),
+q AS (SELECT ln(1 + ((SELECT n FROM ndocs) - df + 0.5) / (df + 0.5))
+      AS idf FROM (SELECT count(*) AS df FROM post))
+SELECT p.doc_id,
+       round((q.idf * (sqrt(p.tf)*1.2) / (sqrt(p.tf) + 1.2*(0.25 +
+             (0.75 * (1.0/(p.norm*p.norm))) / (SELECT v FROM avgl)))),
+             6) AS score
+FROM post p CROSS JOIN q
+ORDER BY score DESC, p.doc_id LIMIT 20""",
+        # the at-rest twin normalizes cardinality to the global
+        # distinct, so the SAME closed-form BM25 oracle applies
+        "q_mapping_dynamic_map_store": """
 WITH docs AS (SELECT doc_id FROM documents),
 ndocs AS (SELECT count(*) AS n FROM docs),
 post AS (SELECT doc_id, 1 AS tf, CAST(1.0 AS DOUBLE) AS norm

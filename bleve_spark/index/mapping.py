@@ -1162,25 +1162,7 @@ def index_with_mapping(
         **kw,
     )
     if dynamic_maps:
-        # match queries against runtime keys ("attrs.color") resolve
-        # their analyzer through the mapping default chain, exactly
-        # like AnalyzerNameForPath on an unmapped path
-        class _FieldAnalyzers(dict):
-            def __init__(self, base, default):
-                super().__init__(base)
-                self._default = default
-
-            def get(self, k, d=None):
-                if k in self:
-                    return super().get(k)
-                return self._default if self._default else d
-
-        custom0 = im.custom_analyzers()
-        dflt = custom0.get(im.default_analyzer, im.default_analyzer)
-        idx.field_analyzers = _FieldAnalyzers(
-            idx.field_analyzers, dflt
-        )
-        idx.dynamic_map_fields = dict(dynamic_maps)
+        _attach_dynamic_maps(idx, im, dynamic_maps)
     # QUERY-time analyzer for the composite resolves through the
     # mapping like any other path: AnalyzerNameForPath("_all") finds
     # no field mapping and falls through the default-analyzer chain to
@@ -1198,6 +1180,29 @@ def index_with_mapping(
     return idx
 
 
+class _FieldAnalyzers(dict):
+    """field → analyzer map whose ``get`` falls through to the mapping
+    default for unseen names — match queries against runtime map keys
+    ("attrs.color") resolve their analyzer exactly like
+    AnalyzerNameForPath on an unmapped path."""
+
+    def __init__(self, base, default):
+        super().__init__(base)
+        self._default = default
+
+    def get(self, k, d=None):
+        if k in self:
+            return super().get(k)
+        return self._default if self._default else d
+
+
+def _attach_dynamic_maps(idx, im: IndexMapping, dynamic_maps: list):
+    custom0 = im.custom_analyzers()
+    dflt = custom0.get(im.default_analyzer, im.default_analyzer)
+    idx.field_analyzers = _FieldAnalyzers(idx.field_analyzers, dflt)
+    idx.dynamic_map_fields = dict(dynamic_maps)
+
+
 def index_with_mapping_at_rest(
     df: DataFrame,
     key_cols: list[str],
@@ -1213,8 +1218,11 @@ def index_with_mapping_at_rest(
     :func:`index_with_mapping`. nested:true child rows are real docs
     in the segments (keyed by key_cols + `_nested_ctx`), so nested
     conjunctions and root-folding work identically from segment
-    postings. Dynamic MapType columns are NOT built at rest
-    (documented; use the in-memory path)."""
+    postings. Dynamic MapType columns ARE built at rest (r5): each
+    segment task explodes the map into data-driven "<path>.<key>"
+    postings streams with per-doc len_ columns, mirroring the
+    reference's reflection-driven dynamic indexing into ordinary
+    segment fields (mapping/document.go:425)."""
     from bleve_spark.index.segments import SegmentStore, build_segments
 
     spark = spark or df.sparkSession
@@ -1222,11 +1230,6 @@ def index_with_mapping_at_rest(
     flat, fields, composite, planned = map_table(
         df, im, key_cols, dynamic_maps_out=dynamic_maps
     )
-    if dynamic_maps:
-        raise NotImplementedError(
-            "dynamic MapType fields are not supported on the at-rest "
-            "segment path"
-        )
     nested_chains = {
         n: p.nested_chain for n, p in planned.items() if p.nested_chain
     }
@@ -1238,12 +1241,15 @@ def index_with_mapping_at_rest(
     build_segments(
         flat, keys_eff, fields, root, n_segments=n_segments,
         composite_fields=composite or None,
+        dynamic_maps=dynamic_maps or None,
     )
     idx = SegmentStore(spark, root).to_indexed_table(
         flat, keys_eff, fields,
         scoring=scoring or (im.scoring_model or "tfidf"),
         persist=persist,
     )
+    if dynamic_maps:
+        _attach_dynamic_maps(idx, im, dynamic_maps)
     custom = im.custom_analyzers()
     for cname in composite:
         an = im.analyzer_name_for_path(cname)

@@ -331,10 +331,17 @@ def merge_level(
     # one sequential Spark job + coalesce(1) per group — serializes
     # 20k jobs at the SURVEY's 200k-segment scale argument; this is a
     # single scan → narrow map → partitioned write.)
+    has_dynamic = any(m.get("dynamic_fields") for m in manifests)
+    docs_reader = spark.read.option(
+        "basePath", os.path.join(src_root, "docs")
+    )
+    if has_dynamic:
+        # dynamic-map len_<path>.<key> columns are data-driven per
+        # segment — merge the parquet schemas so no segment's columns
+        # are dropped by the single-footer schema inference
+        docs_reader = docs_reader.option("mergeSchema", "true")
     docs_all = (
-        spark.read.option(
-            "basePath", os.path.join(src_root, "docs")
-        )
+        docs_reader
         .parquet(os.path.join(src_root, "docs", "seg=*"))
         .withColumnRenamed("seg", "segment_id")
         .join(F.broadcast(rm_df), "segment_id")
@@ -342,16 +349,30 @@ def merge_level(
     helper = {"segment_id", "new_seg", "doc_off", "member"}
     doc_cols = [c for c in docs_all.columns if c not in helper]
     out_fields = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
+        f"`{f.name}` {f.dataType.simpleString()}"
         for f in docs_all.schema.fields
         if f.name in doc_cols
     )
     out_schema = f"{out_fields}, seg int"
+    # mapInPandas re-resolves input columns by name and chokes on
+    # dotted ones (dynamic-map len_<path>.<key>): ride them under safe
+    # aliases, rename back inside the task (same trick as
+    # segments.build_segments)
+    safe = {
+        c: (f"_dotted_{i}" if "." in c else c)
+        for i, c in enumerate(docs_all.columns)
+    }
+    unsafe = {v: k for k, v in safe.items()}
+    if any(k != v for k, v in safe.items()):
+        docs_all = docs_all.select(
+            *[F.col(f"`{c}`").alias(safe[c]) for c in docs_all.columns]
+        )
 
     def renum_all(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
+            pdf = pdf.rename(columns=unsafe)
             dels = bc_deleted.value
             segs = pdf["segment_id"].to_numpy()
             local = (
@@ -408,6 +429,11 @@ def merge_level(
             "fields": members[0].get("fields"),
             "key_cols": members[0].get("key_cols"),
         }
+        dyn = sorted({
+            f for m in members for f in (m.get("dynamic_fields") or [])
+        })
+        if dyn:
+            man["dynamic_fields"] = dyn
         _, _, mpath = _seg_paths(dst_root, g)
         os.makedirs(os.path.dirname(mpath), exist_ok=True)
         with open(mpath, "w") as f:

@@ -82,6 +82,17 @@ def _seg_paths(root: str, seg: int):
     )
 
 
+def _str_for_index(v) -> str:
+    """Map-value → indexed text, mirroring Spark's string cast for the
+    types the dynamic-map path accepts (the in-memory twin casts the
+    exploded value column to string JVM-side)."""
+    if isinstance(v, str):
+        return v
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
 def _build_one_segment(
     seg: int,
     tbl,
@@ -90,6 +101,7 @@ def _build_one_segment(
     root: str,
     chunk_docs: int,
     composite: dict | None = None,
+    dynamic_maps: list | None = None,
 ) -> dict:
     """Analyze + encode one segment (runs inside an executor task).
 
@@ -278,6 +290,44 @@ def _build_one_segment(
         analysis_cache[fname] = res
         _emit(fname, *res)
 
+    # dynamic MapType columns AT REST: bleve indexes unseen JSON
+    # object keys via reflection (mapping/document.go:425
+    # walkDocument); here the map explodes in-task into data-driven
+    # "<path>.<key>" field streams — each key its own field instance
+    # with its own length/norm (len_<path>.<key> doc columns), same
+    # semantics as the in-memory build._dynamic_map_postings
+    dyn_fields: list[str] = []
+    for path, aname in (dynamic_maps or []):
+        entries = tbl.column(path).to_pylist()
+        by_field: dict[str, tuple[list, list]] = {}
+        for i, m in enumerate(entries):
+            if not m:
+                continue
+            items = m.items() if isinstance(m, dict) else m
+            for k, v in items:
+                if v is None:
+                    continue
+                rows_l, texts = by_field.setdefault(
+                    f"{path}.{k}", ([], [])
+                )
+                rows_l.append(i)
+                texts.append(_str_for_index(v))
+        for fname in sorted(by_field):
+            rows_l, texts = by_field[fname]
+            eflens, edoc, codes, vocab, epos = get_analyzer(
+                aname
+            ).analyze_batch(texts)
+            roe = np.asarray(rows_l, dtype=np.int64)
+            flens = np.zeros(n, dtype=np.int64)
+            np.add.at(flens, roe, eflens)
+            if len(edoc):
+                doc_idx = roe[edoc].astype(np.int32)
+                pos = epos.astype(np.int32)
+            else:
+                doc_idx, pos = edoc, epos
+            _emit(fname, flens, doc_idx, codes, vocab, pos)
+            dyn_fields.append(fname)
+
     # composite fields (the reference's `_all`) AT REST: member token
     # streams merge with member-LOCAL positions, summed lengths, and
     # typed members contribute their 16 prefix-coded trie terms /
@@ -404,6 +454,10 @@ def _build_one_segment(
         "fields": list(fields),
         "key_cols": key_cols,
     }
+    if dyn_fields:
+        # flags the store: doc-table reads must mergeSchema (each
+        # segment's len_<path>.<key> column set is data-driven)
+        manifest["dynamic_fields"] = dyn_fields
     tmp = mpath + ".tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -421,6 +475,7 @@ def build_segments(
     resume: bool = True,
     segment_id_offset: int = 0,
     composite_fields: dict[str, list[str]] | None = None,
+    dynamic_maps: list | None = None,
 ) -> list[dict]:
     """Distributed segment build; returns per-segment stats.
 
@@ -463,6 +518,7 @@ def build_segments(
     needed = list(dict.fromkeys([
         *key_cols, *fields,
         *[m for ms in (composite_fields or {}).values() for m in ms],
+        *[p for p, _ in (dynamic_maps or [])],
     ]))
     # qcol: dotted field names (mapping-layer flattened paths) must
     # resolve the LITERAL column, not a same-named nested path — and
@@ -490,6 +546,7 @@ def build_segments(
 
     kc = list(key_cols)
     fd = dict(fields)
+    dm = list(dynamic_maps or [])
 
     def build(batches):
         # Spark already runs one task per core; Arrow's own thread pool
@@ -524,7 +581,7 @@ def build_segments(
         for seg in _pc.unique(segs).to_pylist():
             grp = tbl.filter(_pc.equal(segs, seg)).drop_columns(["_seg"])
             m = _build_one_segment(int(seg), grp, kc, fd, root,
-                                   chunk_docs, comp)
+                                   chunk_docs, comp, dm or None)
             yield _pa.RecordBatch.from_pylist(
                 [{
                     "segment_id": m["segment_id"],
@@ -650,6 +707,21 @@ class SegmentStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        self._has_dynamic: bool | None = None
+
+    def _dynamic_fields_present(self) -> bool:
+        """True when any segment carries dynamic-map fields — their
+        ``len_<path>.<key>`` doc columns are data-driven per segment,
+        so doc-table reads must merge parquet schemas. Cached: the
+        probe reads the (tiny, local) manifests once."""
+        if self._has_dynamic is None:
+            try:
+                self._has_dynamic = any(
+                    m.get("dynamic_fields") for m in self.manifests()
+                )
+            except (OSError, json.JSONDecodeError, KeyError):
+                self._has_dynamic = False
+        return self._has_dynamic
 
     # -- raw chunk rows (blobs stay unopened — column pruning) --------
     def chunk_rows(self, with_blobs: bool = False) -> DataFrame:
@@ -670,8 +742,11 @@ class SegmentStore:
         return df
 
     def doc_table(self, live_only: bool = True) -> DataFrame:
-        df = self.spark.read.option("basePath", os.path.join(
-            self.root, "docs")).parquet(
+        reader = self.spark.read.option("basePath", os.path.join(
+            self.root, "docs"))
+        if self._dynamic_fields_present():
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(
             os.path.join(self.root, "docs", "seg=*")
         )
         if "seg" in df.columns:
@@ -852,7 +927,15 @@ class SegmentStore:
         from the compressed store."""
         decoded = self.decode(pred)
         docs = self.doc_table()
-        # norm per field from stored token counts
+        # norm per field from stored token counts; the doc table's
+        # len_* columns are authoritative (a superset of `fields` —
+        # composites and data-driven dynamic-map fields included)
+        fields = sorted(
+            {*fields, *(
+                c[len("len_"):] for c in docs.columns
+                if c.startswith("len_")
+            )}
+        )
         norm_map = F.create_map(
             *[x for fname in fields for x in (
                 F.lit(fname),
