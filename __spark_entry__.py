@@ -146,7 +146,7 @@ def _ann_layout(spark, sf: str, kind: str) -> str:
     import os
 
     from bleve_spark.functions.similarity import (
-        write_ivf_partitioned, write_lsh_signed,
+        write_ivf_partitioned, write_ivfpq_partitioned, write_lsh_signed,
     )
 
     name = os.path.basename(sf.rstrip("/"))
@@ -161,6 +161,13 @@ def _ann_layout(spark, sf: str, kind: str) -> str:
             if kind == "ivf6":
                 write_ivf_partitioned(
                     df, "embedding", path, cell_bits=6, seed=11
+                )
+            elif kind == "ivfpq6":
+                # same planes seed as ivf6 → identical cell geometry;
+                # full vectors NOT stored, M=8 code bytes per vector
+                write_ivfpq_partitioned(
+                    df, "embedding", "vec_id", path, cell_bits=6,
+                    m=8, nbits=8, seed=11,
                 )
             elif kind == "lsh12":
                 write_lsh_signed(df, "embedding", path, planes=12, seed=7)
@@ -3247,6 +3254,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return top.select("key", F.round("cosine", 6).alias("cosine"))
 
+    def ann_ivfpq_topk(spark, sf):
+        """IVF-PQ probe (r5): partition-pruned scan of CODE BYTES
+        (M=8/vector, full vectors not in the layout) → asymmetric-
+        distance lookup in one Arrow stage → exact re-rank of the top
+        refine·k candidates against the source vectors. The ADC
+        ranking depends on the trained codebook, so this gate takes
+        the weaker rows-only check; recall is floor-tested against
+        planted neighbors in tests/test_ann_ivfpq.py and the
+        plumbing is value-hash-checked by ann_ivfpq_full."""
+        from bleve_spark.functions.similarity import ivfpq_topk_at_rest
+
+        df = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qv = df.where(F.col("vec_id") == 0).select("embedding").first()[0]
+        top = ivfpq_topk_at_rest(
+            spark, _ann_layout(spark, sf, "ivfpq6"), df, "embedding",
+            "vec_id", qv, k=10, n_probe_cells=16, refine=4,
+        )
+        return top.select("key", F.round("cosine", 6).alias("cosine"))
+
+    def ann_ivfpq_full(spark, sf):
+        """IVF-PQ with refine=None: every probed row re-ranked exactly
+        — recall equals the flat IVF probe by construction (same
+        planes seed), so the flat IVF oracle value-hash-checks the
+        whole codes→candidates→source-join→re-rank pipeline."""
+        from bleve_spark.functions.similarity import ivfpq_topk_at_rest
+
+        df = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qv = df.where(F.col("vec_id") == 0).select("embedding").first()[0]
+        top = ivfpq_topk_at_rest(
+            spark, _ann_layout(spark, sf, "ivfpq6"), df, "embedding",
+            "vec_id", qv, k=10, n_probe_cells=16, refine=None,
+        )
+        return top.select("key", F.round("cosine", 6).alias("cosine"))
+
     def emb_neardup_pairs(spark, sf):
         """Embedding near-dup candidates: hyperplane-LSH bucket join
         (no all-pairs), exact cosine within buckets ≥ threshold."""
@@ -3811,6 +3852,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_cosine_topk": ann_cosine_topk,
             "ann_lsh_topk": ann_lsh_topk,
             "ann_ivf_topk": ann_ivf_topk,
+            "ann_ivfpq_topk": ann_ivfpq_topk,
+            "ann_ivfpq_full": ann_ivfpq_full,
             "text_profile": text_profile,
             "multimodal_features": multimodal_features,
             "multimodal_image_stats": multimodal_image_stats,
@@ -4133,6 +4176,10 @@ ORDER BY score DESC, p.doc_id LIMIT 20""",
         "ann_cosine_topk": _SQL_COSINE_TOPK,
         "ann_lsh_topk": _ann_pruned_topk_sql("lsh"),
         "ann_ivf_topk": _ann_pruned_topk_sql("ivf"),
+        # ann_ivfpq_topk: deliberately NO oracle — the ADC ranking
+        # depends on the trained codebook (rows-only check; recall
+        # floor in pytest). The full-refine twin IS oracle-checked:
+        "ann_ivfpq_full": _ann_pruned_topk_sql("ivf"),
         "text_profile": _SQL_TEXT_PROFILE,
         # multimodal payload synthesis is hex-string based precisely so
         # the content hash has a pure-SQL twin; the decode KERNELS stay
