@@ -3594,6 +3594,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             {"field": "attrs.color", "term": "red"},
         )
 
+    def q_mapping_dynamic_range(spark, sf):
+        """Numeric range + sort over DYNAMIC MapType values (r5):
+        "attrs.price" has no static plan — the searcher compiles the
+        range to try_element_at(attrs, 'price') and the sort joins
+        the same native expression (searcher.py dynamic_map_fields
+        paths). The reference treats dynamic numerics as first-class
+        trie fields (mapping/document.go:425 → processFloat64).
+        Deterministic synthesis: price = doc_id % 97 + 0.5."""
+        from bleve_spark.index.mapping import (
+            IndexMapping,
+            index_with_mapping,
+        )
+        from bleve_spark.search.searcher import search_df
+
+        key = (spark.sparkContext.applicationId, "dynamic-range", sf)
+        if key not in _INDEX_CACHE:
+            df = (
+                spark.read.parquet(f"{sf}/documents.parquet")
+                .select(
+                    "doc_id", "text",
+                    F.create_map(
+                        F.lit("price"),
+                        (F.col("doc_id") % 97).cast("double") + 0.5,
+                        F.lit("qty"),
+                        (F.col("doc_id") % 11).cast("double"),
+                    ).alias("attrs"),
+                )
+            )
+            im = IndexMapping.from_dict({
+                "scoring_model": "bm25",
+                "default_mapping": {
+                    "dynamic": True,
+                    "properties": {"text": {"fields": [
+                        {"type": "text",
+                         "include_in_all": False}]}},
+                },
+            })
+            _INDEX_CACHE[key] = index_with_mapping(
+                df, ["doc_id"], im, persist=True
+            )
+        out = search_df(
+            _INDEX_CACHE[key],
+            {"conjuncts": [
+                {"field": "attrs.price", "min": 10.0, "max": 13.0,
+                 "inclusive_min": True, "inclusive_max": False},
+                {"field": "attrs.qty", "min": 5.0,
+                 "inclusive_min": True},
+            ]},
+            size=20,
+            sort=[{"field": "attrs.price"}],
+        )
+        return out.select(
+            "doc_id", F.col("`attrs.price`").alias("price")
+        )
+
     def q_mapping_numeric_array(spark, sf):
         """array<numeric> number field through the mapping layer: the
         range matches when ANY element qualifies (one numeric field
@@ -3793,6 +3848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_mapping_update": q_mapping_update,
             "q_mapping_dynamic_map": q_mapping_dynamic_map,
             "q_mapping_dynamic_map_store": q_mapping_dynamic_map_store,
+            "q_mapping_dynamic_range": q_mapping_dynamic_range,
             "q_mapping_numeric_array": q_mapping_numeric_array,
             "dedup_components": dedup_components,
             "q_mapping_bool_field": q_mapping_bool_field,
@@ -4049,6 +4105,14 @@ SELECT p.doc_id,
              6) AS score
 FROM post p CROSS JOIN q
 ORDER BY score DESC, p.doc_id LIMIT 20""",
+        # dynamic-map numeric range + sort: price/qty are closed-form
+        # functions of doc_id, so the oracle recomputes them directly
+        "q_mapping_dynamic_range": """
+SELECT doc_id, CAST(doc_id % 97 + 0.5 AS DOUBLE) AS price
+FROM documents
+WHERE (doc_id % 97 + 0.5) >= 10.0 AND (doc_id % 97 + 0.5) < 13.0
+  AND (doc_id % 11) >= 5
+ORDER BY price, doc_id LIMIT 20""",
         "q_mapping_update": (
             "SELECT 'kept' AS \"case\", doc_id, score FROM ("
             + _sql_single_term("spark") + ")"

@@ -386,48 +386,118 @@ def _typed_member_postings(
     ``_all``: 16 extra tokens per numeric value change the field
     LENGTH (norm) bleve bakes into every ``_all`` score. Range queries
     still compile to native column predicates — these terms exist for
-    norm/cardinality parity and term-level lookups."""
+    norm/cardinality parity and term-level lookups.
+
+    ARRAY members (``*_array`` kinds, r5): the reference emits one
+    field INSTANCE per element and Compose merges their
+    TokenFrequencies — tf sums across elements, field length is
+    Σ per-element lengths (16 per numeric/datetime element, 1 per
+    boolean element). Here the array explodes row-locally (no
+    shuffle) and the per-doc length rides along as a column."""
     import numpy as np
 
-    if kind == "boolean":
-        src = df.select(*keys, qcol(member).cast("boolean").alias("_v"))
-        return (
-            src.where(F.col("_v").isNotNull())
+    is_array = kind.endswith("_array")
+    base_kind = kind[:-6] if is_array else kind
+
+    if base_kind == "boolean":
+        if not is_array:
+            src = df.select(
+                *keys, qcol(member).cast("boolean").alias("_v")
+            )
+            return (
+                src.where(F.col("_v").isNotNull())
+                .select(
+                    F.lit(member).alias("field"),
+                    F.when(F.col("_v"), F.lit("T")).otherwise(F.lit("F"))
+                    .alias("term"),
+                    *keys,
+                    F.lit(1).cast("int").alias("tf"),
+                    F.array(F.lit(1)).alias("positions"),
+                    F.lit(1.0).cast("float").alias("norm"),
+                    F.lit(1).cast("int").alias("_flen"),
+                )
+            )
+        arr = F.filter(
+            qcol(member).cast("array<boolean>"), lambda x: x.isNotNull()
+        )
+        src = (
+            df.select(*keys, arr.alias("_arr"))
+            .where(F.col("_arr").isNotNull() & (F.size("_arr") > 0))
             .select(
-                F.lit(member).alias("field"),
+                *keys,
+                F.size("_arr").cast("int").alias("_field_len"),
+                F.explode("_arr").alias("_v"),
+            )
+        )
+        return (
+            src.groupBy(
+                *keys,
+                "_field_len",
                 F.when(F.col("_v"), F.lit("T")).otherwise(F.lit("F"))
                 .alias("term"),
+            )
+            .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+            .select(
+                F.lit(member).alias("field"),
+                F.col("term"),
                 *keys,
-                F.lit(1).cast("int").alias("tf"),
-                F.array(F.lit(1)).alias("positions"),
-                F.lit(1.0).cast("float").alias("norm"),
-                F.lit(1).cast("int").alias("_flen"),
+                "tf",
+                # each instance carries the boolean token at pos 1;
+                # Compose appends instance position lists
+                F.array_repeat(F.lit(1), F.col("tf")).alias("positions"),
+                (F.lit(1.0) / F.sqrt(F.col("_field_len")))
+                .cast("float").alias("norm"),
+                F.col("_field_len").alias("_flen"),
             )
         )
 
-    if kind == "datetime":
+    if base_kind == "datetime":
         # bleve indexes time.UnixNano (field_datetime.go)
+        if is_array:
+            vals = F.transform(
+                qcol(member).cast("array<timestamp>"),
+                lambda x: F.unix_micros(x) * F.lit(1000),
+            )
+        else:
+            vals = None
+        to_sortable = None  # already an int64 payload
+    elif base_kind == "numeric":
+        vals = qcol(member).cast("array<double>") if is_array else None
+        to_sortable = "float"
+    else:
+        raise ValueError(f"unsupported typed member kind: {kind!r}")
+
+    if is_array:
+        vals = F.filter(vals, lambda x: x.isNotNull())
+        src = (
+            df.select(*keys, vals.alias("_arr"))
+            .where(F.col("_arr").isNotNull() & (F.size("_arr") > 0))
+            .select(
+                *keys,
+                F.size("_arr").cast("int").alias("_nvals"),
+                F.explode("_arr").alias("_v"),
+            )
+        )
+    elif base_kind == "datetime":
         src = df.select(
             *keys,
             (F.unix_micros(qcol(member).cast("timestamp"))
              * F.lit(1000)).alias("_v"),
         )
-        to_sortable = None  # already an int64 payload
-    elif kind == "numeric":
+    else:
         src = df.select(
             *keys, qcol(member).cast("double").alias("_v")
         )
-        to_sortable = "float"
-    else:
-        raise ValueError(f"unsupported typed member kind: {kind!r}")
 
     src = src.where(F.col("_v").isNotNull())
     key_fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
-        for f in src.schema.fields[:-1]
+        for f in src.schema.fields
+        if f.name not in ("_v", "_nvals")
     )
     out_schema = f"{key_fields}, _field_len int, term string, pos int"
     kc = list(keys)
+    has_nvals = "_nvals" in src.columns
 
     def encode(batches):
         import pyarrow as pa
@@ -450,11 +520,21 @@ def _typed_member_postings(
             row_idx, terms = trie_terms_batch(iv)
             idx_arr = pa.array(row_idx)
             arrays = [pc.take(b.column(k), idx_arr) for k in kc]
-            arrays.append(
-                pa.array(
-                    np.full(len(row_idx), n_terms, dtype=np.int32)
+            if has_nvals:
+                # array member: per-doc field length = 16 terms per
+                # element × element count (riding on every row)
+                nv = b.column("_nvals").to_numpy(zero_copy_only=False)
+                arrays.append(
+                    pa.array(
+                        (nv[row_idx] * n_terms).astype(np.int32)
+                    )
                 )
-            )
+            else:
+                arrays.append(
+                    pa.array(
+                        np.full(len(row_idx), n_terms, dtype=np.int32)
+                    )
+                )
             arrays.append(pa.array(terms, type=pa.string()))
             arrays.append(
                 pa.array(np.ones(len(row_idx), dtype=np.int32))
@@ -485,7 +565,8 @@ def _typed_member_postings(
 
 
 def _member_kind(df: DataFrame, member: str) -> str:
-    """text | text_array | numeric | datetime | boolean, from dtype."""
+    """text | numeric | datetime | boolean (each with an ``_array``
+    variant for ArrayType columns), from dtype."""
     from pyspark.sql import types as T
 
     dt = df.schema[member].dataType
@@ -496,6 +577,14 @@ def _member_kind(df: DataFrame, member: str) -> str:
     if isinstance(dt, T.NumericType):
         return "numeric"
     if isinstance(dt, T.ArrayType):
+        el = dt.elementType
+        if isinstance(el, (T.TimestampType, T.TimestampNTZType,
+                           T.DateType)):
+            return "datetime_array"
+        if isinstance(el, T.BooleanType):
+            return "boolean_array"
+        if isinstance(el, T.NumericType):
+            return "numeric_array"
         return "text_array"
     return "text"
 

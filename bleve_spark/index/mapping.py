@@ -735,37 +735,38 @@ def map_table(
         return plans, nested0
 
     routed: list[tuple[F.Column | None, list[PlannedField], DocumentMapping]]
-    nested_specs: list = []
+    # nested specs are collected PER ROUTE: a nested sub-mapping
+    # inside a per-type document mapping (r5) explodes only that
+    # type's rows — the reference allows nested anywhere in the
+    # mapping tree (mapping/document.go walk)
+    route_nested: list[tuple[F.Column | None, list]] = []
     if im.type_mapping and im.type_field in names:
         routed = []
         declared = sorted(im.type_mapping)
         for t in declared:
             plans_t, nested_t = plan_for(im.type_mapping[t])
             if nested_t:
-                raise NotImplementedError(
-                    "nested: true inside a per-type document mapping "
-                    "is not supported (use the default mapping)"
+                route_nested.append(
+                    (F.col(im.type_field) == t, nested_t)
                 )
             routed.append((
                 F.col(im.type_field) == t, plans_t, im.type_mapping[t],
             ))
         default_dm = im.mapping_for_type(im.default_type)
         plans_d, nested_d = plan_for(default_dm)
-        if nested_d:
-            raise NotImplementedError(
-                "nested: true combined with type_mapping routes is "
-                "not supported"
-            )
-        routed.append((
+        default_cond = (
             ~F.col(im.type_field).isin(declared)
-            | F.col(im.type_field).isNull(),
-            plans_d,
-            default_dm,
-        ))
+            | F.col(im.type_field).isNull()
+        )
+        if nested_d:
+            route_nested.append((default_cond, nested_d))
+        routed.append((default_cond, plans_d, default_dm))
     else:
         dm = im.mapping_for_type(im.default_type)
         plans0, nested_specs = plan_for(dm)
         routed = [(None, plans0, dm)]
+        if nested_specs:
+            route_nested.append((None, nested_specs))
 
     # ---- nested: true sub-documents (document.go:489-507) --------
     # each nested array<struct> path becomes a CHILD-ROW group: one
@@ -807,13 +808,15 @@ def map_table(
             child_groups.append((new_chain, cplans, ex, ctx))
             expand_nested(ex, ctx, el, full, new_chain, deeper)
 
-    if nested_specs:
+    if route_nested:
         if not key_list:
             raise ValueError(
                 "nested mappings require explicit key_cols (the "
                 "parent doc identity)"
             )
-        expand_nested(df, None, None, "", (), nested_specs)
+        for cond, specs in route_nested:
+            base_frame = df.where(cond) if cond is not None else df
+            expand_nested(base_frame, None, None, "", (), specs)
 
     # shared flat schema = union of every route's planned fields
     all_names: list[str] = []
@@ -830,6 +833,13 @@ def map_table(
                     f"in one type mapping and {p.ftype} in another — "
                     "bleve shares one field namespace across types"
                 )
+            elif p.nested_chain and not by_name[p.name].nested_chain:
+                # one route plans the field flat (e.g. a dynamic
+                # route), another as a nested child: the nested plan
+                # carries the chain the searcher's ancestor-join
+                # needs, so it wins the planned_fields slot (array
+                # shape is unified separately via any_array)
+                by_name[p.name] = p
 
     # original columns survive untouched unless a planned field claims
     # the same name (identity mapping over an already-flat schema)
@@ -851,6 +861,18 @@ def map_table(
             elif prev != p.src_dtype:
                 num_dtype[p.name] = T.DoubleType()
     date_parsers = im.custom_date_parsers()
+    # cross-route array unification: when ANY route plans a field as
+    # an array (e.g. the dynamic default route flattening an
+    # array<struct> that another route explodes as nested children),
+    # every route's column must share the array shape — scalars ride
+    # as 1-element arrays, which is rank-identical (element 0 carries
+    # stride-0 positions, the same length, the same norm)
+    any_array: set[str] = set()
+    for plan_group in ([plans for _, plans, _dm in routed]
+                       + [plans for _, plans, _f, _c in child_groups]):
+        for p in plan_group:
+            if p.is_array:
+                any_array.add(p.name)
     frames = []
     def mk_value_cols(have: dict) -> list:
         """Per-field value/null columns for one frame, shared between
@@ -907,17 +929,18 @@ def map_table(
                 continue
             if p is None:
                 ref = by_name[n]
-                if ref.is_array and ref.ftype == "text":
+                is_arr = ref.is_array or n in any_array
+                if is_arr and ref.ftype == "text":
                     null_t = "array<string>"
-                elif ref.is_array and ref.ftype == "number":
+                elif is_arr and ref.ftype == "number":
                     null_t = (
                         "array<"
                         + num_dtype.get(n, T.DoubleType()).simpleString()
                         + ">"
                     )
-                elif ref.is_array and ref.ftype == "datetime":
+                elif is_arr and ref.ftype == "datetime":
                     null_t = "array<timestamp>"
-                elif ref.is_array and ref.ftype == "boolean":
+                elif is_arr and ref.ftype == "boolean":
                     null_t = "array<boolean>"
                 elif ref.ftype == "number":
                     null_t = num_dtype.get(
@@ -1001,6 +1024,14 @@ def map_table(
                                 # "" / "dateTimeOptional": the
                                 # default flexible layout set
                                 e = F.try_to_timestamp(s)
+                if not p.is_array and n in any_array:
+                    # another route plans this field as an array —
+                    # a scalar rides as its 1-element array (null
+                    # source → null array, not [null]); number/text
+                    # casts already applied above
+                    if p.ftype == "boolean":
+                        e = e.cast("boolean")
+                    e = F.when(e.isNotNull(), F.array(e))
                 cols.append(e.alias(n))
         return cols
 
@@ -1080,12 +1111,10 @@ def map_table(
             if p.include_in_all and p.index
             # geo fields' cell/morton terms are not modeled as _all
             # TOKENS (their _all queries take the member-wise
-            # fallback in the searcher); vectors never carry terms;
-            # numeric ARRAYS are excluded (the trie-term member
-            # machinery is scalar — documented)
+            # fallback in the searcher); vectors never carry terms.
+            # numeric/datetime/boolean ARRAYS contribute per-element
+            # typed terms (r5, _typed_member_postings *_array kinds)
             and p.ftype not in ("geoshape", "geopoint", "vector")
-            and not (p.is_array
-                     and p.ftype in ("number", "datetime", "boolean"))
         ]
         if members:
             composite[im.default_field] = members

@@ -1137,6 +1137,22 @@ class Compiler:
                     )
                 return pred
 
+            if f not in src.columns:
+                # numeric range over a DYNAMIC MapType value (r5):
+                # "attrs.price" resolves to try_element_at(attrs,
+                # 'price') — a native, pushable expression; the
+                # reference treats dynamic numerics as first-class
+                # trie fields (mapping/document.go:425 walk →
+                # processFloat64). try_* keeps ANSI mode from
+                # throwing on absent keys / non-numeric values.
+                dmf = getattr(ctx.idx, "dynamic_map_fields",
+                              None) or {}
+                for path in dmf:
+                    if f.startswith(path + "."):
+                        c = F.try_element_at(
+                            qcol(path), F.lit(f[len(path) + 1:])
+                        ).try_cast("double")
+                        return src.where(elem_pred(c))
             try:
                 is_arr = isinstance(
                     src.schema[f].dataType, T.ArrayType
@@ -1623,8 +1639,25 @@ def search_df(
                     need_fields.append(name)
                 norm_specs.append(("field", name, desc, "last", None))
     if need_fields:
+        dmf = getattr(idx, "dynamic_map_fields", None) or {}
+        sel = []
+        for nmf in need_fields:
+            expr = None
+            if nmf not in idx.source.columns:
+                # sort over a DYNAMIC MapType value (r5):
+                # "attrs.price" → try_element_at(attrs, 'price'),
+                # native and null-safe for absent keys
+                for path in dmf:
+                    if nmf.startswith(path + "."):
+                        expr = F.try_element_at(
+                            qcol(path), F.lit(nmf[len(path) + 1:])
+                        )
+                        break
+            sel.append(
+                (qcol(nmf) if expr is None else expr).alias(nmf)
+            )
         scored = scored.join(
-            idx.source.select(*idx.key_cols, *need_fields),
+            idx.source.select(*idx.key_cols, *sel),
             idx.key_cols,
             "inner",
         )
@@ -1639,7 +1672,7 @@ def search_df(
         elif kind == "id":
             col = idx.doc_id_col()
         else:
-            col = F.col(fld)
+            col = qcol(fld)
             if mode == "min":
                 col = F.array_min(col)
             elif mode == "max":

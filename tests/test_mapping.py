@@ -721,6 +721,123 @@ def test_dynamic_map_runtime_keys(spark):
     assert got == [1]
 
 
+def test_numeric_array_in_composite_all(spark):
+    """Non-text arrays inside the composite ``_all`` (r5): a mapped
+    array<number> member contributes 16 trie terms PER ELEMENT to the
+    _all length (field_composite.go merges any member type) — the
+    exclusion that used to drop array members from _all is gone."""
+    import numpy as np
+
+    from bleve_spark.index.mapping import (
+        IndexMapping,
+        index_with_mapping,
+    )
+    from bleve_spark.search.searcher import search_df
+
+    df = spark.createDataFrame(
+        [(1, "spark", [1.0, 2.0]), (2, "spark", [3.0])],
+        "doc_id int, text string, ratings array<double>",
+    )
+    im = IndexMapping.from_dict({
+        "scoring_model": "tfidf",
+        "default_mapping": {"dynamic": False, "properties": {
+            "text": {"fields": [{"type": "text"}]},
+            "ratings": {"fields": [{"type": "number"}]},
+        }},
+    })
+    idx = index_with_mapping(df, ["doc_id"], im, persist=True)
+    from pyspark.sql import functions as F
+    norms = {r["doc_id"]: r["norm"] for r in idx.postings.where(
+        (F.col("field") == "_all") & (F.col("term") == "spark")
+    ).select("doc_id", "norm").collect()}
+    # doc 1: 1 text + 2×16 = 33; doc 2: 1 + 16 = 17
+    assert norms[1] == np.float32(1.0 / np.sqrt(33))
+    assert norms[2] == np.float32(1.0 / np.sqrt(17))
+    # default-field search still works and ranks doc 2 higher
+    # (shorter _all)
+    rows = search_df(idx, {"match": "spark"}, size=10).collect()
+    assert [r["doc_id"] for r in rows] == [2, 1]
+
+
+def test_dynamic_map_numeric_range_and_sort(spark):
+    """Numeric range + sort over DYNAMIC MapType values (r5):
+    "attrs.price" compiles to try_element_at(attrs, 'price') — a
+    native, null-safe expression. The reference treats dynamic
+    numerics as first-class trie fields (mapping/document.go:425
+    walk -> processFloat64); here the map's value type governs
+    (double map sorts/ranges numerically; string map values range
+    via try_cast to double)."""
+    from bleve_spark.index.mapping import (
+        IndexMapping,
+        index_with_mapping,
+    )
+    from bleve_spark.search.searcher import search_df
+
+    im = IndexMapping.from_dict({
+        "scoring_model": "bm25",
+        "default_mapping": {
+            "dynamic": True,
+            "properties": {"text": {"fields": [{"type": "text"}]}},
+        },
+    })
+
+    # map<string,double>: range + sort are numeric
+    dfd = spark.createDataFrame(
+        [(1, "alpha fox", {"price": 10.0, "qty": 5.0}),
+         (2, "beta fox", {"price": 2.5}),
+         (3, "gamma fox", {"price": 30.0, "qty": 1.0}),
+         (4, "delta fox", {"qty": 9.0})],
+        "doc_id int, text string, attrs map<string,double>",
+    )
+    idx = index_with_mapping(dfd, ["doc_id"], im, persist=True)
+    got = sorted(r["doc_id"] for r in search_df(
+        idx, {"field": "attrs.price", "min": 3.0}, size=10
+    ).collect())
+    assert got == [1, 3]
+    got = sorted(r["doc_id"] for r in search_df(
+        idx, {"field": "attrs.price", "min": 1.0, "max": 11.0},
+        size=10,
+    ).collect())
+    assert got == [1, 2]
+    # sort ascending by the dynamic value; doc 4 (absent key) lands
+    # last (missing=last default)
+    rows = search_df(
+        idx, {"field": "text", "match": "fox"},
+        sort=[{"field": "attrs.price"}], size=10,
+    ).collect()
+    assert [r["doc_id"] for r in rows] == [2, 1, 3, 4]
+    # descending with missing first
+    rows = search_df(
+        idx, {"field": "text", "match": "fox"},
+        sort=[{"field": "attrs.price", "desc": True,
+               "missing": "first"}], size=10,
+    ).collect()
+    assert [r["doc_id"] for r in rows] == [4, 3, 1, 2]
+    # composes: range over one dynamic key AND term over another
+    got = [r["doc_id"] for r in search_df(
+        idx, {"conjuncts": [
+            {"field": "attrs.price", "max": 15.0,
+             "inclusive_max": True},
+            {"field": "attrs.qty", "min": 2.0},
+        ]}, size=10,
+    ).collect()]
+    assert got == [1]
+
+    # map<string,string> with numeric-looking values: range still
+    # works via try_cast (non-numeric values never throw under ANSI)
+    dfs = spark.createDataFrame(
+        [(1, "a", {"price": "10", "tag": "red"}),
+         (2, "b", {"price": "2.5"}),
+         (3, "c", {"price": "thirty"})],
+        "doc_id int, text string, attrs map<string,string>",
+    )
+    idx2 = index_with_mapping(dfs, ["doc_id"], im, persist=True)
+    got = sorted(r["doc_id"] for r in search_df(
+        idx2, {"field": "attrs.price", "min": 3.0}, size=10
+    ).collect())
+    assert got == [1]
+
+
 def test_numeric_array_range(spark):
     """array<numeric> mapped number fields: a range matches when ANY
     element satisfies it (bleve emits one numeric field instance per

@@ -276,3 +276,73 @@ def test_nested_at_rest_matches_in_memory(nidx, spark, tmp_path):
             for r in search_df(at_rest, q, size=10).collect()
         )
         assert rest == mem, (q, mem, rest)
+
+
+def test_nested_inside_per_type_mapping(spark):
+    """nested: true inside a per-type document mapping (r5): the
+    nested explode runs only over that type's rows — the reference
+    allows nested anywhere in the mapping tree
+    (mapping/document.go walk)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        Row(doc_id="b1", kind="book",
+            chapters=[Row(title="spark intro", pages=10),
+                      Row(title="advanced joins", pages=30)],
+            name=None),
+        Row(doc_id="b2", kind="book",
+            chapters=[Row(title="python basics", pages=20)],
+            name=None),
+        # a film row that ALSO carries a chapters array — the film
+        # route must NOT explode it (its mapping has no nested there)
+        Row(doc_id="f1", kind="film",
+            chapters=[Row(title="spark intro", pages=1)],
+            name="spark documentary"),
+    ]
+    df = spark.createDataFrame(rows)
+    im = IndexMapping.from_dict({
+        "type_field": "kind",
+        "types": {
+            "book": {
+                "properties": {
+                    "chapters": {
+                        "nested": True,
+                        "properties": {
+                            "title": {"fields": [{"type": "text"}]},
+                            "pages": {"fields": [{"type": "number"}]},
+                        },
+                    },
+                },
+            },
+            "film": {
+                # dynamic off: the film route must neither explode
+                # nor flat-index its chapters array
+                "dynamic": False,
+                "properties": {
+                    "name": {"fields": [{"type": "text"}]},
+                },
+            },
+        },
+        "scoring_model": "bm25",
+    })
+    idx = index_with_mapping(df, ["doc_id"], im, persist=False)
+    # a nested conjunction binds inside ONE chapter: title has
+    # "spark" AND pages >= 5 — true for b1's first chapter; f1's
+    # chapters were not exploded, so "spark intro" there cannot match
+    hits = search_df(idx, {"conjuncts": [
+        {"field": "chapters.title", "match": "spark"},
+        {"field": "chapters.pages", "min": 5.0},
+    ]}, size=10).collect()
+    assert [r["doc_id"] for r in hits] == ["b1"]
+    # the film route still indexes its own fields
+    hits2 = search_df(
+        idx, {"field": "name", "match": "documentary"}, size=10
+    ).collect()
+    assert [r["doc_id"] for r in hits2] == ["f1"]
+    # no cross-chapter false positive: "advanced" AND pages < 15
+    # spans two different chapters of b1 — must not match
+    assert search_df(idx, {"conjuncts": [
+        {"field": "chapters.title", "match": "advanced"},
+        {"field": "chapters.pages", "max": 15.0,
+         "inclusive_max": True},
+    ]}, size=10).count() == 0

@@ -122,3 +122,73 @@ def test_composite_contains_trie_and_boolean_terms(typed_idx):
         assert t in terms
     # 3 text + 32 trie + T = 36 distinct terms (all tf=1 here)
     assert len(terms) == 36
+
+
+@pytest.fixture(scope="module")
+def typed_array_idx(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", "spark engine", [19.0, 21.0], ["2014-11-25"],
+             [True, True, False]),
+            ("b", "spark", [5.0, 5.0], None, None),
+            ("c", "spark", [], None, [False]),
+        ],
+        "id string, text string, nums array<double>, "
+        "dts_s array<string>, flags array<boolean>",
+    ).withColumn(
+        "dts",
+        F.transform("dts_s", lambda x: F.to_timestamp(x)),
+    ).drop("dts_s")
+    return index_table(
+        df, key_cols=["id"], fields={"text": "standard"},
+        composite_fields={"_all": ["text", "nums", "dts", "flags"]},
+        scoring="tfidf",
+    )
+
+
+def test_composite_array_member_lengths(typed_array_idx):
+    """Non-text ARRAY members in _all (r5): each element is a field
+    instance (field_composite.go merges any member type) — length
+    adds 16 per numeric/datetime element, 1 per boolean element."""
+    # a: 2 text + 2×16 nums + 1×16 dts + 3 flags = 53
+    # b: 1 text + 2×16 nums = 33
+    # c: 1 text + 1 flag = 2 (empty nums array contributes nothing)
+    rows = typed_array_idx.postings.where(
+        (F.col("field") == "_all") & (F.col("term") == "spark")
+    ).select("id", "norm").collect()
+    norms = {r["id"]: r["norm"] for r in rows}
+    assert norms["a"] == pytest.approx(
+        np.float32(1.0 / np.sqrt(53)), abs=0
+    )
+    assert norms["b"] == pytest.approx(
+        np.float32(1.0 / np.sqrt(33)), abs=0
+    )
+    assert norms["c"] == pytest.approx(
+        np.float32(1.0 / np.sqrt(2)), abs=0
+    )
+
+
+def test_composite_array_member_terms_and_tf(typed_array_idx):
+    from bleve_spark.index.numeric_terms import (
+        float64_to_int64, trie_terms_int64,
+    )
+
+    post = typed_array_idx.postings.where(F.col("field") == "_all")
+    # doc a: full-precision terms for BOTH elements, boolean T tf=2 F tf=1
+    a_terms = {r["term"]: r["tf"] for r in post.where(
+        F.col("id") == "a"
+    ).select("term", "tf").collect()}
+    for t in trie_terms_int64(float64_to_int64(19.0)):
+        assert t in a_terms
+    for t in trie_terms_int64(float64_to_int64(21.0)):
+        assert t in a_terms
+    for t in trie_terms_int64(1416873600 * 10**9):
+        assert t in a_terms
+    assert a_terms["T"] == 2 and a_terms["F"] == 1
+    # doc b: [5.0, 5.0] — identical elements MERGE: tf=2 on every
+    # full-precision term (TokenFrequencies merge across instances)
+    b5 = trie_terms_int64(float64_to_int64(5.0))[0]
+    row = post.where(
+        (F.col("id") == "b") & (F.col("term") == b5)
+    ).select("tf", "positions").first()
+    assert row["tf"] == 2 and list(row["positions"]) == [1, 1]
