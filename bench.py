@@ -178,6 +178,18 @@ def main():
         "sf": sf_dir.rstrip("/").split("/")[-1],
         "index_build": index_build,
     }
+    # sf1 (20M-turn) evidence from tools/bench_sf1.py, if it has been
+    # run: build/merge/query numbers one order of magnitude above this
+    # run's sf, recorded once per code change (not per driver round)
+    sf1_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SF1.json"
+    )
+    if os.path.exists(sf1_path):
+        try:
+            with open(sf1_path) as f:
+                out["sf1"] = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            pass
     extra = os.environ.get("BENCH_JSON_EXTRA")
     if extra:
         out.update(json.loads(extra))

@@ -107,6 +107,22 @@ class IndexedTable:
     # per-index override of DICT_CACHE_MAX (0 forces every dictionary
     # expansion onto the fully distributed join path)
     dict_cache_max: int | None = None
+    # at-rest pruned-read hook (r5): callable(pred) -> postings
+    # DataFrame with the (field/term) predicate pushed BELOW the
+    # chunk decode into the parquet scan. Without it, a filter over
+    # `postings` lands ABOVE the decode UDF (Catalyst cannot push
+    # through mapInPandas), so every query pays a full-store decode —
+    # fine on a persisted index, a scale-killer on a cold 100 TB
+    # store. Searcher paths route through prune_postings().
+    postings_factory: object = dc_field(default=None, repr=False)
+
+    def prune_postings(self, pred):
+        """Postings rows matching ``pred`` (a Column over field/term):
+        via the pushed-down factory when present, else a plain
+        filter over the decoded relation."""
+        if self.postings_factory is not None:
+            return self.postings_factory(pred)
+        return self.postings.where(pred)
 
     @property
     def spark(self):

@@ -1000,14 +1000,44 @@ class SegmentStore:
             stats=self.stats(list(fields), scoring),
             dictionary=None,
         )
+        has_dels = self.deletions() is not None
         if persist:
             idx.postings = idx.postings.persist()
             idx._persisted.append(idx.postings)
-        idx.dictionary = idx.postings.groupBy("field", "term").agg(
-            F.count(F.lit(1)).alias("doc_freq"),
-            F.max("tf").alias("max_tf"),
-            F.min("norm").alias("min_norm"),
-        )
+        else:
+            # cold-store read path (r5): route every searcher read
+            # through postings_df(pred) so (field, term) predicates
+            # land in the parquet chunk scan BEFORE the decode UDF —
+            # a term query on a 100 TB store reads that term's
+            # chunks, not the whole store (Catalyst cannot push a
+            # filter through mapInPandas, so without this hook the
+            # persist=False index full-decodes per query)
+            kc, fl = list(key_cols), list(fields)
+            idx.postings_factory = (
+                lambda pred: self.postings_df(kc, fl, pred)
+            )
+        if persist or has_dels:
+            # live-doc dictionary (deletions drop out via the doc-
+            # table join inside postings_df)
+            idx.dictionary = idx.postings.groupBy("field", "term").agg(
+                F.count(F.lit(1)).alias("doc_freq"),
+                F.max("tf").alias("max_tf"),
+                F.min("norm").alias("min_norm"),
+            )
+        else:
+            # deletion-free store: the dictionary is pure chunk
+            # METADATA (n_docs/max_tf per chunk row) — no blob decode,
+            # column-pruned parquet scan only. min_norm is schema
+            # compatibility (no consumer reads it).
+            idx.dictionary = (
+                self.chunk_rows()
+                .groupBy("field", "term")
+                .agg(
+                    F.sum("n_docs").cast("long").alias("doc_freq"),
+                    F.max("max_tf").alias("max_tf"),
+                    F.lit(None).cast("float").alias("min_norm"),
+                )
+            )
         if persist:
             idx.dictionary = idx.dictionary.persist()
             idx._persisted.append(idx.dictionary)

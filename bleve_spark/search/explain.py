@@ -91,7 +91,7 @@ class _Explainer:
             for key in self.keys
         ])
         rows = (
-            self.idx.postings.where(tpred & kpred)
+            self.idx.prune_postings(tpred).where(kpred)
             .select("field", "term", *kc, "tf", "norm", "positions")
             .collect()
         )
@@ -149,8 +149,8 @@ class _Explainer:
             for key in self.keys
         ])
         rows = (
-            self.idx.postings
-            .where((F.col("field") == node.field) & kpred)
+            self.idx.prune_postings(F.col("field") == node.field)
+            .where(kpred)
             .join(node.expansion, "term")
             .select("term", "doc_freq", "mult", *kc, "tf", "norm")
             .collect()

@@ -159,7 +159,9 @@ class STerm(SNode):
         return term_weight(self._boost(), self._idf(ctx))
 
     def _rows(self, ctx: _Ctx) -> DataFrame:
-        return ctx.idx.postings.where(
+        # prune_postings pushes (field, term) below an at-rest
+        # store's chunk decode into the parquet scan (r5)
+        return ctx.idx.prune_postings(
             (F.col("field") == self.field) & (F.col("term") == self.term)
         )
 
@@ -451,7 +453,9 @@ def _bulk_join_score(ctx, fld: str, mdf, total, min_req) -> DataFrame:
     (term, _idf double, _qw double); per-posting math is the exact
     term_score_col formula with idf/queryWeight as columns."""
     avg = ctx.idx.stats.avg_len(fld) if ctx.scoring == "bm25" else 0.0
-    rows = ctx.idx.postings.where(F.col("field") == fld).join(mdf, "term")
+    rows = ctx.idx.prune_postings(
+        F.col("field") == fld
+    ).join(mdf, "term")
     if ctx.scoring == "bm25" and avg > 0:
         per = F.col("_idf") * (
             F.sqrt(F.col("tf").cast("double")) * F.lit(1.2)
@@ -570,9 +574,9 @@ class SDictDisj(SNode):
         return _bulk_join_score(ctx, self.field, mdf, total=n, min_req=1)
 
     def docs(self, ctx):
-        rows = ctx.idx.postings.where(F.col("field") == self.field).join(
-            self.expansion.select("term"), "term", "left_semi"
-        )
+        rows = ctx.idx.prune_postings(
+            F.col("field") == self.field
+        ).join(self.expansion.select("term"), "term", "left_semi")
         return rows.select(*ctx.keys).distinct()
 
 

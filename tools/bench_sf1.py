@@ -1,0 +1,215 @@
+"""sf1 (20M-turn) evidence run — judge r4 task #8.
+
+One order of magnitude above the per-round bench (sf0.1 ≈ 2M turns):
+generates the deterministic transcript corpus at ~20M turns, builds
+the at-rest segment index at local[32] (cold + warm), runs the
+multi-round ≤10-way merge from the 2,500-segment build (builder.go
+fan-in rounds: 2500 → 250 → 25 → 3 → 1), then serves a search suite
+from the merged store WITHOUT materializing decoded postings — the
+term-pruned parquet chunk scan is the 100 TB read path. The same
+suite runs against a 2M-turn control index built identically, so the
+sf0.1→sf1 latency ratio directly evidences sublinear query scaling
+(10× the data must cost ≪ 10× the latency for pruned reads).
+
+Writes BENCH_SF1.json at the repo root; bench.py merges it into its
+one-line JSON as the "sf1" section so BENCH_r{N}.json carries it.
+
+Run:  python tools/bench_sf1.py            (~15-30 min)
+Env:  SF1_TURNS (default 20_000_000), SF1_CPUS (default 32),
+      SF1_SKIP_MERGE=1 to skip the merge rounds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import resource
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _build_index(spark, n_turns_target: int, tag: str, out: dict):
+    """Generate corpus + build segments; returns (corpus_dir, root,
+    src_df, n_turns)."""
+    from bleve_spark.corpus import transcripts_df
+    from bleve_spark.index.segments import build_segments_from_files
+
+    n_convs = max(64, int(n_turns_target / 16.5))
+    n_files = max(64, int(n_turns_target / 8000))
+    corpus_dir = tempfile.mkdtemp(prefix=f"sf1_corpus_{tag}_")
+    transcripts_df(spark, n_convs, parts=n_files).write.mode(
+        "overwrite"
+    ).parquet(corpus_dir)
+    src = spark.read.parquet(corpus_dir)
+    n_turns = src.count()
+    paths = [
+        os.path.join(corpus_dir, f)
+        for f in os.listdir(corpus_dir)
+        if f.endswith(".parquet")
+    ]
+    builds = []
+    root = None
+    for mode in ("cold", "warm"):
+        if root:
+            shutil.rmtree(root, ignore_errors=True)
+        root = corpus_dir + f"_idx_{mode}"
+        t0 = time.time()
+        stats = build_segments_from_files(
+            spark, paths, ["conv_id", "turn_idx"],
+            {"text": "standard"}, root, resume=False,
+        )
+        secs = time.time() - t0
+        builds.append({
+            "mode": mode,
+            "seconds": round(secs, 3),
+            "turns_per_sec": round(n_turns / secs, 1),
+            "segments": len(stats),
+            "postings": int(sum(s["postings"] for s in stats)),
+        })
+        print(f"[{tag}] build {mode}: {secs:.1f}s "
+              f"({n_turns / secs:,.0f} turns/s, {len(stats)} segs)",
+              file=sys.stderr)
+    out[f"build_{tag}"] = {
+        "turns": int(n_turns),
+        "files": len(paths),
+        "runs": builds,
+    }
+    return corpus_dir, root, src, n_turns
+
+
+def _query_suite(spark, store, src, tag: str, out: dict):
+    """Search suite served from the at-rest store with NO decoded-
+    postings persist: every query's read is the term-pruned chunk
+    scan (the plan that holds at 100 TB)."""
+    from bleve_spark.search.blockmax import pruned_disjunction_topk
+    from bleve_spark.search.searcher import search_df
+
+    idx = store.to_indexed_table(
+        src, ["conv_id", "turn_idx"], {"text": "standard"},
+        persist=False,
+    )
+    suite = {
+        "term_bm25": {"field": "text", "term": "pipeline"},
+        "match_or": {"field": "text", "match": "quick pipeline"},
+        "match_and": {"field": "text", "match": "quick pipeline",
+                      "operator": "and"},
+        "phrase": {"field": "text", "match_phrase": "the pipeline"},
+        "boolean": {
+            "must": {"conjuncts": [
+                {"field": "text", "term": "pipeline"}]},
+            "must_not": {"disjuncts": [
+                {"field": "text", "term": "quick"}]},
+        },
+        "query_string": {"query": "text:pipeline -text:quick"},
+    }
+    timings = {}
+    for name, q in suite.items():
+        runs = []
+        for _ in range(2):
+            t0 = time.time()
+            search_df(idx, q, size=10).collect()
+            runs.append(time.time() - t0)
+        timings[name] = round(min(runs), 3)
+        print(f"[{tag}] {name}: {min(runs):.2f}s", file=sys.stderr)
+    # block-max WAND pruned top-k straight off the store
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        pruned_disjunction_topk(
+            store, idx.stats, ["conv_id", "turn_idx"], "text",
+            ["quick", "pipeline"], k=10,
+        ).collect()
+        runs.append(time.time() - t0)
+    timings["blockmax_wand"] = round(min(runs), 3)
+    print(f"[{tag}] blockmax_wand: {min(runs):.2f}s", file=sys.stderr)
+    out[f"queries_{tag}"] = timings
+    return timings
+
+
+def main():
+    n_turns = int(os.environ.get("SF1_TURNS", "20000000"))
+    cpus = int(os.environ.get("SF1_CPUS", "32"))
+
+    from bleve_spark.index.merge import merge_to_single
+    from bleve_spark.index.segments import SegmentStore
+    from bleve_spark.session import get_spark
+
+    spark = get_spark("bleve-spark-sf1", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out: dict = {"turns_target": n_turns, "cpus": cpus}
+    tmp_roots = []
+    try:
+        # ---- sf1 build ----
+        c1, root1, src1, turns1 = _build_index(spark, n_turns, "sf1",
+                                               out)
+        tmp_roots += [c1, root1]
+
+        # ---- multi-round merge (2500 segs → 1, ≤10-way rounds) ----
+        if not os.environ.get("SF1_SKIP_MERGE"):
+            t0 = time.time()
+            final_root = merge_to_single(spark, root1, fanin=10)
+            merge_secs = time.time() - t0
+            rounds = 0
+            p = final_root
+            while p != root1 and "_L" in p:
+                rounds = max(rounds, int(p.rsplit("_L", 1)[1]))
+                p = p.rsplit("_L", 1)[0]
+            n_final = len([
+                f for f in os.listdir(os.path.join(final_root,
+                                                   "manifest"))
+                if f.endswith(".json")
+            ])
+            out["merge"] = {
+                "seconds": round(merge_secs, 3),
+                "rounds": rounds,
+                "fanin": 10,
+                "segments_before": out["build_sf1"]["runs"][-1]
+                ["segments"],
+                "segments_after": n_final,
+            }
+            print(f"[sf1] merge: {merge_secs:.1f}s, {rounds} rounds",
+                  file=sys.stderr)
+            query_root = final_root
+            for lvl in range(1, rounds + 1):
+                tmp_roots.append(f"{root1}_L{lvl}")
+        else:
+            query_root = root1
+
+        # ---- query suite at sf1 (merged store) ----
+        t1 = _query_suite(spark, SegmentStore(spark, query_root),
+                          src1, "sf1", out)
+
+        # ---- 2M-turn control, identically built ----
+        c0, root0, src0, turns0 = _build_index(
+            spark, max(2_000_000, n_turns // 10), "sf01", out)
+        tmp_roots += [c0, root0]
+        t0q = _query_suite(spark, SegmentStore(spark, root0), src0,
+                           "sf01", out)
+
+        ratio = {
+            k: round(t1[k] / t0q[k], 2) if t0q[k] > 0 else None
+            for k in t1
+        }
+        out["latency_ratio_sf1_over_sf01"] = ratio
+        out["data_ratio"] = round(turns1 / turns0, 2)
+        out["peak_driver_rss_gb"] = round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+            / 1024**2, 2)
+    finally:
+        for p in tmp_roots:
+            shutil.rmtree(p, ignore_errors=True)
+
+    with open(os.path.join(REPO, "BENCH_SF1.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
