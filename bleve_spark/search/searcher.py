@@ -428,7 +428,13 @@ class SDisj(SNode):
                 meta, "term string, _idf double, _qw double"
             )
         )
-        return _bulk_join_score(ctx, fld, mdf, total, min_req)
+        # the term set is driver-known here: pass it through so the
+        # at-rest pruned read pushes term IN (...) into the chunk
+        # scan (field-only pruning decodes the whole field)
+        return _bulk_join_score(
+            ctx, fld, mdf, total, min_req,
+            terms=[m[0] for m in meta],
+        )
 
     def docs(self, ctx):
         kids = [c for c in self.children if not isinstance(c, SNone)]
@@ -446,16 +452,21 @@ class SDisj(SNode):
         )
 
 
-def _bulk_join_score(ctx, fld: str, mdf, total, min_req) -> DataFrame:
+def _bulk_join_score(ctx, fld: str, mdf, total, min_req,
+                     terms: list | None = None) -> DataFrame:
     """Score a whole term set in ONE postings join + ONE groupBy: the
     scale path shared by big in-memory disjunctions (_compile_bulk) and
     distributed dictionary expansions (SDictDisj). ``mdf`` carries
     (term, _idf double, _qw double); per-posting math is the exact
-    term_score_col formula with idf/queryWeight as columns."""
+    term_score_col formula with idf/queryWeight as columns. Pass
+    ``terms`` when the set is known driver-side so an at-rest store
+    prunes its chunk scan on term IN (...) — a distributed expansion
+    (SDictDisj) leaves it None and prunes on field only."""
     avg = ctx.idx.stats.avg_len(fld) if ctx.scoring == "bm25" else 0.0
-    rows = ctx.idx.prune_postings(
-        F.col("field") == fld
-    ).join(mdf, "term")
+    pred = F.col("field") == fld
+    if terms:
+        pred = pred & F.col("term").isin(list(terms))
+    rows = ctx.idx.prune_postings(pred).join(mdf, "term")
     if ctx.scoring == "bm25" and avg > 0:
         per = F.col("_idf") * (
             F.sqrt(F.col("tf").cast("double")) * F.lit(1.2)
