@@ -115,13 +115,28 @@ class IndexedTable:
     # fine on a persisted index, a scale-killer on a cold 100 TB
     # store. Searcher paths route through prune_postings().
     postings_factory: object = dc_field(default=None, repr=False)
+    # doc_num-level scoring hooks (r5, stores with posting_lens):
+    # postings_doc_factory(pred) -> (field, term, doc_num, tf, norm)
+    # with no doc-table join; doc_keys_df() -> (doc_num, keys...) for
+    # post-aggregation key resolution over matched docs only
+    postings_doc_factory: object = dc_field(default=None, repr=False)
+    doc_keys_df: object = dc_field(default=None, repr=False)
 
-    def prune_postings(self, pred):
+    def prune_postings(self, pred, positions: bool = True):
         """Postings rows matching ``pred`` (a Column over field/term):
         via the pushed-down factory when present, else a plain
-        filter over the decoded relation."""
+        filter over the decoded relation.
+
+        ``positions=False`` lets an at-rest factory skip reading and
+        decoding the pos_blob column entirely (the largest blob) —
+        the right call for scoring-only reads (term/boolean/
+        disjunction joins). On the in-memory relation it's a no-op:
+        the positions column rides along, already materialized."""
         if self.postings_factory is not None:
-            return self.postings_factory(pred)
+            try:
+                return self.postings_factory(pred, positions=positions)
+            except TypeError:
+                return self.postings_factory(pred)
         return self.postings.where(pred)
 
     @property

@@ -232,7 +232,8 @@ def merge_level(
         new_seg = int(pdf["new_seg"].iloc[0])
         base_new = np.uint64(new_seg) << np.uint64(SEG_SHIFT)
         dels = bc_deleted.value
-        docs_all, tfs_all, pos_all = [], [], []
+        docs_all, tfs_all, pos_all, lens_all = [], [], [], []
+        lens_ok = True
         norms_max = 0.0
         for r in pdf.itertuples():
             # blobs carry segment-LOCAL doc nums (mask is belt-and-
@@ -242,6 +243,13 @@ def merge_level(
             local = (docs & np.uint64(LOCAL_MASK)).astype(np.int64)
             tfs = varint_decode(r.tf_blob)
             plists = decode_positions(r.pos_blob, len(docs))
+            lb = getattr(r, "len_blob", None)
+            lens = (
+                varint_decode(lb)
+                if lb else np.empty(0, dtype=np.uint64)
+            )
+            if len(lens) != len(docs):
+                lens_ok = False  # legacy input without length streams
             del_arr = dels.get(int(r.segment_id))
             if del_arr is not None and len(del_arr):
                 pos_in = np.searchsorted(del_arr, local)
@@ -255,26 +263,36 @@ def merge_level(
                 local = local[keep]
                 tfs = tfs[keep]
                 plists = [p for p, k in zip(plists, keep) if k]
+                if len(lens) == len(keep):
+                    lens = lens[keep]
                 # compacted live rank = local − #deleted below it
                 local = local - np.searchsorted(del_arr, local)
             off = np.uint64(int(r.doc_off))
             docs_all.append(off + local.astype(np.uint64))
             tfs_all.append(tfs)
             pos_all.extend(plists)
+            lens_all.append(lens)
             norms_max = max(norms_max, float(r.max_norm))
         if not docs_all:
             return pd.DataFrame(
                 {k: [] for k in (
                     "segment_id", "field", "term", "chunk_id", "n_docs",
-                    "doc_blob", "tf_blob", "pos_blob", "max_tf",
+                    "doc_blob", "tf_blob", "pos_blob", "len_blob",
+                    "max_tf",
                     "max_norm", "min_doc", "max_doc",
                 )}
             )
         docs_a = np.concatenate(docs_all)
         tfs_a = np.concatenate(tfs_all)
+        lens_a = (
+            np.concatenate(lens_all)
+            if lens_ok and lens_all else np.empty(0, dtype=np.uint64)
+        )
+        lens_ok = lens_ok and len(lens_a) == len(docs_a)
         out = {
             "segment_id": [], "field": [], "term": [], "chunk_id": [],
             "n_docs": [], "doc_blob": [], "tf_blob": [], "pos_blob": [],
+            "len_blob": [],
             "max_tf": [], "max_norm": [], "min_doc": [], "max_doc": [],
         }
         fld = pdf["field"].iloc[0]
@@ -293,6 +311,9 @@ def merge_level(
             out["doc_blob"].append(delta_encode_sorted(docs_a[c0:c1]))
             out["tf_blob"].append(varint_encode(tfs_a[c0:c1]))
             out["pos_blob"].append(encode_positions(pos_all[c0:c1]))
+            out["len_blob"].append(
+                varint_encode(lens_a[c0:c1]) if lens_ok else b""
+            )
             out["max_tf"].append(int(tfs_a[c0:c1].max()))
             out["max_norm"].append(norms_max)
             # min/max_doc columns stay GLOBAL (pruning predicates
@@ -428,6 +449,9 @@ def merge_level(
             "merged_from": [m["segment_id"] for m in members],
             "fields": members[0].get("fields"),
             "key_cols": members[0].get("key_cols"),
+            "posting_lens": all(
+                m.get("posting_lens") for m in members
+            ),
         }
         dyn = sorted({
             f for m in members for f in (m.get("dynamic_fields") or [])

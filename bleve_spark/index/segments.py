@@ -62,6 +62,7 @@ def _posting_schema() -> str:
     return (
         "segment_id int, field string, term string, chunk_id long, "
         "n_docs int, doc_blob binary, tf_blob binary, pos_blob binary, "
+        "len_blob binary, "
         "max_tf int, max_norm float, min_doc long, max_doc long"
     )
 
@@ -132,6 +133,7 @@ def _build_one_segment(
     col_parts: dict[str, list] = {
         "segment_id": [], "field": [], "term": [], "chunk_id": [],
         "n_docs": [], "doc_blob": [], "tf_blob": [], "pos_blob": [],
+        "len_blob": [],
         "max_tf": [], "max_norm": [], "min_doc": [], "max_doc": [],
     }
     n_postings = 0
@@ -193,6 +195,15 @@ def _build_one_segment(
         )
         tf_bytes, tf_ends = varint_encode_with_ends(tf.astype(np.uint64))
 
+        # ---- length stream: the posting doc's field token count, one
+        # varint per posting group (the reference's zap format carries
+        # freq|norm interleaved per posting — index/scorch/segment
+        # postings details; storing it here lets scoring read norms
+        # straight off the postings instead of joining the doc table)
+        len_bytes, len_ends = varint_encode_with_ends(
+            flens[g_d].astype(np.uint64)
+        )
+
         # ---- positions stream: per group [tf, abs_pos, deltas...]
         pp = np.empty(N, dtype=np.int32)
         pp[1:] = p[1:] - p[:-1]
@@ -209,6 +220,8 @@ def _build_one_segment(
         d_hi = doc_ends[chunk_last]
         t_lo = np.where(cs > 0, tf_ends[cs - 1], 0)
         t_hi = tf_ends[chunk_last]
+        l_lo = np.where(cs > 0, len_ends[cs - 1], 0)
+        l_hi = len_ends[chunk_last]
         p_lo_idx = g_head[cs]
         p_hi_idx = g_head[chunk_last] + tf[chunk_last]  # last stream slot
         p_lo = np.where(p_lo_idx > 0, pos_ends[p_lo_idx - 1], 0)
@@ -238,6 +251,10 @@ def _build_one_segment(
         )
         col_parts["pos_blob"].append(
             [bytes(mv_p[a:b]) for a, b in zip(p_lo, p_hi)]
+        )
+        mv_l = memoryview(len_bytes)
+        col_parts["len_blob"].append(
+            [bytes(mv_l[a:b]) for a, b in zip(l_lo, l_hi)]
         )
         col_parts["max_tf"].append(max_tf_c.astype(np.int32))
         col_parts["max_norm"].append(max_norm_c)
@@ -453,6 +470,9 @@ def _build_one_segment(
         "postings_per_sec": (n_postings / secs) if secs > 0 else 0.0,
         "fields": list(fields),
         "key_cols": key_cols,
+        # chunk rows carry a len_blob (per-posting field length →
+        # norm); scoring reads skip the doc-table norm join
+        "posting_lens": True,
     }
     if dyn_fields:
         # flags the store: doc-table reads must mergeSchema (each
@@ -700,6 +720,175 @@ DECODED_SCHEMA_SUFFIX = (
     "positions array<int>"
 )
 
+DECODED_SCHEMA_NO_POS = "field string, term string, doc_num long, tf int"
+
+
+def decode_chunk_rows(rows: DataFrame,
+                      with_positions: bool = True,
+                      with_norm: bool = False) -> DataFrame:
+    """Arrow batch decode of chunk rows → exploded postings.
+
+    ``rows`` is any (pre-filtered) chunk-row DataFrame carrying
+    (segment_id, field, term, doc_blob, tf_blob[, pos_blob,
+    len_blob]). With ``with_positions=False`` the pos_blob column is
+    never selected — the parquet scan skips the largest blob column
+    entirely, which is the right read for scoring-only paths
+    (block-max WAND rescoring, bulk disjunction joins don't need
+    positions).
+
+    ``with_norm=True`` decodes the len_blob stream (per-posting field
+    token count — the reference's zap freqNorm detail) into a
+    ``norm float`` column (float32 1/sqrt(len)): scoring reads norms
+    straight off the postings, with NO doc-table join — the join that
+    would otherwise make every query Ω(corpus). Only valid on stores
+    whose manifests carry ``posting_lens`` (see
+    SegmentStore.has_posting_lens).
+
+    The hot path is pure numpy: doc deltas via cumsum, position
+    streams via a segmented cumsum keyed off the tf vector (every
+    write path emits per-doc streams as [len, deltas...] with
+    len == tf; a stream that disagrees falls back to the sequential
+    parser). No per-posting Python objects are ever built."""
+    cols = ["segment_id", "field", "term", "doc_blob", "tf_blob"]
+    if with_positions:
+        cols.append("pos_blob")
+    if with_norm:
+        cols.append("len_blob")
+    sel = rows.select(*cols)
+
+    def dec(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        pa.set_cpu_count(1)
+        for b in batches:
+            nrows = b.num_rows
+            if not nrows:
+                continue
+            segs = b.column("segment_id").to_numpy(
+                zero_copy_only=False
+            )
+            dblob = b.column("doc_blob")
+            tblob = b.column("tf_blob")
+            pblob = b.column("pos_blob") if with_positions else None
+            lblob = b.column("len_blob") if with_norm else None
+            doc_parts, tf_parts, pos_parts = [], [], []
+            plen_parts, len_parts = [], []
+            counts = np.empty(nrows, dtype=np.int64)
+            for i in range(nrows):
+                base = np.uint64(int(segs[i])) << np.uint64(
+                    SEG_SHIFT
+                )
+                docs = delta_decode_sorted(dblob[i].as_py())
+                nd = docs.size
+                counts[i] = nd
+                if not nd:
+                    continue
+                doc_parts.append(
+                    (docs + base).astype(np.int64)
+                )
+                tfs = varint_decode(tblob[i].as_py()).astype(
+                    np.int64
+                )
+                tf_parts.append(tfs)
+                if with_norm:
+                    len_parts.append(
+                        varint_decode(lblob[i].as_py()).astype(
+                            np.int64
+                        )
+                    )
+                if not with_positions:
+                    continue
+                flat = varint_decode(pblob[i].as_py()).astype(
+                    np.int64
+                )
+                # the per-doc streams are [len, deltas...] with
+                # len == tf on every write path — locate the
+                # length slots from the tfs and verify; fall back
+                # to the sequential parse if a foreign stream
+                # disagrees
+                slot = np.zeros(nd, dtype=np.int64)
+                slot[1:] = np.cumsum(tfs[:-1] + 1)
+                if flat.size == int(tfs.sum()) + nd and (
+                    np.array_equal(flat[slot], tfs)
+                ):
+                    vals = np.delete(flat, slot)
+                    if vals.size:
+                        # segmented cumsum: positions are per-doc
+                        # deltas — global cumsum minus each doc's
+                        # start offset
+                        cs = np.cumsum(vals)
+                        starts = np.zeros(nd, dtype=np.int64)
+                        starts[1:] = np.cumsum(tfs[:-1])
+                        seg_base = cs[starts] - vals[starts]
+                        pos_parts.append(
+                            cs - np.repeat(seg_base, tfs)
+                        )
+                    else:
+                        pos_parts.append(vals)
+                    plen_parts.append(tfs)
+                else:
+                    plists = decode_positions(
+                        pblob[i].as_py(), nd
+                    )
+                    pos_parts.append(
+                        np.concatenate(
+                            [p.astype(np.int64) for p in plists]
+                        )
+                        if plists else
+                        np.empty(0, dtype=np.int64)
+                    )
+                    # tf stays the tf_blob value; list offsets
+                    # follow the STREAM's per-doc counts
+                    plen_parts.append(np.array(
+                        [p.size for p in plists], dtype=np.int64
+                    ) if plists else np.zeros(nd, dtype=np.int64))
+            if not doc_parts:
+                continue
+            doc_num = np.concatenate(doc_parts)
+            tfs_all = np.concatenate(tf_parts)
+            idx_rep = pa.array(
+                np.repeat(np.arange(nrows), counts)
+            )
+            arrays = [
+                pc.take(b.column("field"), idx_rep),
+                pc.take(b.column("term"), idx_rep),
+                pa.array(doc_num),
+                pa.array(tfs_all.astype(np.int32)),
+            ]
+            names = ["field", "term", "doc_num", "tf"]
+            if with_norm:
+                lens_all = np.concatenate(len_parts)
+                norms = np.zeros(lens_all.size, dtype=np.float32)
+                pos_mask = lens_all > 0
+                norms[pos_mask] = (
+                    1.0 / np.sqrt(lens_all[pos_mask])
+                ).astype(np.float32)
+                arrays.append(pa.array(norms, mask=~pos_mask))
+                names.append("norm")
+            if with_positions:
+                plen_all = np.concatenate(plen_parts)
+                pos_all = (
+                    np.concatenate(pos_parts)
+                    if pos_parts else np.empty(0, dtype=np.int64)
+                )
+                offsets = np.concatenate(
+                    ([0], np.cumsum(plen_all))
+                ).astype(np.int32)
+                arrays.append(pa.ListArray.from_arrays(
+                    pa.array(offsets),
+                    pa.array(pos_all.astype(np.int32)),
+                ))
+                names.append("positions")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    schema = "field string, term string, doc_num long, tf int"
+    if with_norm:
+        schema += ", norm float"
+    if with_positions:
+        schema += ", positions array<int>"
+    return sel.mapInArrow(dec, schema=schema)
+
 
 class SegmentStore:
     """Read side of the at-rest index."""
@@ -708,6 +897,23 @@ class SegmentStore:
         self.spark = spark
         self.root = root
         self._has_dynamic: bool | None = None
+        self._has_lens: bool | None = None
+
+    def has_posting_lens(self) -> bool:
+        """True when every segment's chunk rows carry the len_blob
+        stream (per-posting field length → norm): scoring decodes
+        norms off the postings with no doc-table join. False on
+        legacy stores or merges that included one. Cached: reads the
+        (tiny, local) manifests once."""
+        if self._has_lens is None:
+            try:
+                ms = self.manifests()
+                self._has_lens = bool(ms) and all(
+                    m.get("posting_lens") for m in ms
+                )
+            except OSError:
+                self._has_lens = False
+        return self._has_lens
 
     def _dynamic_fields_present(self) -> bool:
         """True when any segment carries dynamic-map fields — their
@@ -895,133 +1101,39 @@ class SegmentStore:
         rows = self.chunk_rows(with_blobs=True)
         if pred is not None:
             rows = rows.where(pred)
-        sel = rows.select(
-            "segment_id", "field", "term",
-            "doc_blob", "tf_blob", "pos_blob",
-        )
-
-        def dec(batches):
-            import pyarrow as pa
-            import pyarrow.compute as pc
-
-            pa.set_cpu_count(1)
-            for b in batches:
-                nrows = b.num_rows
-                if not nrows:
-                    continue
-                segs = b.column("segment_id").to_numpy(
-                    zero_copy_only=False
-                )
-                dblob = b.column("doc_blob")
-                tblob = b.column("tf_blob")
-                pblob = b.column("pos_blob")
-                doc_parts, tf_parts, pos_parts = [], [], []
-                plen_parts = []
-                counts = np.empty(nrows, dtype=np.int64)
-                for i in range(nrows):
-                    base = np.uint64(int(segs[i])) << np.uint64(
-                        SEG_SHIFT
-                    )
-                    docs = delta_decode_sorted(dblob[i].as_py())
-                    nd = docs.size
-                    counts[i] = nd
-                    if not nd:
-                        continue
-                    doc_parts.append(
-                        (docs + base).astype(np.int64)
-                    )
-                    tfs = varint_decode(tblob[i].as_py()).astype(
-                        np.int64
-                    )
-                    tf_parts.append(tfs)
-                    flat = varint_decode(pblob[i].as_py()).astype(
-                        np.int64
-                    )
-                    # the per-doc streams are [len, deltas...] with
-                    # len == tf on every write path — locate the
-                    # length slots from the tfs and verify; fall back
-                    # to the sequential parse if a foreign stream
-                    # disagrees
-                    slot = np.zeros(nd, dtype=np.int64)
-                    slot[1:] = np.cumsum(tfs[:-1] + 1)
-                    if flat.size == int(tfs.sum()) + nd and (
-                        np.array_equal(flat[slot], tfs)
-                    ):
-                        vals = np.delete(flat, slot)
-                        if vals.size:
-                            # segmented cumsum: positions are per-doc
-                            # deltas — global cumsum minus each doc's
-                            # start offset
-                            cs = np.cumsum(vals)
-                            starts = np.zeros(nd, dtype=np.int64)
-                            starts[1:] = np.cumsum(tfs[:-1])
-                            seg_base = cs[starts] - vals[starts]
-                            pos_parts.append(
-                                cs - np.repeat(seg_base, tfs)
-                            )
-                        else:
-                            pos_parts.append(vals)
-                        plen_parts.append(tfs)
-                    else:
-                        plists = decode_positions(
-                            pblob[i].as_py(), nd
-                        )
-                        pos_parts.append(
-                            np.concatenate(
-                                [p.astype(np.int64) for p in plists]
-                            )
-                            if plists else
-                            np.empty(0, dtype=np.int64)
-                        )
-                        # tf stays the tf_blob value; list offsets
-                        # follow the STREAM's per-doc counts
-                        plen_parts.append(np.array(
-                            [p.size for p in plists], dtype=np.int64
-                        ) if plists else np.zeros(nd, dtype=np.int64))
-                if not doc_parts:
-                    continue
-                doc_num = np.concatenate(doc_parts)
-                tfs_all = np.concatenate(tf_parts)
-                plen_all = np.concatenate(plen_parts)
-                pos_all = (
-                    np.concatenate(pos_parts)
-                    if pos_parts else np.empty(0, dtype=np.int64)
-                )
-                idx_rep = pa.array(
-                    np.repeat(np.arange(nrows), counts)
-                )
-                offsets = np.concatenate(
-                    ([0], np.cumsum(plen_all))
-                ).astype(np.int32)
-                positions = pa.ListArray.from_arrays(
-                    pa.array(offsets),
-                    pa.array(pos_all.astype(np.int32)),
-                )
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pc.take(b.column("field"), idx_rep),
-                        pc.take(b.column("term"), idx_rep),
-                        pa.array(doc_num),
-                        pa.array(tfs_all.astype(np.int32)),
-                        positions,
-                    ],
-                    names=[
-                        "field", "term", "doc_num", "tf", "positions"
-                    ],
-                )
-
-        return sel.mapInArrow(dec, schema=DECODED_SCHEMA_SUFFIX)
+        return decode_chunk_rows(rows)
 
     def postings_df(self, key_cols: list[str],
-                    fields: list[str], pred=None) -> DataFrame:
+                    fields: list[str], pred=None,
+                    positions: bool = True) -> DataFrame:
         """Full postings relation (field, term, keys..., tf, positions,
         norm) — the same shape index_table() produces, reconstructed
-        from the compressed store."""
-        decoded = self.decode(pred)
+        from the compressed store. ``positions=False`` drops the
+        positions column AND the pos_blob read below it: scoring-only
+        consumers never touch the store's largest blob column."""
+        rows = self.chunk_rows(with_blobs=True)
+        if pred is not None:
+            rows = rows.where(pred)
         docs = self.doc_table()
-        # norm per field from stored token counts; the doc table's
-        # len_* columns are authoritative (a superset of `fields` —
-        # composites and data-driven dynamic-map fields included)
+        pos_cols = ["positions"] if positions else []
+        if self.has_posting_lens():
+            # norms ride IN the postings (len_blob → float32
+            # 1/sqrt(len), the zap freqNorm detail): the doc-table
+            # join shrinks to doc_num → key columns only — no wide
+            # len_* projection, no norm map
+            decoded = decode_chunk_rows(
+                rows, with_positions=positions, with_norm=True
+            )
+            return decoded.join(
+                docs.select("doc_num", *key_cols), "doc_num"
+            ).select(
+                "field", "term", *key_cols, "tf", *pos_cols, "norm"
+            )
+        decoded = decode_chunk_rows(rows, with_positions=positions)
+        # legacy stores (no len_blob): norm per field from the doc
+        # table's stored token counts; the len_* columns are
+        # authoritative (a superset of `fields` — composites and
+        # data-driven dynamic-map fields included)
         fields = sorted(
             {*fields, *(
                 c[len("len_"):] for c in docs.columns
@@ -1042,7 +1154,7 @@ class SegmentStore:
             "doc_num", *key_cols, norm_map.alias("_norms")
         )
         return decoded.join(docs2, "doc_num").select(
-            "field", "term", *key_cols, "tf", "positions",
+            "field", "term", *key_cols, "tf", *pos_cols,
             F.element_at("_norms", F.col("field")).alias("norm"),
         )
 
@@ -1106,8 +1218,25 @@ class SegmentStore:
             # persist=False index full-decodes per query)
             kc, fl = list(key_cols), list(fields)
             idx.postings_factory = (
-                lambda pred: self.postings_df(kc, fl, pred)
+                lambda pred, positions=True: self.postings_df(
+                    kc, fl, pred, positions=positions
+                )
             )
+            if self.has_posting_lens():
+                # doc_num-level scoring reads (field, term, doc_num,
+                # tf, norm) with NO doc-table involvement; consumers
+                # aggregate per doc_num first, then resolve keys via
+                # doc_keys_df over matched docs only (the inner join
+                # against the live doc table also drops deletions)
+                idx.postings_doc_factory = (
+                    lambda pred: decode_chunk_rows(
+                        self.chunk_rows(with_blobs=True).where(pred),
+                        with_positions=False, with_norm=True,
+                    )
+                )
+                idx.doc_keys_df = (
+                    lambda: self.doc_table().select("doc_num", *kc)
+                )
         if persist or has_dels:
             # live-doc dictionary (deletions drop out via the doc-
             # table join inside postings_df)

@@ -382,6 +382,25 @@ def apply_index_update(idx, upd: IndexMapping):
         new.postings = idx.postings.where(
             ~F.col("field").isin(drop_index)
         )
+        # an at-rest index reads through postings_factory, which
+        # bypasses the filtered `postings` relation — wrap it so the
+        # drop predicate rides inside the pushed-down chunk scan
+        fac = getattr(idx, "postings_factory", None)
+        if fac is not None:
+            def _upd_factory(pred, positions=True, _fac=fac,
+                             _drop=list(drop_index)):
+                full = pred & ~F.col("field").isin(_drop)
+                try:
+                    return _fac(full, positions=positions)
+                except TypeError:
+                    return _fac(full)
+            new.postings_factory = _upd_factory
+        dfac = getattr(idx, "postings_doc_factory", None)
+        if dfac is not None:
+            new.postings_doc_factory = (
+                lambda pred, _f=dfac, _d=list(drop_index):
+                _f(pred & ~F.col("field").isin(_d))
+            )
         if idx.dictionary is not None:
             new.dictionary = idx.dictionary.where(
                 ~F.col("field").isin(drop_index)

@@ -54,19 +54,36 @@ def _bound_col(idf: float, avg_len: float):
 def _term_scores(store: SegmentStore, stats: IndexStats, field: str,
                  term: str, idf: float) -> DataFrame:
     """(doc_num, score) exact BM25 partials for one term."""
-    decoded = store.decode(
-        (F.col("field") == field) & (F.col("term") == term)
-    )
-    docs = store.doc_table().select(
-        "doc_num", F.col(f"len_{field}").alias("_len")
-    )
-    joined = decoded.join(docs, "doc_num")
-    norm = F.when(
-        F.col("_len") > 0,
-        (F.lit(1.0) / F.sqrt(F.col("_len"))).cast("float"),
-    ).cast("double")
-    tf = F.sqrt(F.col("tf").cast("double"))
+    from bleve_spark.index.segments import decode_chunk_rows
+
+    pred = (F.col("field") == field) & (F.col("term") == term)
+    rows = store.chunk_rows(with_blobs=True).where(pred)
     avg = stats.avg_len(field)
+    tf = F.sqrt(F.col("tf").cast("double"))
+    if store.has_posting_lens():
+        # norms ride in the postings: zero doc-table involvement —
+        # the theta seed is one pruned chunk scan + decode. Deleted
+        # docs must still drop out (a deleted doc's partial could
+        # push theta ABOVE the true k-th live score and prune a
+        # chunk holding a real top-k doc): anti-join the (small)
+        # deletion set instead of inner-joining the whole doc table.
+        joined = decode_chunk_rows(
+            rows, with_positions=False, with_norm=True
+        )
+        dels = store.deletions()
+        if dels is not None:
+            joined = joined.join(dels, "doc_num", "left_anti")
+        norm = F.col("norm").cast("double")
+    else:
+        decoded = decode_chunk_rows(rows, with_positions=False)
+        docs = store.doc_table().select(
+            "doc_num", F.col(f"len_{field}").alias("_len")
+        )
+        joined = decoded.join(docs, "doc_num")
+        norm = F.when(
+            F.col("_len") > 0,
+            (F.lit(1.0) / F.sqrt(F.col("_len"))).cast("float"),
+        ).cast("double")
     fl = F.lit(1.0) / (norm * norm)
     score = (
         F.lit(idf) * (tf * F.lit(BM25_K1))
@@ -152,7 +169,9 @@ def pruned_disjunction_topk(
         F.col("_bound") + F.col("others") >= F.lit(theta)
     ).select("segment_id", "term", "chunk_id")
 
-    # candidates from surviving chunks only
+    # candidates from surviving chunks only (decode stays LAZY — it
+    # runs once inside the final job's semi-join, not as its own
+    # action)
     blob_rows = store.chunk_rows(with_blobs=True).where(
         (F.col("field") == field) & F.col("term").isin(terms)
     )
@@ -163,80 +182,91 @@ def pruned_disjunction_topk(
     candidates = surv_store_decode.select("doc_num").distinct()
 
     # exact rescoring of candidates over ALL query-term postings in
-    # candidate segments
+    # candidate segments; candidate segment ids come from the
+    # surviving-chunk METADATA (segment_id is a chunk-row column) —
+    # collecting them costs a tiny metadata scan, no blob decode
     cand_segs = [
-        int(r["seg"]) for r in candidates.select(
-            F.shiftrightunsigned(F.col("doc_num"), 40).alias("seg")
-        ).distinct().collect()
+        int(r["segment_id"])
+        for r in surviving.select("segment_id").distinct().collect()
     ]
     rescore_rows = blob_rows.where(F.col("segment_id").isin(cand_segs))
-    decoded = _decode_rows(store, rescore_rows).join(
-        candidates, "doc_num", "left_semi"
-    )
-    docs = store.doc_table().select(
-        "doc_num", *key_cols, F.col(f"len_{field}").alias("_len")
-    )
-    joined = decoded.join(docs, "doc_num")
     meta = spark.createDataFrame(
         [(t, float(idfs[t]), float(idfs[t] * qn)) for t in terms],
         "term string, idf double, qw double",
     )
-    joined = joined.join(F.broadcast(meta), "term")
-    norm = F.when(
-        F.col("_len") > 0,
-        (F.lit(1.0) / F.sqrt(F.col("_len"))).cast("float"),
-    ).cast("double")
     tf = F.sqrt(F.col("tf").cast("double"))
+    use_lens = store.has_posting_lens()
+    if use_lens:
+        # norm rides in the postings: score + aggregate on doc_num
+        # alone, and the doc table enters only AFTER the per-doc
+        # aggregation — a join over matched candidates, not a
+        # corpus-sized norm lookup per posting
+        from bleve_spark.index.segments import decode_chunk_rows
+
+        decoded = decode_chunk_rows(
+            rescore_rows, with_positions=False, with_norm=True
+        ).join(candidates, "doc_num", "left_semi")
+        dels = store.deletions()
+        if dels is not None:
+            decoded = decoded.join(dels, "doc_num", "left_anti")
+        joined = decoded.join(F.broadcast(meta), "term")
+        norm = F.col("norm").cast("double")
+    else:
+        decoded = _decode_rows(store, rescore_rows).join(
+            candidates, "doc_num", "left_semi"
+        )
+        docs = store.doc_table().select(
+            "doc_num", *key_cols, F.col(f"len_{field}").alias("_len")
+        )
+        joined = decoded.join(docs, "doc_num").join(
+            F.broadcast(meta), "term"
+        )
+        norm = F.when(
+            F.col("_len") > 0,
+            (F.lit(1.0) / F.sqrt(F.col("_len"))).cast("float"),
+        ).cast("double")
     fl = F.lit(1.0) / (norm * norm)
     s = (
         F.col("idf") * (tf * F.lit(BM25_K1))
         / (tf + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B)
                                   + (F.lit(BM25_B) * fl) / F.lit(avg)))
     ) * F.col("qw")
-    scored = joined.select(*key_cols, s.alias("s"))
-    agg = scored.groupBy(*key_cols).agg(
-        F.sum("s").alias("_sum"), F.count(F.lit(1)).alias("_cnt")
-    )
-    result = agg.select(
-        *key_cols,
-        (F.col("_sum") * F.col("_cnt").cast("double")
-         / F.lit(total)).alias("score"),
-    )
+    if use_lens:
+        agg = joined.select(
+            "doc_num", s.alias("s")
+        ).groupBy("doc_num").agg(
+            F.sum("s").alias("_sum"), F.count(F.lit(1)).alias("_cnt")
+        )
+        per_doc = agg.select(
+            "doc_num",
+            (F.col("_sum") * F.col("_cnt").cast("double")
+             / F.lit(total)).alias("score"),
+        )
+        result = per_doc.join(
+            store.doc_table().select("doc_num", *key_cols), "doc_num"
+        ).select(*key_cols, "score")
+    else:
+        scored = joined.select(*key_cols, s.alias("s"))
+        agg = scored.groupBy(*key_cols).agg(
+            F.sum("s").alias("_sum"), F.count(F.lit(1)).alias("_cnt")
+        )
+        result = agg.select(
+            *key_cols,
+            (F.col("_sum") * F.col("_cnt").cast("double")
+             / F.lit(total)).alias("score"),
+        )
     chunks.unpersist()
     order = [F.col("score").desc()] + [F.col(c).asc() for c in key_cols]
     return result.orderBy(*order).limit(k)
 
 
 def _decode_rows(store: SegmentStore, rows: DataFrame) -> DataFrame:
-    """Decode arbitrary chunk-row DataFrames (same as store.decode but
-    for a pre-filtered row set)."""
-    import pandas as pd
-    import numpy as np
+    """Decode arbitrary pre-filtered chunk-row DataFrames via the
+    shared Arrow batch kernel, positions-free: the pos_blob column
+    (the largest blob) is never read — WAND candidate generation and
+    rescoring only need (term, doc_num, tf)."""
+    from bleve_spark.index.segments import decode_chunk_rows
 
-    from bleve_spark.index.varint import (
-        decode_positions,
-        delta_decode_sorted,
-        varint_decode,
+    return decode_chunk_rows(rows, with_positions=False).select(
+        "term", "doc_num", "tf"
     )
-
-    def dec(batches):
-        from bleve_spark.index.segments import SEG_SHIFT
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            out = {"term": [], "doc_num": [], "tf": []}
-            for r in pdf.itertuples():
-                # blobs carry segment-local doc nums; re-add the base
-                base = np.int64(int(r.segment_id)) << np.int64(SEG_SHIFT)
-                docs = delta_decode_sorted(r.doc_blob).astype(
-                    np.int64
-                ) + base
-                tfs = varint_decode(r.tf_blob)
-                nd = len(docs)
-                out["term"].extend([r.term] * nd)
-                out["doc_num"].extend(docs.tolist())
-                out["tf"].extend(tfs.astype(np.int64).tolist())
-            yield pd.DataFrame(out)
-
-    return rows.mapInPandas(dec, schema="term string, doc_num long, tf int")

@@ -158,11 +158,13 @@ class STerm(SNode):
     def weight(self, ctx: _Ctx) -> float:
         return term_weight(self._boost(), self._idf(ctx))
 
-    def _rows(self, ctx: _Ctx) -> DataFrame:
+    def _rows(self, ctx: _Ctx, positions: bool = False) -> DataFrame:
         # prune_postings pushes (field, term) below an at-rest
-        # store's chunk decode into the parquet scan (r5)
+        # store's chunk decode into the parquet scan (r5); scoring
+        # reads skip the pos_blob column entirely
         return ctx.idx.prune_postings(
-            (F.col("field") == self.field) & (F.col("term") == self.term)
+            (F.col("field") == self.field) & (F.col("term") == self.term),
+            positions=positions,
         )
 
     def score_col(self, ctx: _Ctx) -> Column:
@@ -183,7 +185,7 @@ class STerm(SNode):
         )
 
     def compile_with_positions(self, ctx: _Ctx) -> DataFrame:
-        return self._rows(ctx).select(
+        return self._rows(ctx, positions=True).select(
             *ctx.keys,
             self.score_col(ctx).alias("score"),
             F.col("positions"),
@@ -316,6 +318,37 @@ class SConj(SNode):
         cols = [*ctx.keys, "score"] if scored else list(ctx.keys)
         return out.select(*cols)
 
+    def _bulk_terms(self, ctx) -> list | None:
+        """All-STerm same-field DISTINCT-term conjunctions compile to
+        one term-pruned postings join + one doc groupBy — the same
+        scale path as SDisj._compile_bulk. An AND of n terms IS the
+        min=n disjunction: every kept doc matched all n legs, so
+        coord = n/n = 1 and the score is exactly Σ child scores
+        (scorer_conjunction.go:45-71 sums with no coord).
+
+        Distinctness matters: the union plan counts each duplicate
+        leg separately, the bulk join would collapse them into one
+        postings row. Engaged on at-rest stores with postings-resident
+        norms (any n — it removes per-term corpus-sized doc joins) or
+        past the bulk threshold elsewhere."""
+        min_n = (
+            2 if getattr(ctx.idx, "postings_doc_factory", None)
+            is not None else BULK_DISJUNCTION_THRESHOLD
+        )
+        if len(self.children) < min_n:
+            return None
+        terms, fields = [], set()
+        for c in self.children:
+            if type(c) is not STerm:
+                return None
+            fields.add(c.field)
+            terms.append(c)
+        if len(fields) != 1:
+            return None
+        if len({t.term for t in terms}) != len(terms):
+            return None
+        return terms
+
     def compile(self, ctx):
         if not self.children:
             return ctx.empty()
@@ -325,6 +358,12 @@ class SConj(SNode):
             return self.children[0].compile(ctx)
         if ctx.nested:
             return self._compile_nested(ctx, scored=True)
+        bulk = self._bulk_terms(ctx)
+        if bulk is not None:
+            n = len(bulk)
+            return SDisj(children=list(bulk), min=n)._compile_bulk(
+                ctx, bulk, n, n
+            )
         u = _union_children(ctx, [c.compile(ctx) for c in self.children])
         n = len(self.children)
         return (
@@ -346,6 +385,10 @@ class SConj(SNode):
             return self.children[0].docs(ctx)
         if ctx.nested:
             return self._compile_nested(ctx, scored=False)
+        bulk = self._bulk_terms(ctx)
+        if bulk is not None:
+            return _bulk_join_docs(ctx, bulk[0].field,
+                                   [t.term for t in bulk], len(bulk))
         u = _union_children(ctx, [c.docs(ctx) for c in self.children])
         n = len(self.children)
         return (
@@ -374,10 +417,11 @@ class SDisj(SNode):
             out |= c.fields_used()
         return out
 
-    def _bulk_terms(self) -> list[STerm] | None:
+    def _bulk_terms(self, min_n: int = BULK_DISJUNCTION_THRESHOLD
+                    ) -> list[STerm] | None:
         """All-STerm same-field disjunctions compile to one broadcast
         join — the scale path for big dictionary expansions."""
-        if len(self.children) < BULK_DISJUNCTION_THRESHOLD:
+        if len(self.children) < min_n:
             return None
         terms = []
         fields = set()
@@ -397,7 +441,15 @@ class SDisj(SNode):
         if min_req > total:
             return ctx.empty()
 
-        bulk = self._bulk_terms()
+        # on an at-rest store with postings-resident norms, even a
+        # 2-term OR wins from the bulk plan: one term-pruned decode +
+        # one doc_num groupBy, keys joined after aggregation —
+        # instead of per-term corpus joins unioned then re-grouped
+        min_bulk = (
+            2 if getattr(ctx.idx, "postings_doc_factory", None)
+            is not None else BULK_DISJUNCTION_THRESHOLD
+        )
+        bulk = self._bulk_terms(min_bulk)
         if bulk is not None:
             return self._compile_bulk(ctx, bulk, total, min_req)
 
@@ -466,7 +518,18 @@ def _bulk_join_score(ctx, fld: str, mdf, total, min_req,
     pred = F.col("field") == fld
     if terms:
         pred = pred & F.col("term").isin(list(terms))
-    rows = ctx.idx.prune_postings(pred).join(mdf, "term")
+    # at-rest stores with postings-resident norms (len_blob) score and
+    # aggregate on doc_num alone; the doc table enters AFTER the
+    # per-doc aggregation as a doc_num → keys join over MATCHED docs
+    # only (its inner join against the live doc table also drops
+    # deleted docs) — never a corpus-sized per-posting join
+    doc_fac = getattr(ctx.idx, "postings_doc_factory", None)
+    if doc_fac is not None:
+        rows = doc_fac(pred).join(mdf, "term")
+    else:
+        rows = ctx.idx.prune_postings(
+            pred, positions=False
+        ).join(mdf, "term")
     if ctx.scoring == "bm25" and avg > 0:
         per = F.col("_idf") * (
             F.sqrt(F.col("tf").cast("double")) * F.lit(1.2)
@@ -495,20 +558,53 @@ def _bulk_join_score(ctx, fld: str, mdf, total, min_req,
             * F.col("_idf")
         )
     per = F.when(F.col("_qw") != 1.0, per * F.col("_qw")).otherwise(per)
-    rows = rows.select(*ctx.keys, per.alias("score"))
-    agg = rows.groupBy(*ctx.keys).agg(
+    group = ["doc_num"] if doc_fac is not None else list(ctx.keys)
+    rows = rows.select(*group, per.alias("score"))
+    agg = rows.groupBy(*group).agg(
         F.sum("score").alias("_sum"),
         F.count(F.lit(1)).alias("_cnt"),
     )
     if min_req > 1:
         agg = agg.where(F.col("_cnt") >= min_req)
-    return agg.select(
-        *ctx.keys,
+    out = agg.select(
+        *group,
         (
             F.col("_sum") * F.col("_cnt").cast("double")
             / F.lit(float(total))
         ).alias("score"),
     )
+    if doc_fac is not None:
+        out = out.join(ctx.idx.doc_keys_df(), "doc_num").select(
+            *ctx.keys, "score"
+        )
+    return out
+
+
+def _bulk_join_docs(ctx, fld: str, terms: list[str],
+                    min_req: int) -> DataFrame:
+    """Unscored doc-key set of an all-term conjunction/disjunction in
+    ONE term-pruned postings read + ONE groupBy (must_not / filter
+    clauses). On stores with postings-resident scoring reads, the
+    groupBy runs on doc_num and keys join after aggregation over
+    matched docs only."""
+    pred = (F.col("field") == fld) & F.col("term").isin(list(terms))
+    doc_fac = getattr(ctx.idx, "postings_doc_factory", None)
+    if doc_fac is not None:
+        agg = doc_fac(pred).groupBy("doc_num").agg(
+            F.count(F.lit(1)).alias("_cnt")
+        )
+        if min_req > 1:
+            agg = agg.where(F.col("_cnt") >= min_req)
+        return agg.join(ctx.idx.doc_keys_df(), "doc_num").select(
+            *ctx.keys
+        )
+    rows = ctx.idx.prune_postings(pred, positions=False)
+    agg = rows.groupBy(*ctx.keys).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    if min_req > 1:
+        agg = agg.where(F.col("_cnt") >= min_req)
+    return agg.select(*ctx.keys)
 
 
 def _idf_col(ctx, field: str, df_col: Column) -> Column:
@@ -586,7 +682,7 @@ class SDictDisj(SNode):
 
     def docs(self, ctx):
         rows = ctx.idx.prune_postings(
-            F.col("field") == self.field
+            F.col("field") == self.field, positions=False
         ).join(self.expansion.select("term"), "term", "left_semi")
         return rows.select(*ctx.keys).distinct()
 

@@ -302,3 +302,44 @@ def test_apply_update_store_drop_enforced(spark):
     res3 = search(idx, {"field": "text", "match": "quick"},
                   fields=["note"])
     assert all(h["fields"].get("note") for h in res3["hits"])
+
+
+def test_apply_update_drops_field_at_rest_factory(spark, tmp_path):
+    """An at-rest (persist=False) index reads postings through the
+    pushed-down postings_factory — the update must thread its drop
+    predicate INTO the factory, not just the in-memory relation,
+    or the deleted field keeps matching from the chunk scan."""
+    from bleve_spark.index.mapping import index_with_mapping_at_rest
+    from bleve_spark.search.searcher import search_df
+
+    df = spark.createDataFrame(
+        [(1, "quick brown fox", "web"),
+         (2, "quick dog", "web"),
+         (3, "lazy fox", "book")],
+        "doc_id int, text string, source string",
+    )
+    idx = index_with_mapping_at_rest(
+        df, ["doc_id"], _corpus_mapping(True),
+        str(tmp_path / "upd_store"), n_segments=2, persist=False,
+    )
+    assert idx.postings_factory is not None
+    assert search_df(idx, {"field": "source", "term": "web"},
+                     size=10).count() == 2
+    before_text = {
+        (r["doc_id"], round(r["score"], 6))
+        for r in search_df(idx, {"field": "text", "match": "fox"},
+                           size=10).collect()
+    }
+
+    upd = apply_index_update(idx, _corpus_mapping(False))
+    assert search_df(upd, {"field": "source", "term": "web"},
+                     size=10).count() == 0
+    after_text = {
+        (r["doc_id"], round(r["score"], 6))
+        for r in search_df(upd, {"field": "text", "match": "fox"},
+                           size=10).collect()
+    }
+    assert after_text == before_text and len(after_text) == 2
+    # original untouched
+    assert search_df(idx, {"field": "source", "term": "web"},
+                     size=10).count() == 2

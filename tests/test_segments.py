@@ -317,3 +317,56 @@ def test_tiered_merge_preserves_postings(spark, transcripts, tmp_path):
     after = _postings_set(store.postings_df(KEYS, ["text"]), KEYS)
     assert before == after
     assert len(store.manifests()) < 12
+
+
+def test_positions_free_read_matches(spark, transcripts, seg_root):
+    """postings_df(positions=False) must agree with the full decode on
+    every non-position column AND must not expose a positions column
+    (the pos_blob read is skipped entirely — the scoring-only path)."""
+    store = SegmentStore(spark, seg_root)
+    full = store.postings_df(KEYS, list(FIELDS))
+    slim = store.postings_df(KEYS, list(FIELDS), positions=False)
+    assert "positions" not in slim.columns
+    strip = lambda s: {t[:4] + t[5:] for t in s}
+    assert {
+        (r["field"], r["term"], tuple(r[k] for k in KEYS),
+         int(r["tf"]), round(float(r["norm"]), 9))
+        for r in slim.collect()
+    } == strip(_postings_set(full, KEYS))
+
+
+def test_conjunction_bulk_matches_union(spark, transcripts, seg_root):
+    """The SConj bulk plan (one term-pruned postings join + one
+    doc_num groupBy on stores with postings-resident norms) must be
+    score-identical to the per-term union + HAVING count plan: an AND
+    of n distinct terms is the min=n disjunction, coord = n/n = 1."""
+    from bleve_spark.search.searcher import search_df
+
+    store = SegmentStore(spark, seg_root)
+    mk = lambda: store.to_indexed_table(
+        transcripts, KEYS, FIELDS, persist=False
+    )
+    idx_bulk = mk()
+    assert idx_bulk.postings_doc_factory is not None
+    idx_union = mk()
+    idx_union.postings_doc_factory = None  # forces the union plan
+    queries = [
+        {"field": "text", "match": "quick brown", "operator": "and"},
+        {"field": "text", "match": "quick brown fox",
+         "operator": "and", "boost": 2.5},
+        {"must": {"conjuncts": [
+            {"field": "text", "term": "quick"},
+            {"field": "text", "term": "brown"}]},
+         "must_not": {"disjuncts": [
+            {"field": "text", "term": "fox"}]}},
+    ]
+    for q in queries:
+        a = {
+            (r["conv_id"], r["turn_idx"], round(r["score"], 9))
+            for r in search_df(idx_bulk, q, size=9000).collect()
+        }
+        b = {
+            (r["conv_id"], r["turn_idx"], round(r["score"], 9))
+            for r in search_df(idx_union, q, size=9000).collect()
+        }
+        assert a == b and a, q
