@@ -155,10 +155,24 @@ def _ann_layout(spark, sf: str, kind: str) -> str:
         name, kind,
     )
     key = (name, kind)
+    # hnsw writes two datasets (graph/ + vectors/) under path — its
+    # success marker lives in the last one written
+    marker = os.path.join(
+        path, "vectors", "_SUCCESS"
+    ) if kind.startswith("hnsw") else os.path.join(path, "_SUCCESS")
     if key not in _ANN_LAYOUTS:
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        if not os.path.exists(marker):
             df = spark.read.parquet(f"{sf}/embeddings.parquet")
-            if kind == "ivf6":
+            if kind == "hnsw4":
+                from bleve_spark.functions.hnsw import (
+                    write_hnsw_partitioned,
+                )
+
+                write_hnsw_partitioned(
+                    df, "embedding", "vec_id", path, n_segments=4,
+                    m=16, ef_construction=100, seed=47,
+                )
+            elif kind == "ivf6":
                 write_ivf_partitioned(
                     df, "embedding", path, cell_bits=6, seed=11
                 )
@@ -3239,6 +3253,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return top.select("key", F.round("cosine", 6).alias("cosine"))
 
+    def ann_hnsw_topk(spark, sf):
+        """Per-segment HNSW graph probe over the AT-REST layout
+        (functions/hnsw.py — the reference's go-faiss/HNSW surface,
+        document/field_vector.go, rebuilt as Lucene-style per-segment
+        graphs: one beam search per segment task + global k-merge).
+        Probed at ef = corpus size, the beam covers every reachable
+        node, so the result is the exact brute-force top-k and the
+        plain cosine oracle applies; realistic-ef recall floors are
+        pytest-gated (tests/test_hnsw.py)."""
+        from bleve_spark.functions.hnsw import hnsw_topk_at_rest
+        from bleve_spark.functions.similarity import (
+            _query_lit, cosine_expr,
+        )
+
+        df = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qv = df.where(F.col("vec_id") == 0).select("embedding").first()[0]
+        n = df.count()
+        # graph probe finds the candidate KEYS (beam sims are float32);
+        # the exact double re-rank of the 3k candidate pool makes the
+        # scores oracle-grade — the same refine shape as ann_ivfpq_full
+        cand = hnsw_topk_at_rest(
+            spark, _ann_layout(spark, sf, "hnsw4"), "vec_id", qv,
+            k=30, ef=int(n),
+        ).select("vec_id")
+        cos = cosine_expr(F.col("embedding"), _query_lit(qv))
+        return (
+            df.join(cand, "vec_id", "left_semi")
+            .select(
+                F.col("vec_id").alias("key"),
+                F.round(cos, 6).alias("cosine"),
+            )
+            .orderBy(F.col("cosine").desc(), F.col("key").asc())
+            .limit(10)
+        )
+
     def ann_ivf_topk(spark, sf):
         """IVF probe over the AT-REST layout (write_ivf_partitioned:
         table PARTITIONED BY cell) — the probe is STATIC partition
@@ -3907,6 +3956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "emb_neardup_pairs": emb_neardup_pairs,
             "ann_cosine_topk": ann_cosine_topk,
             "ann_lsh_topk": ann_lsh_topk,
+            "ann_hnsw_topk": ann_hnsw_topk,
             "ann_ivf_topk": ann_ivf_topk,
             "ann_ivfpq_topk": ann_ivfpq_topk,
             "ann_ivfpq_full": ann_ivfpq_full,
@@ -4240,6 +4290,8 @@ ORDER BY score DESC, p.doc_id LIMIT 20""",
         "ann_cosine_topk": _SQL_COSINE_TOPK,
         "ann_lsh_topk": _ann_pruned_topk_sql("lsh"),
         "ann_ivf_topk": _ann_pruned_topk_sql("ivf"),
+        # hnsw probed at ef=n is the exact top-k -> plain cosine oracle
+        "ann_hnsw_topk": _SQL_COSINE_TOPK,
         # ann_ivfpq_topk: deliberately NO oracle — the ADC ranking
         # depends on the trained codebook (rows-only check; recall
         # floor in pytest). The full-refine twin IS oracle-checked:
