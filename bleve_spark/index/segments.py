@@ -725,7 +725,8 @@ DECODED_SCHEMA_NO_POS = "field string, term string, doc_num long, tf int"
 
 def decode_chunk_rows(rows: DataFrame,
                       with_positions: bool = True,
-                      with_norm: bool = False) -> DataFrame:
+                      with_norm: bool = False,
+                      with_chunk: bool = False) -> DataFrame:
     """Arrow batch decode of chunk rows → exploded postings.
 
     ``rows`` is any (pre-filtered) chunk-row DataFrame carrying
@@ -748,8 +749,16 @@ def decode_chunk_rows(rows: DataFrame,
     streams via a segmented cumsum keyed off the tf vector (every
     write path emits per-doc streams as [len, deltas...] with
     len == tf; a stream that disagrees falls back to the sequential
-    parser). No per-posting Python objects are ever built."""
+    parser). No per-posting Python objects are ever built.
+
+    ``with_chunk=True`` carries (segment_id, chunk_id) through to the
+    output rows, letting a caller that decoded a SUPERSET of chunks
+    recover any chunk-level subset (e.g. block-max WAND derives its
+    candidate set from the surviving chunks of one shared decode
+    instead of decoding the store twice)."""
     cols = ["segment_id", "field", "term", "doc_blob", "tf_blob"]
+    if with_chunk:
+        cols.insert(1, "chunk_id")
     if with_positions:
         cols.append("pos_blob")
     if with_norm:
@@ -857,6 +866,12 @@ def decode_chunk_rows(rows: DataFrame,
                 pa.array(tfs_all.astype(np.int32)),
             ]
             names = ["field", "term", "doc_num", "tf"]
+            if with_chunk:
+                arrays = [
+                    pc.take(b.column("segment_id"), idx_rep),
+                    pc.take(b.column("chunk_id"), idx_rep),
+                ] + arrays
+                names = ["segment_id", "chunk_id"] + names
             if with_norm:
                 lens_all = np.concatenate(len_parts)
                 norms = np.zeros(lens_all.size, dtype=np.float32)
@@ -883,6 +898,8 @@ def decode_chunk_rows(rows: DataFrame,
             yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     schema = "field string, term string, doc_num long, tf int"
+    if with_chunk:
+        schema = "segment_id int, chunk_id long, " + schema
     if with_norm:
         schema += ", norm float"
     if with_positions:

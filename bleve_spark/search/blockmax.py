@@ -169,19 +169,10 @@ def pruned_disjunction_topk(
         F.col("_bound") + F.col("others") >= F.lit(theta)
     ).select("segment_id", "term", "chunk_id")
 
-    # candidates from surviving chunks only (decode stays LAZY — it
-    # runs once inside the final job's semi-join, not as its own
-    # action)
     blob_rows = store.chunk_rows(with_blobs=True).where(
         (F.col("field") == field) & F.col("term").isin(terms)
     )
-    surv_blobs = blob_rows.join(
-        surviving, ["segment_id", "term", "chunk_id"], "left_semi"
-    )
-    surv_store_decode = _decode_rows(store, surv_blobs)
-    candidates = surv_store_decode.select("doc_num").distinct()
-
-    # exact rescoring of candidates over ALL query-term postings in
+    # exact rescoring happens over ALL query-term postings in
     # candidate segments; candidate segment ids come from the
     # surviving-chunk METADATA (segment_id is a chunk-row column) —
     # collecting them costs a tiny metadata scan, no blob decode
@@ -200,18 +191,39 @@ def pruned_disjunction_topk(
         # norm rides in the postings: score + aggregate on doc_num
         # alone, and the doc table enters only AFTER the per-doc
         # aggregation — a join over matched candidates, not a
-        # corpus-sized norm lookup per posting
+        # corpus-sized norm lookup per posting. The rescore decode is
+        # a SUPERSET of the surviving chunks, so it runs ONCE
+        # (persisted, chunk ids carried through) and the candidate
+        # set is derived from it by a broadcast semi-join against the
+        # surviving-chunk metadata — the store is never decoded twice
         from bleve_spark.index.segments import decode_chunk_rows
 
-        decoded = decode_chunk_rows(
-            rescore_rows, with_positions=False, with_norm=True
-        ).join(candidates, "doc_num", "left_semi")
+        decoded_all = decode_chunk_rows(
+            rescore_rows, with_positions=False, with_norm=True,
+            with_chunk=True,
+        )
         dels = store.deletions()
         if dels is not None:
-            decoded = decoded.join(dels, "doc_num", "left_anti")
+            decoded_all = decoded_all.join(
+                dels, "doc_num", "left_anti"
+            )
+        decoded_all = decoded_all.persist()
+        candidates = decoded_all.join(
+            F.broadcast(surviving),
+            ["segment_id", "term", "chunk_id"], "left_semi",
+        ).select("doc_num").distinct()
+        decoded = decoded_all.join(candidates, "doc_num", "left_semi")
         joined = decoded.join(F.broadcast(meta), "term")
         norm = F.col("norm").cast("double")
     else:
+        # legacy stores: candidates from a decode of the surviving
+        # chunks only (lazy — it runs inside the final job)
+        surv_blobs = blob_rows.join(
+            surviving, ["segment_id", "term", "chunk_id"], "left_semi"
+        )
+        candidates = _decode_rows(store, surv_blobs).select(
+            "doc_num"
+        ).distinct()
         decoded = _decode_rows(store, rescore_rows).join(
             candidates, "doc_num", "left_semi"
         )
