@@ -493,6 +493,23 @@ class SDisj(SNode):
         if not kids:
             return ctx.empty().select(*ctx.keys)
         min_req = max(int(self.min), 1)
+        # unscored all-term OR (must_not / filter clauses): one
+        # term-pruned postings read + one distinct/groupBy instead of
+        # per-term reads each joining the doc table. With min>1 the
+        # union plan counts duplicate-term legs separately, so the
+        # bulk collapse is only safe on distinct terms.
+        min_bulk = (
+            2 if getattr(ctx.idx, "postings_doc_factory", None)
+            is not None else BULK_DISJUNCTION_THRESHOLD
+        )
+        bulk = self._bulk_terms(min_bulk)
+        if bulk is not None and (
+            min_req <= 1
+            or len({t.term for t in bulk}) == len(bulk)
+        ):
+            return _bulk_join_docs(
+                ctx, bulk[0].field, [t.term for t in bulk], min_req
+            )
         u = _union_children(ctx, [c.docs(ctx) for c in kids])
         if min_req <= 1:
             return u.distinct()

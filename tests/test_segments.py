@@ -359,6 +359,13 @@ def test_conjunction_bulk_matches_union(spark, transcripts, seg_root):
             {"field": "text", "term": "brown"}]},
          "must_not": {"disjuncts": [
             {"field": "text", "term": "fox"}]}},
+        # multi-term must_not: SDisj.docs takes the one-read bulk
+        # path on at-rest stores (vs per-term reads + union)
+        {"must": {"conjuncts": [
+            {"field": "text", "term": "quick"}]},
+         "must_not": {"disjuncts": [
+            {"field": "text", "term": "brown"},
+            {"field": "text", "term": "fox"}]}},
     ]
     for q in queries:
         a = {
