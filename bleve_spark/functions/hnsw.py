@@ -232,6 +232,68 @@ def write_hnsw_partitioned(
     )
 
 
+def _load_segment(pdf: pd.DataFrame, key_col: str):
+    """Rebuild one segment's search state from the unioned
+    graph+vector rows: (vecs float32 matrix, keys, per-layer
+    adjacency, top level, entry node). None on an empty segment."""
+    vmask = ~pdf["_is_graph"].values
+    vrows = pdf[vmask].sort_values("node_id")
+    if not len(vrows):
+        return None
+    vecs = np.asarray(vrows["norm_vec"].tolist(), dtype=np.float32)
+    keys = vrows[key_col].values
+    grows = pdf[~vmask]
+    layers: dict[int, dict[int, np.ndarray]] = {}
+    top_level, entry = -1, 0
+    for node, lvl, nbrs in zip(
+        grows["node_id"].values.astype(np.int64),
+        grows["level"].values.astype(np.int64),
+        grows["neighbors"].values,
+    ):
+        layers.setdefault(int(lvl), {})[int(node)] = np.asarray(
+            nbrs, dtype=np.int64
+        )
+        if lvl > top_level or (lvl == top_level and node < entry):
+            top_level, entry = int(lvl), int(node)
+    return vecs, keys, layers, top_level, entry
+
+
+def _probe_loaded(vecs, layers, top_level, entry, q, k, ef):
+    """Greedy descent + layer-0 beam over loaded segment state."""
+    ep = [entry]
+    for lc in range(top_level, 0, -1):
+        ep = [_search_layer(q, vecs, layers.get(lc, {}), ep, 1)[0][1]]
+    return _search_layer(q, vecs, layers.get(0, {}), ep, ef)[:k]
+
+
+def _graph_vector_union(spark, path: str, key_col: str,
+                        segments: list[int] | None):
+    """Graph + vector rows unioned into one segment-partitioned
+    relation (both datasets are PARTITIONED BY segment, so the
+    groupBy(segment) that follows shuffles co-located files only;
+    a ``segments`` subset becomes a partition-pruning predicate)."""
+    graph = spark.read.parquet(path + "/graph")
+    vectors = spark.read.parquet(path + "/vectors")
+    if segments is not None:
+        segs = [int(s) for s in segments]
+        graph = graph.where(F.col("segment").isin(segs))
+        vectors = vectors.where(F.col("segment").isin(segs))
+    key_t = dict(vectors.dtypes)[key_col]
+    g = graph.select(
+        "segment", "node_id", "level", "neighbors",
+        F.lit(None).cast("array<float>").alias("norm_vec"),
+        F.lit(None).cast(key_t).alias(key_col),
+        F.lit(True).alias("_is_graph"),
+    )
+    v = vectors.select(
+        "segment", "node_id",
+        F.lit(-1).cast("int").alias("level"),
+        F.lit(None).cast("array<int>").alias("neighbors"),
+        "norm_vec", F.col(key_col), F.lit(False).alias("_is_graph"),
+    )
+    return g.unionByName(v), key_t
+
+
 def hnsw_topk_at_rest(
     spark,
     path: str,
@@ -250,68 +312,99 @@ def hnsw_topk_at_rest(
     qn = np.linalg.norm(q)
     q = (q / (qn if qn else 1.0)).astype(np.float32)
 
-    graph = spark.read.parquet(path + "/graph")
-    vectors = spark.read.parquet(path + "/vectors")
-    if segments is not None:
-        segs = [int(s) for s in segments]
-        graph = graph.where(F.col("segment").isin(segs))
-        vectors = vectors.where(F.col("segment").isin(segs))
-    g = graph.select(
-        "segment", "node_id", "level", "neighbors",
-        F.lit(None).cast("array<float>").alias("norm_vec"),
-        F.lit(None).cast(dict(vectors.dtypes)[key_col]).alias(key_col),
-        F.lit(True).alias("_is_graph"),
-    )
-    v = vectors.select(
-        "segment", "node_id",
-        F.lit(-1).cast("int").alias("level"),
-        F.lit(None).cast("array<int>").alias("neighbors"),
-        "norm_vec", F.col(key_col), F.lit(False).alias("_is_graph"),
-    )
-    both = g.unionByName(v)
+    both, key_t = _graph_vector_union(spark, path, key_col, segments)
     kq = int(k)
     efq = max(int(ef), kq)
     qb = q  # captured in the closure; broadcast with the task binary
 
     def probe_one(pdf: pd.DataFrame) -> pd.DataFrame:
-        vmask = ~pdf["_is_graph"].values
-        vrows = pdf[vmask].sort_values("node_id")
-        n = len(vrows)
-        if not n:
+        loaded = _load_segment(pdf, key_col)
+        if loaded is None:
             return pd.DataFrame({key_col: [], "cosine": []})
-        vecs = np.asarray(vrows["norm_vec"].tolist(), dtype=np.float32)
-        keys = vrows[key_col].values
-        grows = pdf[~vmask]
-        layers: dict[int, dict[int, np.ndarray]] = {}
-        top_level, entry = -1, 0
-        for node, lvl, nbrs in zip(
-            grows["node_id"].values.astype(np.int64),
-            grows["level"].values.astype(np.int64),
-            grows["neighbors"].values,
-        ):
-            layers.setdefault(int(lvl), {})[int(node)] = np.asarray(
-                nbrs, dtype=np.int64
-            )
-            if lvl > top_level or (
-                lvl == top_level and node < entry
-            ):
-                top_level, entry = int(lvl), int(node)
-        ep = [entry]
-        for lc in range(top_level, 0, -1):
-            ep = [_search_layer(
-                qb, vecs, layers.get(lc, {}), ep, 1
-            )[0][1]]
-        res = _search_layer(qb, vecs, layers.get(0, {}), ep, efq)
-        res = res[:kq]
+        vecs, keys, layers, top_level, entry = loaded
+        res = _probe_loaded(
+            vecs, layers, top_level, entry, qb, kq, efq
+        )
         return pd.DataFrame({
             key_col: [keys[nid] for _, nid in res],
             "cosine": [float(s) for s, _ in res],
         })
 
-    key_t = dict(vectors.dtypes)[key_col]
     per_seg = both.groupBy("segment").applyInPandas(
         probe_one, schema=f"{key_col} {key_t}, cosine double"
     )
     return per_seg.orderBy(
         F.col("cosine").desc(), F.col(key_col).asc()
     ).limit(kq)
+
+
+def hnsw_topk_batch(
+    spark,
+    path: str,
+    key_col: str,
+    query_vecs,
+    k: int = 10,
+    ef: int = 64,
+    segments: list[int] | None = None,
+    max_queries: int = 65536,
+) -> DataFrame:
+    """Batched multi-query probe → (query_idx, <key>, cosine): each
+    segment task loads its graph ONCE and runs every query's beam
+    search against it — the training-pipeline shape (amortizes the
+    graph load over the batch exactly as the batched brute-force
+    matmul in similarity.pairwise_cosine_topk_pandas amortizes the
+    scan). Per-query global top-k via one window over the per-segment
+    k-candidates. ``query_vecs`` is a driver-side list/matrix of
+    query vectors (bounded: it ships inside the task closure —
+    ``max_queries`` fails loudly instead of silently shipping GBs; a
+    bigger batch should be split or routed per-shard)."""
+    from pyspark.sql import Window
+
+    qm = np.asarray(query_vecs, dtype=np.float64)
+    if qm.ndim != 2:
+        raise ValueError("query_vecs must be a (n_queries, dim) batch")
+    if qm.shape[0] > max_queries:
+        raise ValueError(
+            f"{qm.shape[0]} queries exceed max_queries={max_queries}"
+        )
+    norms = np.linalg.norm(qm, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    qb = (qm / norms).astype(np.float32)
+
+    both, key_t = _graph_vector_union(spark, path, key_col, segments)
+    kq = int(k)
+    efq = max(int(ef), kq)
+
+    def probe_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        loaded = _load_segment(pdf, key_col)
+        if loaded is None:
+            return pd.DataFrame(
+                {"query_idx": [], key_col: [], "cosine": []}
+            )
+        vecs, keys, layers, top_level, entry = loaded
+        qi_out, key_out, cos_out = [], [], []
+        for qi in range(qb.shape[0]):
+            res = _probe_loaded(
+                vecs, layers, top_level, entry, qb[qi], kq, efq
+            )
+            qi_out.extend([qi] * len(res))
+            key_out.extend(keys[nid] for _, nid in res)
+            cos_out.extend(float(s) for s, _ in res)
+        return pd.DataFrame({
+            "query_idx": pd.array(qi_out, dtype="int32"),
+            key_col: key_out,
+            "cosine": cos_out,
+        })
+
+    per_seg = both.groupBy("segment").applyInPandas(
+        probe_batch,
+        schema=f"query_idx int, {key_col} {key_t}, cosine double",
+    )
+    w = Window.partitionBy("query_idx").orderBy(
+        F.col("cosine").desc(), F.col(key_col).asc()
+    )
+    return (
+        per_seg.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= kq)
+        .drop("_rn")
+    )

@@ -115,3 +115,31 @@ def test_hnsw_segment_probe_prunes(spark, planted, hnsw_root):
         spark, hnsw_root, "vec_id", q, k=10, ef=64, segments=pick
     ).collect()
     assert top and {r["vec_id"] for r in top} <= allowed
+
+
+def test_hnsw_batch_matches_single(spark, planted, hnsw_root):
+    """The batched probe must agree per-query with the single-query
+    probe (same keys in the same order)."""
+    from bleve_spark.functions.hnsw import (
+        hnsw_topk_at_rest, hnsw_topk_batch,
+    )
+
+    df, q, _ = planted
+    q2 = np.asarray(
+        df.where(F.col("vec_id") == 3).first()["embedding"],
+        dtype=np.float64,
+    )
+    batch = hnsw_topk_batch(
+        spark, hnsw_root, "vec_id", [q, q2], k=5, ef=64
+    ).collect()
+    by_q = {}
+    for r in sorted(batch, key=lambda r: -r["cosine"]):
+        by_q.setdefault(r["query_idx"], []).append(r["vec_id"])
+    for qi, qv in ((0, q), (1, q2)):
+        single = [
+            r["vec_id"]
+            for r in hnsw_topk_at_rest(
+                spark, hnsw_root, "vec_id", qv, k=5, ef=64
+            ).collect()
+        ]
+        assert by_q[qi] == single
