@@ -5,7 +5,7 @@ Runs the identical index-build job at local[2], local[8], and
 local[32] (separate JVMs; the sandbox proxy for cluster sizes — per
 driver instruction, "N and 4N cores"), computes throughput at each
 level and the N→4N efficiencies for both transitions, and writes
-BENCH.md. The query suite runs once at local[8] and local[32].
+BENCH_SCALING.md (BENCH.md itself is hand-curated). The query suite runs once at local[8] and local[32].
 
 Usage: python tools/scaling_bench.py [turns] [sf_dir]
 """
@@ -158,7 +158,10 @@ Raw bench lines:
 {json.dumps(r32)}
 ```
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # BENCH.md is hand-curated (newest-first narrative); this tool
+    # writes its machine-generated report NEXT TO it instead of
+    # clobbering the curated history
+    with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
         f.write(md)
     print(f"eff 2->8: {eff_2_8:.3f}  eff 8->32: {eff_8_32:.3f}")
 
