@@ -28,10 +28,17 @@ stable, and a resumed build reproduces byte-identical adjacency).
 
 Scale notes (100 TB): segments are bounded by the partition count —
 each build task holds one segment's vectors (choose n_segments so a
-segment fits an executor; 1M × 128-d float32 ≈ 512 MB). Queries read
-graph+vector parquet per probed segment only; restricting the probe
-to a segment subset (sharded ANN) or stacking this under the IVF
-router are both one-line predicates on the partition column.
+segment fits an executor; 1M × 128-d float32 ≈ 512 MB). Unlike IVF
+cells, probing EVERY segment means segmentation costs zero recall —
+so the scale dial is simply more, smaller segments: construction is
+sequential per segment (the published algorithm's insert loop) but
+embarrassingly parallel across them, and the probe fan-out is one
+beam search per segment, merged by the same per-partition-heap
+pattern as BM25 TopN. Keep segments ≤ ~100k vectors so the build
+task stays minutes, not hours; for query-cost-bounded serving over
+huge segment counts, restrict the probe to a segment subset (sharded
+ANN) or stack this under the IVF router — both are one-line
+predicates on the partition column.
 """
 
 from __future__ import annotations
