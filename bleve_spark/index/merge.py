@@ -337,7 +337,16 @@ def merge_level(
             "chunk_id", (F.row_number().over(w) - 1).cast("long")
         )
     (
-        merged.withColumnRenamed("segment_id", "seg")
+        # task-local sort before the write (NO extra shuffle): the
+        # stage-1 builder emits files term-sorted, so parquet
+        # row-group min/max stats prune (field, term) predicates to
+        # the few groups holding the term — but the merge shuffle
+        # scatters terms, and an UNSORTED merged segment forces every
+        # term query to read every row group's blob pages (measured:
+        # a zero-posting term cost 5.2s on a merged 20M store, ~the
+        # same as the highest-df term). Sorting restores the pruning.
+        merged.sortWithinPartitions("field", "term", "chunk_id")
+        .withColumnRenamed("segment_id", "seg")
         .write.partitionBy("seg")
         .mode("overwrite")
         .parquet(os.path.join(dst_root, "postings"))
