@@ -122,7 +122,8 @@ class IndexedTable:
     postings_doc_factory: object = dc_field(default=None, repr=False)
     doc_keys_df: object = dc_field(default=None, repr=False)
 
-    def prune_postings(self, pred, positions: bool = True):
+    def prune_postings(self, pred, positions: bool = True,
+                       spread: bool = False):
         """Postings rows matching ``pred`` (a Column over field/term):
         via the pushed-down factory when present, else a plain
         filter over the decoded relation.
@@ -131,12 +132,25 @@ class IndexedTable:
         decoding the pos_blob column entirely (the largest blob) —
         the right call for scoring-only reads (term/boolean/
         disjunction joins). On the in-memory relation it's a no-op:
-        the positions column rides along, already materialized."""
+        the positions column rides along, already materialized.
+
+        ``spread=True`` asks an at-rest factory to rebalance the
+        pruned chunk rows across the cluster before decoding —
+        term-sorted files colocate a hot term into one or two scan
+        tasks, so a high-df decode would otherwise run
+        near-single-threaded. Callers set it from known doc_freq."""
         if self.postings_factory is not None:
             try:
-                return self.postings_factory(pred, positions=positions)
+                return self.postings_factory(
+                    pred, positions=positions, spread=spread
+                )
             except TypeError:
-                return self.postings_factory(pred)
+                try:
+                    return self.postings_factory(
+                        pred, positions=positions
+                    )
+                except TypeError:
+                    return self.postings_factory(pred)
         return self.postings.where(pred)
 
     @property

@@ -726,7 +726,8 @@ DECODED_SCHEMA_NO_POS = "field string, term string, doc_num long, tf int"
 def decode_chunk_rows(rows: DataFrame,
                       with_positions: bool = True,
                       with_norm: bool = False,
-                      with_chunk: bool = False) -> DataFrame:
+                      with_chunk: bool = False,
+                      spread: bool = False) -> DataFrame:
     """Arrow batch decode of chunk rows → exploded postings.
 
     ``rows`` is any (pre-filtered) chunk-row DataFrame carrying
@@ -749,14 +750,21 @@ def decode_chunk_rows(rows: DataFrame,
     streams via a segmented cumsum keyed off the tf vector (every
     write path emits per-doc streams as [len, deltas...] with
     len == tf; a stream that disagrees falls back to the sequential
-    parser). No per-posting Python objects are ever built.
+    parser). No per-posting Python objects are ever built — and no
+    PER-ROW ones either: each blob column's bytes are decoded as ONE
+    concatenated LEB128 stream per Arrow batch (valid because LEB128
+    streams are self-delimiting, and the n_docs column gives every
+    row's value count), so kernel cost is O(batch) numpy calls, not
+    O(chunk-rows). A batch whose streams fail validation (foreign
+    data) falls back to the per-row loop.
 
     ``with_chunk=True`` carries (segment_id, chunk_id) through to the
     output rows, letting a caller that decoded a SUPERSET of chunks
     recover any chunk-level subset (e.g. block-max WAND derives its
     candidate set from the surviving chunks of one shared decode
     instead of decoding the store twice)."""
-    cols = ["segment_id", "field", "term", "doc_blob", "tf_blob"]
+    cols = ["segment_id", "field", "term", "n_docs",
+            "doc_blob", "tf_blob"]
     if with_chunk:
         cols.insert(1, "chunk_id")
     if with_positions:
@@ -764,12 +772,106 @@ def decode_chunk_rows(rows: DataFrame,
     if with_norm:
         cols.append("len_blob")
     sel = rows.select(*cols)
+    if spread:
+        # term-sorted segment files colocate a hot term's chunk rows
+        # into one or two scan tasks, so a high-df decode would run
+        # near-single-threaded. Spreading shuffles only the PRUNED
+        # blob rows (KBs–tens of MB after pushdown) and buys
+        # cluster-wide decode parallelism — callers enable it when
+        # the term set's summed doc_freq says the decode dominates
+        # the extra stage.
+        par = rows.sparkSession.sparkContext.defaultParallelism
+        sel = sel.repartition(max(2, int(par)))
 
     def dec(batches):
         import pyarrow as pa
         import pyarrow.compute as pc
 
         pa.set_cpu_count(1)
+
+        def concat_view(col):
+            """Zero-copy (values, row-relative offsets) view over a
+            non-null BinaryArray's concatenated bytes."""
+            off = np.frombuffer(col.buffers()[1], dtype=np.int32)
+            off = off[col.offset:col.offset + len(col) + 1].astype(
+                np.int64
+            )
+            val = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+            return val[off[0]:off[-1]]
+
+        def batch_fast(b, nrows, segs, counts):
+            """Whole-batch decode: one varint pass per blob column.
+            Returns the (doc_num, tfs, lens, pos, plen) arrays or
+            None when a stream disagrees with its metadata."""
+            total = int(counts.sum())
+            deltas = varint_decode(concat_view(b.column("doc_blob")))
+            if deltas.size != total:
+                return None
+            tfs = varint_decode(concat_view(b.column("tf_blob")))
+            if tfs.size != total:
+                return None
+            starts = np.zeros(nrows, dtype=np.int64)
+            starts[1:] = np.cumsum(counts[:-1])
+            # per-row delta decode: global cumsum minus each row's
+            # start correction (first value of a row is absolute)
+            cs = np.cumsum(deltas)
+            corr = np.zeros(nrows, dtype=np.uint64)
+            nz = counts > 0
+            corr[nz] = cs[starts[nz]] - deltas[starts[nz]]
+            local = cs - np.repeat(corr, counts)
+            bases = segs.astype(np.uint64) << np.uint64(SEG_SHIFT)
+            doc_num = (local + np.repeat(bases, counts)).astype(
+                np.int64
+            )
+            tfs = tfs.astype(np.int64)
+            lens = None
+            if with_norm:
+                lens = varint_decode(
+                    concat_view(b.column("len_blob"))
+                )
+                if lens.size != total:
+                    return None
+                lens = lens.astype(np.int64)
+            pos_all = plen_all = None
+            if with_positions:
+                flat = varint_decode(
+                    concat_view(b.column("pos_blob"))
+                ).astype(np.int64)
+                tf_cum = np.zeros(total + 1, dtype=np.int64)
+                np.cumsum(tfs, out=tf_cum[1:])
+                row_ends = starts + counts
+                row_tfsum = tf_cum[row_ends] - tf_cum[starts]
+                stream_lens = row_tfsum + counts
+                if flat.size != int(stream_lens.sum()):
+                    return None
+                stream_starts = np.zeros(nrows, dtype=np.int64)
+                stream_starts[1:] = np.cumsum(stream_lens[:-1])
+                # each doc's [len, deltas...] stream begins at its
+                # row's stream start + preceding docs' (tf+1) bytes
+                row_of = np.repeat(np.arange(nrows), counts)
+                j = np.arange(total)
+                slot = (
+                    stream_starts[row_of]
+                    + (tf_cum[j] - tf_cum[starts[row_of]])
+                    + (j - starts[row_of])
+                )
+                if not np.array_equal(flat[slot], tfs):
+                    return None
+                vals = np.delete(flat, slot)
+                dstarts = tf_cum[:-1]  # per-doc start in vals space
+                if vals.size:
+                    cs2 = np.cumsum(vals)
+                    seg_base = np.zeros(total, dtype=np.int64)
+                    m = tfs > 0
+                    seg_base[m] = (
+                        cs2[dstarts[m]] - vals[dstarts[m]]
+                    )
+                    pos_all = cs2 - np.repeat(seg_base, tfs)
+                else:
+                    pos_all = vals
+                plen_all = tfs
+            return doc_num, tfs, lens, pos_all, plen_all
+
         for b in batches:
             nrows = b.num_rows
             if not nrows:
@@ -777,6 +879,21 @@ def decode_chunk_rows(rows: DataFrame,
             segs = b.column("segment_id").to_numpy(
                 zero_copy_only=False
             )
+            counts = b.column("n_docs").to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            fast = None
+            try:
+                fast = batch_fast(b, nrows, segs, counts)
+            except (ValueError, IndexError):
+                fast = None
+            if fast is not None:
+                doc_num, tfs_all, lens_all, pos_all, plen_all = fast
+                yield _emit(
+                    pa, pc, b, nrows, counts, doc_num, tfs_all,
+                    lens_all, pos_all, plen_all,
+                )
+                continue
             dblob = b.column("doc_blob")
             tblob = b.column("tf_blob")
             pblob = b.column("pos_blob") if with_positions else None
@@ -854,48 +971,52 @@ def decode_chunk_rows(rows: DataFrame,
                     ) if plists else np.zeros(nd, dtype=np.int64))
             if not doc_parts:
                 continue
-            doc_num = np.concatenate(doc_parts)
-            tfs_all = np.concatenate(tf_parts)
-            idx_rep = pa.array(
-                np.repeat(np.arange(nrows), counts)
+            yield _emit(
+                pa, pc, b, nrows, counts,
+                np.concatenate(doc_parts),
+                np.concatenate(tf_parts),
+                np.concatenate(len_parts) if with_norm else None,
+                (np.concatenate(pos_parts)
+                 if pos_parts else np.empty(0, dtype=np.int64))
+                if with_positions else None,
+                np.concatenate(plen_parts)
+                if with_positions else None,
             )
+
+    def _emit(pa, pc, b, nrows, counts, doc_num, tfs_all,
+              lens_all, pos_all, plen_all):
+        idx_rep = pa.array(np.repeat(np.arange(nrows), counts))
+        arrays = [
+            pc.take(b.column("field"), idx_rep),
+            pc.take(b.column("term"), idx_rep),
+            pa.array(doc_num),
+            pa.array(tfs_all.astype(np.int32)),
+        ]
+        names = ["field", "term", "doc_num", "tf"]
+        if with_chunk:
             arrays = [
-                pc.take(b.column("field"), idx_rep),
-                pc.take(b.column("term"), idx_rep),
-                pa.array(doc_num),
-                pa.array(tfs_all.astype(np.int32)),
-            ]
-            names = ["field", "term", "doc_num", "tf"]
-            if with_chunk:
-                arrays = [
-                    pc.take(b.column("segment_id"), idx_rep),
-                    pc.take(b.column("chunk_id"), idx_rep),
-                ] + arrays
-                names = ["segment_id", "chunk_id"] + names
-            if with_norm:
-                lens_all = np.concatenate(len_parts)
-                norms = np.zeros(lens_all.size, dtype=np.float32)
-                pos_mask = lens_all > 0
-                norms[pos_mask] = (
-                    1.0 / np.sqrt(lens_all[pos_mask])
-                ).astype(np.float32)
-                arrays.append(pa.array(norms, mask=~pos_mask))
-                names.append("norm")
-            if with_positions:
-                plen_all = np.concatenate(plen_parts)
-                pos_all = (
-                    np.concatenate(pos_parts)
-                    if pos_parts else np.empty(0, dtype=np.int64)
-                )
-                offsets = np.concatenate(
-                    ([0], np.cumsum(plen_all))
-                ).astype(np.int32)
-                arrays.append(pa.ListArray.from_arrays(
-                    pa.array(offsets),
-                    pa.array(pos_all.astype(np.int32)),
-                ))
-                names.append("positions")
-            yield pa.RecordBatch.from_arrays(arrays, names=names)
+                pc.take(b.column("segment_id"), idx_rep),
+                pc.take(b.column("chunk_id"), idx_rep),
+            ] + arrays
+            names = ["segment_id", "chunk_id"] + names
+        if with_norm:
+            norms = np.zeros(lens_all.size, dtype=np.float32)
+            pos_mask = lens_all > 0
+            norms[pos_mask] = (
+                1.0 / np.sqrt(lens_all[pos_mask])
+            ).astype(np.float32)
+            arrays.append(pa.array(norms, mask=~pos_mask))
+            names.append("norm")
+        if with_positions:
+            offsets = np.concatenate(
+                ([0], np.cumsum(plen_all))
+            ).astype(np.int32)
+            arrays.append(pa.ListArray.from_arrays(
+                pa.array(offsets),
+                pa.array(pos_all.astype(np.int32)),
+            ))
+            names.append("positions")
+        return pa.RecordBatch.from_arrays(arrays, names=names)
 
     schema = "field string, term string, doc_num long, tf int"
     if with_chunk:
@@ -1122,7 +1243,8 @@ class SegmentStore:
 
     def postings_df(self, key_cols: list[str],
                     fields: list[str], pred=None,
-                    positions: bool = True) -> DataFrame:
+                    positions: bool = True,
+                    spread: bool = False) -> DataFrame:
         """Full postings relation (field, term, keys..., tf, positions,
         norm) — the same shape index_table() produces, reconstructed
         from the compressed store. ``positions=False`` drops the
@@ -1235,8 +1357,9 @@ class SegmentStore:
             # persist=False index full-decodes per query)
             kc, fl = list(key_cols), list(fields)
             idx.postings_factory = (
-                lambda pred, positions=True: self.postings_df(
-                    kc, fl, pred, positions=positions
+                lambda pred, positions=True, spread=False:
+                self.postings_df(
+                    kc, fl, pred, positions=positions, spread=spread
                 )
             )
             if self.has_posting_lens():
@@ -1246,9 +1369,10 @@ class SegmentStore:
                 # doc_keys_df over matched docs only (the inner join
                 # against the live doc table also drops deletions)
                 idx.postings_doc_factory = (
-                    lambda pred: decode_chunk_rows(
+                    lambda pred, spread=False: decode_chunk_rows(
                         self.chunk_rows(with_blobs=True).where(pred),
                         with_positions=False, with_norm=True,
+                        spread=spread,
                     )
                 )
                 idx.doc_keys_df = (

@@ -68,11 +68,22 @@ def varint_encode(values: np.ndarray) -> bytes:
     return varint_encode_with_ends(values)[0]
 
 
-def varint_decode(buf: bytes) -> np.ndarray:
-    """Decode LEB128 bytes → uint64 array."""
+def varint_decode(buf) -> np.ndarray:
+    """Decode LEB128 bytes → uint64 array. Accepts ``bytes`` or a
+    uint8 ndarray view (LEB128 streams concatenate cleanly, so a
+    batch decoder can pass one zero-copy view over many blobs)."""
+    if isinstance(buf, np.ndarray):
+        if buf.size == 0:
+            return np.empty(0, dtype=np.uint64)
+        raw = buf
+        return _varint_decode_raw(raw)
     if not buf:
         return np.empty(0, dtype=np.uint64)
     raw = np.frombuffer(buf, dtype=np.uint8)
+    return _varint_decode_raw(raw)
+
+
+def _varint_decode_raw(raw: np.ndarray) -> np.ndarray:
     cont = (raw & 0x80) > 0
     # value boundaries: a value ends where cont bit is 0
     ends = np.flatnonzero(~cont)

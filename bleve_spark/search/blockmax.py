@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from bleve_spark.index.build import IndexStats
 from bleve_spark.index.segments import SegmentStore
+from bleve_spark.search.searcher import SPREAD_MIN_DF
 from bleve_spark.search.scorer import BM25_B, BM25_K1, idf_value
 
 
@@ -52,7 +53,7 @@ def _bound_col(idf: float, avg_len: float):
 
 
 def _term_scores(store: SegmentStore, stats: IndexStats, field: str,
-                 term: str, idf: float) -> DataFrame:
+                 term: str, idf: float, spread: bool = False) -> DataFrame:
     """(doc_num, score) exact BM25 partials for one term."""
     from bleve_spark.index.segments import decode_chunk_rows
 
@@ -68,7 +69,7 @@ def _term_scores(store: SegmentStore, stats: IndexStats, field: str,
         # chunk holding a real top-k doc): anti-join the (small)
         # deletion set instead of inner-joining the whole doc table.
         joined = decode_chunk_rows(
-            rows, with_positions=False, with_norm=True
+            rows, with_positions=False, with_norm=True, spread=spread
         )
         dels = store.deletions()
         if dels is not None:
@@ -147,7 +148,10 @@ def pruned_disjunction_topk(
         empty = store.doc_table().select(*key_cols).where(F.lit(False))
         return empty.withColumn("score", F.lit(0.0))
     rare = min(present, key=lambda t: df_by_term[t])
-    rare_scores = _term_scores(store, stats, field, rare, idfs[rare])
+    rare_scores = _term_scores(
+        store, stats, field, rare, idfs[rare],
+        spread=df_by_term[rare] >= SPREAD_MIN_DF,
+    )
     kth = rare_scores.orderBy(F.col("score").desc()).limit(k).collect()
     theta = (
         float(kth[-1]["score"]) * qw[rare] / total
@@ -201,6 +205,7 @@ def pruned_disjunction_topk(
         decoded_all = decode_chunk_rows(
             rescore_rows, with_positions=False, with_norm=True,
             with_chunk=True,
+            spread=sum(df_by_term.values()) >= SPREAD_MIN_DF,
         )
         dels = store.deletions()
         if dels is not None:

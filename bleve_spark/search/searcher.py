@@ -41,6 +41,11 @@ from bleve_spark.search.scorer import idf_value, term_score_col, term_weight
 # threshold above which a multi-term disjunction compiles to a single
 # broadcast join against a term-metadata table instead of N unioned scans
 BULK_DISJUNCTION_THRESHOLD = 8
+# summed doc_freq above which an at-rest decode is worth an explicit
+# rebalance: term-sorted segment files colocate a hot term's chunk
+# rows into one or two scan tasks, so big decodes would otherwise run
+# near-single-threaded (the repartition only moves the PRUNED blobs)
+SPREAD_MIN_DF = 100_000
 
 MAX_FUZZINESS = 2  # search/searcher/search_fuzzy.go:27
 
@@ -161,10 +166,12 @@ class STerm(SNode):
     def _rows(self, ctx: _Ctx, positions: bool = False) -> DataFrame:
         # prune_postings pushes (field, term) below an at-rest
         # store's chunk decode into the parquet scan (r5); scoring
-        # reads skip the pos_blob column entirely
+        # reads skip the pos_blob column entirely, and a high-df
+        # term's decode is spread across the cluster
         return ctx.idx.prune_postings(
             (F.col("field") == self.field) & (F.col("term") == self.term),
             positions=positions,
+            spread=self.doc_freq >= SPREAD_MIN_DF,
         )
 
     def score_col(self, ctx: _Ctx) -> Column:
@@ -387,8 +394,10 @@ class SConj(SNode):
             return self._compile_nested(ctx, scored=False)
         bulk = self._bulk_terms(ctx)
         if bulk is not None:
-            return _bulk_join_docs(ctx, bulk[0].field,
-                                   [t.term for t in bulk], len(bulk))
+            return _bulk_join_docs(
+                ctx, bulk[0].field, [t.term for t in bulk], len(bulk),
+                sum_df=sum(t.doc_freq for t in bulk),
+            )
         u = _union_children(ctx, [c.docs(ctx) for c in self.children])
         n = len(self.children)
         return (
@@ -486,6 +495,7 @@ class SDisj(SNode):
         return _bulk_join_score(
             ctx, fld, mdf, total, min_req,
             terms=[m[0] for m in meta],
+            sum_df=sum(t.doc_freq for t in terms),
         )
 
     def docs(self, ctx):
@@ -508,7 +518,8 @@ class SDisj(SNode):
             or len({t.term for t in bulk}) == len(bulk)
         ):
             return _bulk_join_docs(
-                ctx, bulk[0].field, [t.term for t in bulk], min_req
+                ctx, bulk[0].field, [t.term for t in bulk], min_req,
+                sum_df=sum(t.doc_freq for t in bulk),
             )
         u = _union_children(ctx, [c.docs(ctx) for c in kids])
         if min_req <= 1:
@@ -522,7 +533,8 @@ class SDisj(SNode):
 
 
 def _bulk_join_score(ctx, fld: str, mdf, total, min_req,
-                     terms: list | None = None) -> DataFrame:
+                     terms: list | None = None,
+                     sum_df: int = 0) -> DataFrame:
     """Score a whole term set in ONE postings join + ONE groupBy: the
     scale path shared by big in-memory disjunctions (_compile_bulk) and
     distributed dictionary expansions (SDictDisj). ``mdf`` carries
@@ -540,12 +552,17 @@ def _bulk_join_score(ctx, fld: str, mdf, total, min_req,
     # per-doc aggregation as a doc_num → keys join over MATCHED docs
     # only (its inner join against the live doc table also drops
     # deleted docs) — never a corpus-sized per-posting join
+    spread = sum_df >= SPREAD_MIN_DF
     doc_fac = getattr(ctx.idx, "postings_doc_factory", None)
     if doc_fac is not None:
-        rows = doc_fac(pred).join(mdf, "term")
+        try:
+            rows = doc_fac(pred, spread=spread)
+        except TypeError:
+            rows = doc_fac(pred)
+        rows = rows.join(mdf, "term")
     else:
         rows = ctx.idx.prune_postings(
-            pred, positions=False
+            pred, positions=False, spread=spread
         ).join(mdf, "term")
     if ctx.scoring == "bm25" and avg > 0:
         per = F.col("_idf") * (
@@ -598,16 +615,21 @@ def _bulk_join_score(ctx, fld: str, mdf, total, min_req,
 
 
 def _bulk_join_docs(ctx, fld: str, terms: list[str],
-                    min_req: int) -> DataFrame:
+                    min_req: int, sum_df: int = 0) -> DataFrame:
     """Unscored doc-key set of an all-term conjunction/disjunction in
     ONE term-pruned postings read + ONE groupBy (must_not / filter
     clauses). On stores with postings-resident scoring reads, the
     groupBy runs on doc_num and keys join after aggregation over
     matched docs only."""
     pred = (F.col("field") == fld) & F.col("term").isin(list(terms))
+    spread = sum_df >= SPREAD_MIN_DF
     doc_fac = getattr(ctx.idx, "postings_doc_factory", None)
     if doc_fac is not None:
-        agg = doc_fac(pred).groupBy("doc_num").agg(
+        try:
+            rows = doc_fac(pred, spread=spread)
+        except TypeError:
+            rows = doc_fac(pred)
+        agg = rows.groupBy("doc_num").agg(
             F.count(F.lit(1)).alias("_cnt")
         )
         if min_req > 1:
@@ -615,7 +637,7 @@ def _bulk_join_docs(ctx, fld: str, terms: list[str],
         return agg.join(ctx.idx.doc_keys_df(), "doc_num").select(
             *ctx.keys
         )
-    rows = ctx.idx.prune_postings(pred, positions=False)
+    rows = ctx.idx.prune_postings(pred, positions=False, spread=spread)
     agg = rows.groupBy(*ctx.keys).agg(
         F.count(F.lit(1)).alias("_cnt")
     )
