@@ -377,3 +377,25 @@ def test_conjunction_bulk_matches_union(spark, transcripts, seg_root):
             for r in search_df(idx_union, q, size=9000).collect()
         }
         assert a == b and a, q
+
+
+def test_merged_files_are_term_sorted(spark, transcripts, tmp_path):
+    """Merged segment files must stay sorted by (field, term) so
+    parquet page/row-group pruning survives the merge — unsorted
+    merged output made a zero-posting term read cost the same as the
+    highest-df term (full blob-page scan per query)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "sorted_idx")
+    build_segments(transcripts, KEYS, FIELDS, root, n_segments=6)
+    final = merge_to_single(spark, root, fanin=3)
+    files = glob.glob(final + "/postings/seg=*/*.parquet")
+    assert files
+    for f in files:
+        t = pq.ParquetFile(f).read(columns=["field", "term"])
+        pairs = list(zip(
+            t.column("field").to_pylist(), t.column("term").to_pylist()
+        ))
+        assert pairs == sorted(pairs), f
