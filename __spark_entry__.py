@@ -3969,7 +3969,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_score_none": q_score_none,
         }
     )
-    return q
+    # The driver's correctness gate samples the FIRST 50 entries in
+    # insertion order. Rotate the registration order each round so
+    # every gate accrues a driver-verified row (VERDICT r5 #1).
+    # Round 6 leads with the 50 gates the driver has NEVER sampled:
+    # the six that failed in round 1 (all since fixed + locally
+    # green), the new ANN layouts, then every other gate registered
+    # past position 50, plus this round's new gates. The 21 q_lang_*
+    # gates and the previously-driver-green first-50 rotate in next
+    # round.
+    _lead = [
+        # r1 failures, never driver-re-sampled
+        "q_highlight", "dedup_minhash_pairs", "dedup_simhash_pairs",
+        "ann_lsh_topk", "ann_ivf_topk", "multimodal_features",
+        # never-sampled ANN layouts (r5) + streaming
+        "ann_hnsw_topk", "ann_ivfpq_full", "ann_ivfpq_topk",
+        "stream_sessionize",
+        # new this round
+        "q_phrase_fuzzy", "q_knn_request_ann",
+        # the rest of the never-sampled tail (registration order)
+        "q_mapping_numeric_array", "dedup_components",
+        "q_mapping_bool_field", "q_knn_request", "q_mapping_geo_bbox",
+        "q_ip_range", "q_hybrid_rrf", "q_hybrid_filtered",
+        "q_multi_phrase", "q_phrase_slop", "q_phrase_slop3",
+        "q_bool_field", "q_search_after", "q_search_before",
+        "q_rrf_fusion", "q_rsf_fusion", "q_alias_2shards",
+        "q_alias_strict", "q_composite_term", "q_composite_typed_term",
+        "q_composite_typed_store", "q_synonym_term",
+        "q_synonym_thesaurus", "q_alias_synonym", "q_term_store",
+        "q_term_after_delete", "q_blockmax_topk", "q_raw_text_match",
+        "q_raw_text_phrase", "dedup_exact", "dedup_ngram_jaccard",
+        "emb_neardup_pairs", "ann_cosine_topk", "text_profile",
+        "multimodal_image_stats", "multimodal_png_decode",
+        "q_fields_locations", "q_score_none",
+    ]
+    ordered = {k: q[k] for k in _lead if k in q}
+    ordered.update({k: v for k, v in q.items() if k not in ordered})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

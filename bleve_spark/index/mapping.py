@@ -1006,11 +1006,15 @@ def map_table(
                             dec = e.cast("string").try_cast(
                                 "decimal(38,9)"
                             )
+                            # floor (not cast-truncate) so negative
+                            # pre-1970 sub-microsecond epochs round
+                            # DOWN like the reference's integer
+                            # nanosecond division
                             e = F.timestamp_micros(
-                                F.try_divide(
+                                F.floor(F.try_divide(
                                     dec * F.lit(1_000_000),
                                     F.lit(int(div)),
-                                ).cast("long")
+                                )).cast("long")
                             )
                         else:
                             s = e.cast("string")

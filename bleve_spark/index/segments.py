@@ -885,7 +885,10 @@ def decode_chunk_rows(rows: DataFrame,
             fast = None
             try:
                 fast = batch_fast(b, nrows, segs, counts)
-            except (ValueError, IndexError):
+            except (ValueError, IndexError, TypeError, AttributeError):
+                # null/absent blob buffers (foreign or legacy data)
+                # raise TypeError from np.frombuffer / AttributeError
+                # from a None buffer — fall back to the per-row parser
                 fast = None
             if fast is not None:
                 doc_num, tfs_all, lens_all, pos_all, plen_all = fast

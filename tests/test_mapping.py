@@ -974,3 +974,31 @@ def test_unix_epoch_subsecond_precision(spark):
     # nanos truncate to micros (timestamp resolution)
     assert rows[1]["ns"].microsecond == 250_500
     assert rows[1]["ms"] != rows[2]["ms"]
+
+
+def test_unix_epoch_negative_floors(spark):
+    """Pre-1970 sub-microsecond epochs FLOOR toward -inf like the
+    reference's integer nanosecond division (time.Unix semantics) —
+    a cast('long') would truncate toward zero and round UP by 1µs.
+    -1_500 ns = -2µs floored (1969-12-31T23:59:59.999998Z)."""
+    import datetime as dt
+    df = spark.createDataFrame(
+        [(1, "a", -1_500, -2_500_001)],
+        "doc_id long, name string, ns long, ns2 long",
+    )
+    im = IndexMapping.from_dict({
+        "default_mapping": {"dynamic": False, "properties": {
+            "name": {"fields": [{"type": "text"}]},
+            "ns": {"fields": [{"type": "datetime",
+                               "date_format": "unix_nano"}]},
+            "ns2": {"fields": [{"type": "datetime",
+                                "date_format": "unix_nano"}]},
+        }},
+        "scoring_model": "bm25",
+    })
+    idx = index_with_mapping(df, ["doc_id"], im, persist=False)
+    row = idx.source.select("ns", "ns2").collect()[0]
+    epoch = dt.datetime(1970, 1, 1)
+    # floor(-1500/1000) = -2 µs; floor(-2500001/1000) = -2501 µs
+    assert row["ns"] == epoch + dt.timedelta(microseconds=-2)
+    assert row["ns2"] == epoch + dt.timedelta(microseconds=-2501)
