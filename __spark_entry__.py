@@ -567,6 +567,44 @@ WHERE len(list_intersect(list_transform(p1.positions, x -> x + 1),
 ORDER BY score DESC, doc_id LIMIT 20"""
 
 
+def _sql_phrase_fuzzy(t1: str, t2: str, d: int, k: int = 20) -> str:
+    """Fuzzy 2-slot phrase oracle: each slot expands to the
+    Levenshtein-≤d dictionary neighbourhood (mult 1/(1+d)); slot score
+    = Σ matched-term scores × matched/total (intra-slot disjunction
+    coord, multi_phrase.go:77); queryNorm over BOTH slots' expanded
+    (mult·idf)²; adjacency via position intersect with gap 1."""
+    def exp(name, t):
+        return (
+            f"{name} AS (SELECT d.term, d.df, "
+            f"{_IDF.format(df='d.df')} AS idf, "
+            f"1.0 / (levenshtein(d.term, '{t}') + 1.0) AS mult "
+            f"FROM dict d WHERE levenshtein(d.term, '{t}') <= {d})"
+        )
+
+    def slot(name, expn):
+        return f"""{name} AS (
+  SELECT p.doc_id,
+         sum({_BASE} * (q.mult * q.idf * (SELECT v FROM qnorm)))
+           * count(*)
+           / (SELECT CAST(count(*) AS DOUBLE) FROM {expn}) AS s,
+         list_sort(flatten(list(p.positions))) AS positions
+  FROM post p JOIN {expn} q USING (term) GROUP BY p.doc_id)"""
+
+    return f"""{_PRELUDE},
+{exp('exp1', t1)},
+{exp('exp2', t2)},
+qnorm AS (SELECT 1.0/sqrt(
+  (SELECT coalesce(sum((mult*idf)*(mult*idf)), 0) FROM exp1)
+  + (SELECT coalesce(sum((mult*idf)*(mult*idf)), 0) FROM exp2)) AS v),
+{slot('s1', 'exp1')},
+{slot('s2', 'exp2')}
+SELECT s1.doc_id, round(s1.s + s2.s, 6) AS score
+FROM s1 JOIN s2 USING (doc_id)
+WHERE len(list_intersect(list_transform(s1.positions, x -> x + 1),
+                         s2.positions)) > 0
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
 _SQL_BOOLEAN = f"""{_PRELUDE},
 expq AS ({{exp}}),
 qnorm AS (SELECT 1.0/sqrt(sum(idf*idf)) AS v FROM expq),
@@ -2029,6 +2067,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _topk(
             _docs_index(spark, sf),
             {"field": "text", "match_phrase": "table hash"},
+        )
+
+    def q_phrase_fuzzy(spark, sf):
+        """Fuzzy match-phrase: every analyzed position expands to its
+        Levenshtein-1 dictionary neighbourhood (prefix 0) before the
+        position-adjacency join — phrase.go:32,75 / search_phrase.go:69
+        per-slot NewFuzzySearcher semantics ('tabl'~1 recovers
+        'table')."""
+        return _topk(
+            _docs_index(spark, sf),
+            {"field": "text", "match_phrase": "tabl hash",
+             "fuzziness": 1},
         )
 
     def q_prefix(spark, sf):
@@ -3856,6 +3906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_disjunction_min2": q_disjunction_min2,
             "q_boolean": q_boolean,
             "q_phrase": q_phrase,
+            "q_phrase_fuzzy": q_phrase_fuzzy,
             "q_prefix": q_prefix,
             "q_regexp": q_regexp,
             "q_wildcard": q_wildcard,
@@ -4022,6 +4073,7 @@ def oracle_sql() -> dict[str, str]:
         "q_phrase": _SQL_PHRASE.format(
             exp=_values(["table", "hash"]), t1="table", t2="hash"
         ),
+        "q_phrase_fuzzy": _sql_phrase_fuzzy("tabl", "hash", 1),
         "q_prefix": _sql_multi(_expansion("d.term LIKE 'sc%'")),
         "q_regexp": _sql_multi(
             _expansion("regexp_full_match(d.term, 'sc.n')")

@@ -226,10 +226,119 @@ def merge_level(
 
     cd = chunk_docs
     bc = band_chunks
+    # segments whose docs need the decode→drop→renumber slow path;
+    # everything else takes the zero-decode concat fast path below
+    segs_with_dels = frozenset(
+        s for s, c in del_counts.items() if c > 0
+    )
+
+    def _first_varint_len(blob: bytes) -> int:
+        i = 0
+        while blob[i] & 0x80:
+            i += 1
+        return i + 1
+
+    def _concat_group(pdf: pd.DataFrame, new_seg: int) -> pd.DataFrame:
+        """Deletion-free groups: member doc ranges are DISJOINT after
+        renumbering (offsets partition the new local space), and every
+        chunk blob is independently delta-coded with an absolute first
+        doc — so the merge is a byte-level concatenation with only the
+        FIRST varint of each doc_blob rewritten (absolute → offset
+        first doc, or gap from the previous chunk's last doc when
+        chunks coalesce). tf/pos/len streams are self-delimiting and
+        pass through byte-identical. Zero posting decode/re-encode:
+        the cost drops from O(postings) numpy codec work to O(bytes)
+        memcpy + one varint per source chunk (the 25×-below-build
+        merge constant of BENCH r5)."""
+        base_new = np.int64(new_seg) << np.int64(SEG_SHIFT)
+        offs = pdf["doc_off"].to_numpy().astype(np.int64)
+        fmin = (
+            pdf["min_doc"].to_numpy().astype(np.int64) & LOCAL_MASK
+        ) + offs
+        fmax = (
+            pdf["max_doc"].to_numpy().astype(np.int64) & LOCAL_MASK
+        ) + offs
+        nd = pdf["n_docs"].to_numpy().astype(np.int64)
+        mtf = pdf["max_tf"].to_numpy()
+        mnorm = pdf["max_norm"].to_numpy()
+        doc_blobs = pdf["doc_blob"].tolist()
+        tf_blobs = pdf["tf_blob"].tolist()
+        pos_blobs = pdf["pos_blob"].tolist()
+        len_blobs = (
+            pdf["len_blob"].tolist()
+            if "len_blob" in pdf.columns else [b""] * len(pdf)
+        )
+        lens_ok = all(
+            (lb or b"") != b"" for lb in len_blobs
+        ) if len(pdf) else False
+        band = int(pdf["band"].iloc[0]) if bc else 0
+        fld = pdf["field"].iloc[0]
+        term = pdf["term"].iloc[0]
+
+        out = {
+            "segment_id": [], "field": [], "term": [], "chunk_id": [],
+            "n_docs": [], "doc_blob": [], "tf_blob": [], "pos_blob": [],
+            "len_blob": [],
+            "max_tf": [], "max_norm": [], "min_doc": [], "max_doc": [],
+        }
+        n_out = 0
+        i = 0
+        n_in = len(pdf)
+        while i < n_in:
+            # greedy coalesce of whole source chunks up to chunk_docs
+            d_parts, t_parts, p_parts, l_parts = [], [], [], []
+            cur_n = 0
+            c_min = fmin[i]
+            c_maxtf = 0
+            c_maxnorm = 0.0
+            prev_last = None
+            while i < n_in and (cur_n == 0 or cur_n + nd[i] <= cd):
+                blob = doc_blobs[i]
+                head = _first_varint_len(blob)
+                first = (
+                    int(fmin[i]) if prev_last is None
+                    else int(fmin[i] - prev_last)
+                )
+                d_parts.append(
+                    varint_encode(np.array([first], dtype=np.uint64))
+                    + blob[head:]
+                )
+                t_parts.append(tf_blobs[i])
+                p_parts.append(pos_blobs[i])
+                if lens_ok:
+                    l_parts.append(len_blobs[i])
+                cur_n += int(nd[i])
+                c_maxtf = max(c_maxtf, int(mtf[i]))
+                c_maxnorm = max(c_maxnorm, float(mnorm[i]))
+                prev_last = fmax[i]
+                i += 1
+            out["segment_id"].append(new_seg)
+            out["field"].append(fld)
+            out["term"].append(term)
+            out["chunk_id"].append(
+                band * bc + n_out if bc else n_out
+            )
+            out["n_docs"].append(cur_n)
+            out["doc_blob"].append(b"".join(d_parts))
+            out["tf_blob"].append(b"".join(t_parts))
+            out["pos_blob"].append(b"".join(p_parts))
+            out["len_blob"].append(
+                b"".join(l_parts) if lens_ok else b""
+            )
+            out["max_tf"].append(c_maxtf)
+            out["max_norm"].append(c_maxnorm)
+            out["min_doc"].append(int(base_new + c_min))
+            out["max_doc"].append(int(base_new + prev_last))
+            n_out += 1
+        return pd.DataFrame(out)
 
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["member", "chunk_id"], kind="mergesort")
         new_seg = int(pdf["new_seg"].iloc[0])
+        if not segs_with_dels.intersection(
+            int(s) for s in pdf["segment_id"].unique()
+        ):
+            return _concat_group(pdf, new_seg)
         base_new = np.uint64(new_seg) << np.uint64(SEG_SHIFT)
         dels = bc_deleted.value
         docs_all, tfs_all, pos_all, lens_all = [], [], [], []

@@ -42,28 +42,38 @@ class MatchQuery(Query):
 
 @dataclass
 class MatchPhraseQuery(Query):
-    """Analyzer-aware phrase (search/query/match_phrase.go:76)."""
+    """Analyzer-aware phrase (search/query/match_phrase.go:76).
+    ``fuzziness`` (int or "auto") expands every analyzed position to
+    its Levenshtein neighbourhood, prefix length hardcoded 0
+    (match_phrase.go:33,64; search_phrase.go:100-102)."""
 
     match_phrase: str = ""
     analyzer: str | None = None
     slop: int = 0
+    fuzziness: int | str = 0
 
 
 @dataclass
 class PhraseQuery(Query):
-    """Exact consecutive terms (search/query/phrase.go:74)."""
+    """Exact consecutive terms (search/query/phrase.go:74).
+    ``fuzziness`` (int or "auto") per-position fuzzy expansion
+    (phrase.go:32,54-58,75 Fuzziness/SetAutoFuzziness →
+    NewPhraseSearcher per-term fuzzy matching)."""
 
     terms: list[str] = dc_field(default_factory=list)
     slop: int = 0
+    fuzziness: int | str = 0
 
 
 @dataclass
 class MultiPhraseQuery(Query):
     """Phrase with alternatives per position
-    (search/query/multi_phrase.go:77)."""
+    (search/query/multi_phrase.go:77); ``fuzziness`` expands every
+    alternative (multi_phrase.go Fuzziness → NewMultiPhraseSearcher)."""
 
     terms: list[list[str]] = dc_field(default_factory=list)
     slop: int = 0
+    fuzziness: int | str = 0
 
 
 @dataclass
@@ -279,14 +289,17 @@ def parse_query(d: dict) -> Query:
         return MatchPhraseQuery(
             boost, fld, d["match_phrase"],
             analyzer=d.get("analyzer"), slop=int(d.get("slop", 0)),
+            fuzziness=d.get("fuzziness", 0),
         )
     if "terms" in d:
         terms = d["terms"]
         if terms and isinstance(terms[0], list):
             return MultiPhraseQuery(
-                boost, fld, terms, slop=int(d.get("slop", 0))
+                boost, fld, terms, slop=int(d.get("slop", 0)),
+                fuzziness=d.get("fuzziness", 0),
             )
-        return PhraseQuery(boost, fld, terms, slop=int(d.get("slop", 0)))
+        return PhraseQuery(boost, fld, terms, slop=int(d.get("slop", 0)),
+                           fuzziness=d.get("fuzziness", 0))
     if "term" in d:
         if "fuzziness" in d:
             return FuzzyQuery(

@@ -1100,6 +1100,46 @@ class Compiler:
             return SConj(subs)
         return SDisj(subs, min=1)
 
+    def _phrase_alts(self, field: str, term: str, fuzziness,
+                     boost: float) -> list[STerm]:
+        """Fuzzy alternatives for ONE phrase position: the Levenshtein
+        neighbourhood of ``term`` as STerm children carrying the
+        1/(1+d) edit-distance boost — the reference builds a
+        NewFuzzySearcher per slot with prefix length hardcoded to 0
+        (search_phrase.go:69,100-102) and remembers the matched terms
+        in its fuzzyTermMatches map; here the matches materialize
+        driver-side (bounded by the tooManyClauses guard, like every
+        phrase-shaped expansion must — the position machinery needs
+        concrete slot terms)."""
+        d = (
+            _auto_fuzziness(term)
+            if fuzziness in ("auto", "Auto", "AUTO")
+            else int(fuzziness)
+        )
+        if d > MAX_FUZZINESS:
+            raise ValueError(f"fuzziness {d} > max {MAX_FUZZINESS}")
+        if d == 0:
+            return self._terms(field, [term], boost)
+        pred = F.levenshtein(F.col("term"), F.lit(term)) <= d
+
+        def py_pred(t, term=term, d=d):
+            return _levenshtein(term, t) <= d
+
+        tf = self.idx.expand_terms(
+            field, pred, with_freq=True, py_pred=py_pred
+        )
+        if tf is None:
+            tf = sorted(
+                (r["term"], int(r["doc_freq"]))
+                for r in self.idx.expand_terms_df(field, pred).collect()
+            )
+        _check_clauses(field, len(tf))
+        return [
+            STerm(field, t, boost, n,
+                  boost_multiplier=1.0 / (_levenshtein(term, t) + 1.0))
+            for t, n in tf
+        ]
+
     def _r_MatchPhraseQuery(self, q: Q.MatchPhraseQuery) -> SNode:
         f = self._field(q)
         analyzer = get_analyzer(
@@ -1108,6 +1148,14 @@ class Compiler:
         pairs = analyzer.analyze_terms(q.match_phrase)
         if not pairs:
             return SNone()
+        if q.fuzziness:
+            slots = []
+            for t, p in pairs:
+                alts = self._phrase_alts(f, t, q.fuzziness, q.boost)
+                if not alts:
+                    return SNone()  # a slot with no matches kills the phrase
+                slots.append((p, alts))
+            return SPhrase(slots, slop=q.slop)
         terms = [t for t, _ in pairs]
         sterm = {
             s.term: s for s in self._terms(f, terms, q.boost)
@@ -1119,12 +1167,32 @@ class Compiler:
         f = self._field(q)
         if not q.terms:
             return SNone()
+        if q.fuzziness:
+            slots = []
+            for i, t in enumerate(q.terms):
+                alts = self._phrase_alts(f, t, q.fuzziness, q.boost)
+                if not alts:
+                    return SNone()
+                slots.append((i + 1, alts))
+            return SPhrase(slots, slop=q.slop)
         sterms = self._terms(f, q.terms, q.boost)
         slots = [(i + 1, [s]) for i, s in enumerate(sterms)]
         return SPhrase(slots, slop=q.slop)
 
     def _r_MultiPhraseQuery(self, q: Q.MultiPhraseQuery) -> SNode:
         f = self._field(q)
+        if q.fuzziness:
+            slots = []
+            for i, alts_in in enumerate(q.terms):
+                alts: list[STerm] = []
+                for t in alts_in:
+                    alts.extend(
+                        self._phrase_alts(f, t, q.fuzziness, q.boost)
+                    )
+                if not alts:
+                    return SNone()
+                slots.append((i + 1, alts))
+            return SPhrase(slots, slop=q.slop)
         flat = [t for alts in q.terms for t in alts]
         freqs = self.idx.doc_freq(f, list(dict.fromkeys(flat)))
         slots = []
