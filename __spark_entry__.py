@@ -2598,6 +2598,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             size=10,
         )
 
+    def q_knn_request_ann(spark, sf):
+        """Same SearchRequest.KNN as q_knn_request, served from an
+        ATTACHED at-rest HNSW layout (search/hybrid.attach_ann — the
+        reference serves KNN from the per-segment faiss index,
+        search_knn.go:389): the clause probes the graph for candidate
+        keys (ef = corpus size ⇒ exact beam) and exactly re-ranks them
+        with the mapped dot_product, so the result hash-matches the
+        brute-force oracle while the leg scans probe bytes, not the
+        whole embedding column."""
+        import copy as _copy
+
+        from bleve_spark.search.hybrid import attach_ann, knn_request_df
+
+        # shallow copy: the cached index stays brute-force for
+        # q_knn_request (attach_ann sets the layout dict per object)
+        idx = _copy.copy(_mapped_docs_index(spark, sf, "knn"))
+        n = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+        attach_ann(
+            idx, "embedding", "hnsw", _ann_layout(spark, sf, "hnsw4"),
+            key_col="vec_id", ef=int(n), oversample=3,
+        )
+        qv = (
+            spark.read.parquet(f"{sf}/embeddings.parquet")
+            .where(F.col("vec_id") == 0).select("embedding").first()[0]
+        )
+        return knn_request_df(
+            idx,
+            [{"field": "embedding", "vector": qv, "k": 10,
+              "boost": 2.0}],
+            q={"field": "tag", "term": "v3"},
+            size=10,
+        )
+
     def q_mapping_geo_bbox(spark, sf):
         """Geo bbox query over a MAPPED geopoint field: the nested
         {lat, lon} struct plans to the engine's flat geo_lat/geo_lon
@@ -3953,6 +3986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_components": dedup_components,
             "q_mapping_bool_field": q_mapping_bool_field,
             "q_knn_request": q_knn_request,
+            "q_knn_request_ann": q_knn_request_ann,
             "q_mapping_geo_bbox": q_mapping_geo_bbox,
             "q_ip_range": q_ip_range,
             "q_hybrid_rrf": q_hybrid_rrf,
@@ -4256,6 +4290,9 @@ ORDER BY price, doc_id LIMIT 20""",
             + _sql_single_term("spark") + ")"
         ),
         "q_knn_request": _sql_knn_request(),
+        # the attached-ANN path must reproduce brute force exactly:
+        # same oracle
+        "q_knn_request_ann": _sql_knn_request(),
         # same deterministic synthetic coordinates as q_geo_bbox, but
         # reached through the mapping layer's geopoint flattening
         "q_mapping_geo_bbox": (

@@ -1406,7 +1406,29 @@ class SegmentStore:
         if persist:
             idx.dictionary = idx.dictionary.persist()
             idx._persisted.append(idx.dictionary)
+        ann = self.ann_layouts()
+        if ann:
+            idx.ann_layouts = ann
         return idx
+
+    def attach_ann(self, field: str, kind: str, path: str,
+                   **params) -> None:
+        """Record an at-rest ANN layout for a vector ``field`` in the
+        store-level ann manifest; indexes served from this store probe
+        it for SearchRequest.KNN clauses (search/hybrid.attach_ann has
+        the probe semantics — candidate generation + exact re-rank)."""
+        man = self.ann_layouts()
+        man[field] = {"kind": kind, "path": path, **params}
+        with open(os.path.join(self.root, "ann_manifest.json"),
+                  "w") as f:
+            json.dump(man, f)
+
+    def ann_layouts(self) -> dict:
+        p = os.path.join(self.root, "ann_manifest.json")
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
 
 
 class _EpochView(SegmentStore):

@@ -122,6 +122,86 @@ def _leg_score_expr(vec_col: F.Column, qv: list, similarity: str):
     raise ValueError(f"unknown similarity: {similarity!r}")
 
 
+def attach_ann(idx: IndexedTable, field: str, kind: str, path: str,
+               **params) -> IndexedTable:
+    """Attach an at-rest ANN layout to a mapped vector ``field`` so
+    SearchRequest.KNN clauses over it probe the layout instead of
+    scanning every vector (the reference serves KNN from the
+    per-segment faiss index, search_knn.go:389).
+
+    ``kind``: ``hnsw`` | ``ivf`` | ``ivfpq`` | ``lsh`` — a layout
+    previously written by write_hnsw_partitioned /
+    write_ivf_partitioned / write_ivfpq_partitioned / write_lsh_signed
+    over the SAME vectors the index stores. ``params`` carry probe
+    defaults (``ef``, ``n_probe_cells``, ``probe_hamming``,
+    ``oversample``, ``key_col``, ``vec_col``); clauses can override
+    none — tune at attach time.
+
+    Probing is candidate generation only: the leg's final scores come
+    from an exact re-rank of the candidates with the clause's mapped
+    similarity, so an attached layout changes WHICH docs are scanned
+    (probe bytes ≪ full scan), never how a returned doc is scored.
+    The layouts rank by cosine, so they attach to ``cosine`` /
+    ``dot_product`` fields (unit-normalized storage); other metrics
+    keep the brute-force scan."""
+    layouts = dict(getattr(idx, "ann_layouts", None) or {})
+    layouts[field] = {"kind": kind, "path": path, **params}
+    idx.ann_layouts = layouts
+    return idx
+
+
+def _ann_candidate_keys(idx: IndexedTable, field: str, layout: dict,
+                        vector, k: int) -> DataFrame | None:
+    """Top-``oversample·k`` candidate doc keys from an attached ANN
+    layout (1-column DataFrame named like the index key), or None when
+    the layout kind is unknown (caller falls back to brute force)."""
+    spark = idx.source.sparkSession
+    key = idx.key_cols[0]
+    kc = layout.get("key_col", key)
+    over = max(int(layout.get("oversample", 4)) * k, k)
+    kind = layout["kind"]
+    path = layout["path"]
+    if kind == "hnsw":
+        from bleve_spark.functions.hnsw import hnsw_topk_at_rest
+
+        cand = hnsw_topk_at_rest(
+            spark, path, kc, vector, k=over,
+            ef=max(int(layout.get("ef", 64)), over),
+        )
+        return cand.select(F.col(kc).alias(key))
+    if kind == "ivf":
+        from bleve_spark.functions.similarity import ivf_topk_at_rest
+
+        cand = ivf_topk_at_rest(
+            spark, path, layout.get("vec_col", field), kc, vector,
+            k=over, cell_bits=int(layout.get("cell_bits", 8)),
+            n_probe_cells=int(layout.get("n_probe_cells", 8)),
+            seed=int(layout.get("seed", 11)),
+        )
+        return cand.select(F.col("key").alias(key))
+    if kind == "lsh":
+        from bleve_spark.functions.similarity import lsh_topk_at_rest
+
+        cand = lsh_topk_at_rest(
+            spark, path, layout.get("vec_col", field), kc, vector,
+            k=over, planes=int(layout.get("planes", 12)),
+            probe_hamming=int(layout.get("probe_hamming", 2)),
+            seed=int(layout.get("seed", 7)),
+        )
+        return cand.select(F.col("key").alias(key))
+    if kind == "ivfpq":
+        from bleve_spark.functions.similarity import ivfpq_topk_at_rest
+
+        cand = ivfpq_topk_at_rest(
+            spark, path, idx.source, layout.get("vec_col", field), kc,
+            vector, k=over,
+            n_probe_cells=int(layout.get("n_probe_cells", 16)),
+            refine=layout.get("refine", 4),
+        )
+        return cand.select(F.col("key").alias(key))
+    return None
+
+
 def knn_request_full_df(
     idx: IndexedTable,
     knn: list[dict],
@@ -153,6 +233,7 @@ def knn_request_full_df(
     key = idx.key_cols[0]
     planned = getattr(idx, "planned_fields", {}) or {}
 
+    ann_layouts = getattr(idx, "ann_layouts", None) or {}
     legs = []
     for clause in knn:
         f = clause["field"]
@@ -163,8 +244,22 @@ def knn_request_full_df(
         k = int(clause.get("k", 10))
         boost = float(clause.get("boost", 1.0))
         sc = _leg_score_expr(qcol(f), clause["vector"], sim) * boost
+        src = idx.source
+        layout = ann_layouts.get(f)
+        if layout is not None and sim in ("cosine", "dot_product"):
+            # attached at-rest ANN layout: probe for candidates, then
+            # exact re-rank with the clause's similarity — probe bytes
+            # ≪ full scan; scores identical to the brute-force leg as
+            # long as the candidate set contains the true top-k
+            # (oversample + ef control that; the layouts rank by
+            # cosine == dot over the unit-normalized storage these
+            # metrics imply). Unknown kinds fall back to brute force.
+            cand = _ann_candidate_keys(idx, f, layout,
+                                       clause["vector"], k)
+            if cand is not None:
+                src = src.join(cand, key, "left_semi")
         legs.append(
-            idx.source
+            src
             .where(qcol(f).isNotNull())
             .select(F.col(key), F.round(sc, 6).alias("_s"))
             .orderBy(F.col("_s").desc(), F.col(key).asc())
