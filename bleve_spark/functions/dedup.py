@@ -14,6 +14,8 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
+from bleve_spark import config as _cfg
+
 # 2^31-1: keeps a·x + b < 2^62, safe under ANSI long arithmetic
 _MERSENNE = (1 << 31) - 1
 
@@ -287,6 +289,12 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("key", "bb.band", "bb.bucket")
+    if max_bucket_df is None:
+        # deployment default (config.DEDUP_MAX_BUCKET_DF /
+        # BLEVE_SPARK_DEDUP_MAX_BUCKET_DF): ships as None
+        # (uncapped); production corpora set a cap so one hot
+        # bucket can never become an m^2/2-pair reducer
+        max_bucket_df = _cfg.DEDUP_MAX_BUCKET_DF
     if max_bucket_df is not None:
         band_rows = _cap_hot_buckets(
             band_rows, ["band", "bucket"], max_bucket_df
@@ -393,6 +401,12 @@ def simhash_pairs(
             )
         ).alias("c"),
     ).select("key", "simhash", "c.chunk", "c.val")
+    if max_bucket_df is None:
+        # deployment default (config.DEDUP_MAX_BUCKET_DF /
+        # BLEVE_SPARK_DEDUP_MAX_BUCKET_DF): ships as None
+        # (uncapped); production corpora set a cap so one hot
+        # bucket can never become an m^2/2-pair reducer
+        max_bucket_df = _cfg.DEDUP_MAX_BUCKET_DF
     if max_bucket_df is not None:
         chunks = _cap_hot_buckets(
             chunks, ["chunk", "val"], max_bucket_df
@@ -512,6 +526,12 @@ def embedding_cosine_pairs(
         b = b.groupBy("vec", "bucket").agg(
             F.min("key").alias("key")
         ).select("key", "vec", "bucket")
+    if max_bucket_df is None:
+        # deployment default (config.DEDUP_MAX_BUCKET_DF /
+        # BLEVE_SPARK_DEDUP_MAX_BUCKET_DF): ships as None
+        # (uncapped); production corpora set a cap so one hot
+        # bucket can never become an m^2/2-pair reducer
+        max_bucket_df = _cfg.DEDUP_MAX_BUCKET_DF
     if max_bucket_df is not None:
         b = _cap_hot_buckets(b, ["bucket"], max_bucket_df)
     cand = (

@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from bleve_spark.index.build import IndexStats
 from bleve_spark.index.segments import SegmentStore
-from bleve_spark.search.searcher import SPREAD_MIN_DF
+from bleve_spark import config as _cfg
 from bleve_spark.search.scorer import BM25_B, BM25_K1, idf_value
 
 # candidate-interval compaction knobs: buckets are doc_num >> shift;
@@ -231,7 +231,7 @@ def pruned_disjunction_topk(
         rare = min(present, key=lambda t: df_by_term[t])
         rare_scores = _term_scores(
             store, stats, field, rare, idfs[rare],
-            spread=df_by_term[rare] >= SPREAD_MIN_DF,
+            spread=df_by_term[rare] >= _cfg.SPREAD_MIN_DF,
         )
         kth = rare_scores.orderBy(
             F.col("score").desc()
@@ -276,7 +276,7 @@ def pruned_disjunction_topk(
             (F.col("field") == field) & F.col("term").isin(terms)
         )
         use_lens = store.has_posting_lens()
-        spread = total_postings >= SPREAD_MIN_DF
+        spread = total_postings >= _cfg.SPREAD_MIN_DF
         surv_ids = surviving.select("segment_id", "term", "chunk_id")
         dels = store.deletions()
 
@@ -289,7 +289,7 @@ def pruned_disjunction_topk(
             decoded_surv = decode_chunk_rows(
                 surv_blob, with_positions=False, with_norm=use_lens,
                 with_chunk=True,
-                spread=surv_postings >= SPREAD_MIN_DF,
+                spread=surv_postings >= _cfg.SPREAD_MIN_DF,
             )
             if dels is not None:
                 decoded_surv = decoded_surv.join(

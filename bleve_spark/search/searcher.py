@@ -38,14 +38,14 @@ from bleve_spark.index.build import IndexedTable
 from bleve_spark.search import query as Q
 from bleve_spark.search.scorer import idf_value, term_score_col, term_weight
 
-# threshold above which a multi-term disjunction compiles to a single
-# broadcast join against a term-metadata table instead of N unioned scans
-BULK_DISJUNCTION_THRESHOLD = 8
-# summed doc_freq above which an at-rest decode is worth an explicit
-# rebalance: term-sorted segment files colocate a hot term's chunk
-# rows into one or two scan tasks, so big decodes would otherwise run
-# near-single-threaded (the repartition only moves the PRUNED blobs)
-SPREAD_MIN_DF = 100_000
+# Tuning constants live in bleve_spark.config (env-overridable +
+# config.configure()) with their scaling rationale; usage sites read
+# the module attribute so runtime reconfiguration takes effect. The
+# names below remain importable for back-compat but are snapshots.
+from bleve_spark import config as _cfg
+
+BULK_DISJUNCTION_THRESHOLD = _cfg.BULK_DISJUNCTION_THRESHOLD
+SPREAD_MIN_DF = _cfg.SPREAD_MIN_DF
 
 MAX_FUZZINESS = 2  # search/searcher/search_fuzzy.go:27
 
@@ -171,7 +171,7 @@ class STerm(SNode):
         return ctx.idx.prune_postings(
             (F.col("field") == self.field) & (F.col("term") == self.term),
             positions=positions,
-            spread=self.doc_freq >= SPREAD_MIN_DF,
+            spread=self.doc_freq >= _cfg.SPREAD_MIN_DF,
         )
 
     def score_col(self, ctx: _Ctx) -> Column:
@@ -340,7 +340,7 @@ class SConj(SNode):
         past the bulk threshold elsewhere."""
         min_n = (
             2 if getattr(ctx.idx, "postings_doc_factory", None)
-            is not None else BULK_DISJUNCTION_THRESHOLD
+            is not None else _cfg.BULK_DISJUNCTION_THRESHOLD
         )
         if len(self.children) < min_n:
             return None
@@ -426,10 +426,12 @@ class SDisj(SNode):
             out |= c.fields_used()
         return out
 
-    def _bulk_terms(self, min_n: int = BULK_DISJUNCTION_THRESHOLD
+    def _bulk_terms(self, min_n: int | None = None
                     ) -> list[STerm] | None:
         """All-STerm same-field disjunctions compile to one broadcast
         join — the scale path for big dictionary expansions."""
+        if min_n is None:
+            min_n = _cfg.BULK_DISJUNCTION_THRESHOLD
         if len(self.children) < min_n:
             return None
         terms = []
@@ -456,7 +458,7 @@ class SDisj(SNode):
         # instead of per-term corpus joins unioned then re-grouped
         min_bulk = (
             2 if getattr(ctx.idx, "postings_doc_factory", None)
-            is not None else BULK_DISJUNCTION_THRESHOLD
+            is not None else _cfg.BULK_DISJUNCTION_THRESHOLD
         )
         bulk = self._bulk_terms(min_bulk)
         if bulk is not None:
@@ -510,7 +512,7 @@ class SDisj(SNode):
         # bulk collapse is only safe on distinct terms.
         min_bulk = (
             2 if getattr(ctx.idx, "postings_doc_factory", None)
-            is not None else BULK_DISJUNCTION_THRESHOLD
+            is not None else _cfg.BULK_DISJUNCTION_THRESHOLD
         )
         bulk = self._bulk_terms(min_bulk)
         if bulk is not None and (
@@ -552,7 +554,7 @@ def _bulk_join_score(ctx, fld: str, mdf, total, min_req,
     # per-doc aggregation as a doc_num → keys join over MATCHED docs
     # only (its inner join against the live doc table also drops
     # deleted docs) — never a corpus-sized per-posting join
-    spread = sum_df >= SPREAD_MIN_DF
+    spread = sum_df >= _cfg.SPREAD_MIN_DF
     doc_fac = getattr(ctx.idx, "postings_doc_factory", None)
     if doc_fac is not None:
         try:
@@ -622,7 +624,7 @@ def _bulk_join_docs(ctx, fld: str, terms: list[str],
     groupBy runs on doc_num and keys join after aggregation over
     matched docs only."""
     pred = (F.col("field") == fld) & F.col("term").isin(list(terms))
-    spread = sum_df >= SPREAD_MIN_DF
+    spread = sum_df >= _cfg.SPREAD_MIN_DF
     doc_fac = getattr(ctx.idx, "postings_doc_factory", None)
     if doc_fac is not None:
         try:
