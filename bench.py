@@ -190,6 +190,18 @@ def main():
                 out["sf1"] = json.load(f)
         except (OSError, json.JSONDecodeError):
             pass
+    # full local gate-suite stamp (tools/check_correctness.py with no
+    # query filter writes it): records that EVERY registered gate was
+    # oracle-checked this round, not just the driver's 50-gate sample
+    gates_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "GATES_LOCAL.json"
+    )
+    if os.path.exists(gates_path):
+        try:
+            with open(gates_path) as f:
+                out["local_gates"] = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            pass
     extra = os.environ.get("BENCH_JSON_EXTRA")
     if extra:
         out.update(json.loads(extra))

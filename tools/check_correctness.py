@@ -103,6 +103,26 @@ def main():
         print(f"PASS {name}: rows={len(srows)} ({time.time()-t0:.1f}s)")
 
     print()
+    if not only:
+        # full-suite run: stamp the result where bench.py can fold it
+        # into BENCH_r{N}.json — the driver's own gate samples only 50
+        # entries, so this is the hard record that EVERY registered
+        # gate was oracle-checked this round
+        import json
+        import os
+
+        n_run = len([n for n in qs if not only or n in only])
+        stamp = {
+            "ts": time.time(),
+            "sf_dir": sf_dir,
+            "gates_run": n_run,
+            "gates_passed": n_run - len(failures),
+            "failed": [n for n, _ in failures],
+        }
+        with open(os.path.join(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))),
+                "GATES_LOCAL.json"), "w") as f:
+            json.dump(stamp, f)
     if failures:
         print(f"{len(failures)} FAILURES:")
         for n, msg in failures:
