@@ -41,6 +41,7 @@ from bleve_spark.index.varint import (
 )
 
 LOCAL_MASK = (1 << SEG_SHIFT) - 1
+_PARETO_CAP = 32  # must match segments.PARETO_TF_CAP
 
 # above this many total live deletions the merge stops collecting them
 # to the driver and instead writes per-segment compact parquet that
@@ -261,6 +262,9 @@ def merge_level(
         nd = pdf["n_docs"].to_numpy().astype(np.int64)
         mtf = pdf["max_tf"].to_numpy()
         mnorm = pdf["max_norm"].to_numpy()
+        has_pareto = "pareto_tf" in pdf.columns
+        par_tf = pdf["pareto_tf"].tolist() if has_pareto else None
+        par_nm = pdf["pareto_norm"].tolist() if has_pareto else None
         doc_blobs = pdf["doc_blob"].tolist()
         tf_blobs = pdf["tf_blob"].tolist()
         pos_blobs = pdf["pos_blob"].tolist()
@@ -280,6 +284,7 @@ def merge_level(
             "n_docs": [], "doc_blob": [], "tf_blob": [], "pos_blob": [],
             "len_blob": [],
             "max_tf": [], "max_norm": [], "min_doc": [], "max_doc": [],
+            "pareto_tf": [], "pareto_norm": [],
         }
         n_out = 0
         i = 0
@@ -291,6 +296,9 @@ def merge_level(
             c_min = fmin[i]
             c_maxtf = 0
             c_maxnorm = 0.0
+            c_par: dict[int, tuple[int, float]] | None = (
+                {} if has_pareto else None
+            )
             prev_last = None
             while i < n_in and (cur_n == 0 or cur_n + nd[i] <= cd):
                 blob = doc_blobs[i]
@@ -310,6 +318,19 @@ def merge_level(
                 cur_n += int(nd[i])
                 c_maxtf = max(c_maxtf, int(mtf[i]))
                 c_maxnorm = max(c_maxnorm, float(mnorm[i]))
+                if c_par is not None:
+                    pt, pn = par_tf[i], par_nm[i]
+                    if pt is None or pn is None:
+                        c_par = None  # legacy member: no pareto out
+                    else:
+                        for tv, nv in zip(pt, pn):
+                            b = min(int(tv), _PARETO_CAP)
+                            old = c_par.get(b)
+                            if old is None:
+                                c_par[b] = (int(tv), float(nv))
+                            else:
+                                c_par[b] = (max(old[0], int(tv)),
+                                            max(old[1], float(nv)))
                 prev_last = fmax[i]
                 i += 1
             out["segment_id"].append(new_seg)
@@ -329,6 +350,13 @@ def merge_level(
             out["max_norm"].append(c_maxnorm)
             out["min_doc"].append(int(base_new + c_min))
             out["max_doc"].append(int(base_new + prev_last))
+            if c_par is None:
+                out["pareto_tf"].append(None)
+                out["pareto_norm"].append(None)
+            else:
+                ks = sorted(c_par)
+                out["pareto_tf"].append([c_par[b][0] for b in ks])
+                out["pareto_norm"].append([c_par[b][1] for b in ks])
             n_out += 1
         return pd.DataFrame(out)
 
@@ -383,12 +411,15 @@ def merge_level(
             lens_all.append(lens)
             norms_max = max(norms_max, float(r.max_norm))
         if not docs_all:
+            # object dtype: a default (float64) empty column fails the
+            # Arrow conversion to array<long> in the worker
             return pd.DataFrame(
-                {k: [] for k in (
+                {k: pd.Series([], dtype=object) for k in (
                     "segment_id", "field", "term", "chunk_id", "n_docs",
                     "doc_blob", "tf_blob", "pos_blob", "len_blob",
                     "max_tf",
                     "max_norm", "min_doc", "max_doc",
+                    "pareto_tf", "pareto_norm",
                 )}
             )
         docs_a = np.concatenate(docs_all)
@@ -403,7 +434,14 @@ def merge_level(
             "n_docs": [], "doc_blob": [], "tf_blob": [], "pos_blob": [],
             "len_blob": [],
             "max_tf": [], "max_norm": [], "min_doc": [], "max_doc": [],
+            "pareto_tf": [], "pareto_norm": [],
         }
+        norms_a = (
+            np.where(lens_a > 0,
+                     1.0 / np.sqrt(np.maximum(lens_a, 1)), 0.0)
+            .astype(np.float32).astype(np.float64)
+            if lens_ok else None
+        )
         fld = pdf["field"].iloc[0]
         term = pdf["term"].iloc[0]
         band = int(pdf["band"].iloc[0]) if bc else 0
@@ -425,6 +463,24 @@ def merge_level(
             )
             out["max_tf"].append(int(tfs_a[c0:c1].max()))
             out["max_norm"].append(norms_max)
+            if norms_a is None:
+                out["pareto_tf"].append(None)
+                out["pareto_norm"].append(None)
+            else:
+                ct = tfs_a[c0:c1].astype(np.int64)
+                cn = norms_a[c0:c1]
+                bkt = np.minimum(ct, _PARETO_CAP)
+                pp: dict[int, tuple[int, float]] = {}
+                for tv, bv, nv in zip(ct, bkt, cn):
+                    old = pp.get(int(bv))
+                    if old is None:
+                        pp[int(bv)] = (int(tv), float(nv))
+                    else:
+                        pp[int(bv)] = (max(old[0], int(tv)),
+                                       max(old[1], float(nv)))
+                ks = sorted(pp)
+                out["pareto_tf"].append([pp[b][0] for b in ks])
+                out["pareto_norm"].append([pp[b][1] for b in ks])
             # min/max_doc columns stay GLOBAL (pruning predicates
             # compare against global doc nums)
             out["min_doc"].append(int(base_new + docs_a[c0]))

@@ -13,9 +13,11 @@ Layout under ``<root>/``:
 
 * ``postings/seg=<id>/part.parquet`` — one row per (field, term, chunk):
   ``n_docs, doc_blob, tf_blob, pos_blob, max_tf, max_norm, min_doc,
-  max_doc`` — blobs are delta+varint (doc-num gaps, tfs, per-doc
-  position deltas); ``max_tf``/``max_norm`` are the block-max metadata
-  driving WAND-style pruning (bleve's only analogue is the collector
+  max_doc, pareto_tf, pareto_norm`` — blobs are delta+varint (doc-num
+  gaps, tfs, per-doc position deltas); ``max_tf``/``max_norm`` plus
+  the per-tf-bucket (tf, norm) pareto arrays are the block-max
+  metadata driving WAND-style pruning (the pareto pairs make the
+  chunk bound near-exact instead of 2-4× loose) (bleve's only analogue is the collector
   floor, /root/reference/search/collector/topn.go:584-604 — ours is a
   real pre-join block skip);
 * ``docs/seg=<id>/part.parquet`` — doc table: local doc_num → key cols
@@ -56,6 +58,9 @@ from bleve_spark.index.varint import (
 
 SEG_SHIFT = 40  # doc_num = seg << 40 | local
 DEFAULT_CHUNK_DOCS = 1024
+# tf bucket count for the per-chunk (tf, norm) pareto bound metadata;
+# tf > CAP folds into one overflow bucket (still an upper bound)
+PARETO_TF_CAP = 32
 
 
 def _posting_schema() -> str:
@@ -63,7 +68,8 @@ def _posting_schema() -> str:
         "segment_id int, field string, term string, chunk_id long, "
         "n_docs int, doc_blob binary, tf_blob binary, pos_blob binary, "
         "len_blob binary, "
-        "max_tf int, max_norm float, min_doc long, max_doc long"
+        "max_tf int, max_norm float, min_doc long, max_doc long, "
+        "pareto_tf array<long>, pareto_norm array<double>"
     )
 
 
@@ -135,6 +141,7 @@ def _build_one_segment(
         "n_docs": [], "doc_blob": [], "tf_blob": [], "pos_blob": [],
         "len_blob": [],
         "max_tf": [], "max_norm": [], "min_doc": [], "max_doc": [],
+        "pareto_tf": [], "pareto_norm": [],
     }
     n_postings = 0
     uniq_terms = 0
@@ -260,6 +267,35 @@ def _build_one_segment(
         col_parts["max_norm"].append(max_norm_c)
         col_parts["min_doc"].append(g_doc[cs])
         col_parts["max_doc"].append(g_doc[chunk_last])
+
+        # ---- per-chunk (tf, norm) pareto buckets: for every tf
+        # bucket (1..PARETO_TF_CAP, + one overflow) the bucket's max
+        # tf and max norm. The query-time chunk bound is then
+        # max over buckets of score(tf_b, norm_b) — near-exact,
+        # because a chunk's loose (max_tf, max_norm) pair routinely
+        # overstates the best achievable score 2-4x (the max-tf doc
+        # and the shortest doc are different docs), which is the
+        # difference between block-max WAND pruning 98% of chunks and
+        # pruning none (measured on the 20M store: exact bounds keep
+        # 162/7500 chunks for a hot-term top-10).
+        chunk_of = np.repeat(np.arange(n_chunks), c_counts)
+        bkt = np.minimum(tf, PARETO_TF_CAP).astype(np.int64)
+        key = chunk_of * (PARETO_TF_CAP + 1) + bkt
+        acc_n = np.zeros(n_chunks * (PARETO_TF_CAP + 1),
+                         dtype=np.float64)
+        np.maximum.at(acc_n, key, norms[g_d].astype(np.float64))
+        acc_t = np.zeros(n_chunks * (PARETO_TF_CAP + 1),
+                         dtype=np.int64)
+        np.maximum.at(acc_t, key, tf)
+        acc_n = acc_n.reshape(n_chunks, PARETO_TF_CAP + 1)
+        acc_t = acc_t.reshape(n_chunks, PARETO_TF_CAP + 1)
+        p_tf, p_norm = [], []
+        for i in range(n_chunks):
+            nz = np.flatnonzero(acc_t[i])
+            p_tf.append(acc_t[i, nz].tolist())
+            p_norm.append(acc_n[i, nz].tolist())
+        col_parts["pareto_tf"].append(p_tf)
+        col_parts["pareto_norm"].append(p_norm)
 
     def _analyze_column(member, aname):
         """(flens, doc_idx, codes, vocab, pos) for a scalar string OR
@@ -1082,10 +1118,15 @@ class SegmentStore:
         if "seg" in df.columns:
             df = df.drop("seg")
         if not with_blobs:
-            df = df.select(
+            cols = [
                 "segment_id", "field", "term", "chunk_id", "n_docs",
                 "max_tf", "max_norm", "min_doc", "max_doc",
-            )
+            ]
+            # pareto bound metadata (newer stores; readers fall back
+            # to the (max_tf, max_norm) bound when absent)
+            if "pareto_tf" in df.columns:
+                cols += ["pareto_tf", "pareto_norm"]
+            df = df.select(*cols)
         return df
 
     def doc_table(self, live_only: bool = True) -> DataFrame:

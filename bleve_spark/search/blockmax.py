@@ -8,11 +8,15 @@ pre-join pruning:
 1. every chunk row carries (max_tf, max_norm) — an upper bound on any
    BM25 contribution from that chunk is computable WITHOUT opening the
    blob (BM25 is increasing in tf and in norm — max fieldLength⁻¹);
-2. θ = the k-th best EXACT partial score over the rarest query term's
-   postings (partial ≤ total ⇒ θ lower-bounds the true k-th score);
-3. a chunk of term t survives iff bound_t(chunk) + Σ_{t'≠t} gmax_{t'}
-   ≥ θ (otherwise no doc inside can reach the top-k — the classic
-   block-max argument);
+2. θ comes from metadata alone: pareto bucket scores are ACHIEVED by
+   real docs (a tf bucket below the cap holds only that exact tf), so
+   the k-th highest per-chunk achieved score of the rarest term names
+   k distinct docs whose final score is ≥ that value · qw/total — a
+   valid θ from one tiny metadata top-k, zero blob IO;
+3. a chunk of term t survives iff (bound_t(chunk) + Σ_{t'≠t}
+   gmax_{t'}) · n_present/total ≥ θ — the classic block-max argument
+   tightened by the max achievable coord (absent query terms can
+   never match, so a doc's coord is capped below 1);
 4. candidate docs are decoded from SURVIVING chunks only; the exact
    rescoring then decodes just the additional chunks whose
    [min_doc, max_doc] span overlaps a candidate doc interval — chunk
@@ -41,28 +45,28 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 from bleve_spark.index.build import IndexStats
-from bleve_spark.index.segments import SegmentStore
+from bleve_spark.index.segments import PARETO_TF_CAP, SegmentStore
 from bleve_spark import config as _cfg
 from bleve_spark.search.scorer import BM25_B, BM25_K1, idf_value
 
-# candidate-interval compaction knobs: buckets are doc_num >> shift;
-# the shift grows until the distinct-bucket count fits MAX_BUCKETS,
-# and the merged bucket runs are further coalesced (smallest gaps
-# first) down to MAX_INTERVALS literal (lo, hi) ranges — the overlap
-# filter is then ≤ MAX_INTERVALS comparisons per chunk row, all
-# whole-stage codegen on metadata columns.
-MAX_BUCKETS = 65536
+# candidate-span compaction: the surviving chunks' [min_doc, max_doc]
+# spans coalesce (smallest gaps first) down to MAX_INTERVALS literal
+# (lo, hi) ranges — the rescore overlap filter is then ≤ MAX_INTERVALS
+# comparisons per chunk row, pushed into the parquet scan.
 MAX_INTERVALS = 256
 # when the surviving chunks hold more than this fraction of the
 # query terms' postings, pruning can't win — take the one-decode
 # unpruned plan instead of paying the two-stage machinery.
 PRUNE_MIN_BENEFIT = 0.5
+# largest surviving-chunk id set shipped as a literal scan predicate
+# (row-group IO pruning); bigger sets fall back to a broadcast
+# semi-join (decode pruned, scan IO not)
+SURV_PREDICATE_MAX = 8192
 
 
-def _bound_col(idf: float, avg_len: float):
-    """Upper-bound BM25 score for a chunk from (max_tf, max_norm)."""
-    tf = F.sqrt(F.col("max_tf").cast("double"))
-    norm = F.col("max_norm").cast("double")
+def _score_expr(idf: float, avg_len: float, tf_col, norm_col):
+    tf = F.sqrt(tf_col.cast("double"))
+    norm = norm_col.cast("double")
     fl = F.lit(1.0) / (norm * norm)
     return (
         F.lit(idf)
@@ -72,87 +76,48 @@ def _bound_col(idf: float, avg_len: float):
     )
 
 
-def _term_scores(store: SegmentStore, stats: IndexStats, field: str,
-                 term: str, idf: float, spread: bool = False) -> DataFrame:
-    """(doc_num, score) exact BM25 partials for one term."""
-    from bleve_spark.index.segments import decode_chunk_rows
+def _bound_col(idf: float, avg_len: float, pareto: bool = False):
+    """Upper-bound BM25 score for a chunk.
 
-    pred = (F.col("field") == field) & (F.col("term") == term)
-    rows = store.chunk_rows(with_blobs=True).where(pred)
-    avg = stats.avg_len(field)
-    tf = F.sqrt(F.col("tf").cast("double"))
-    if store.has_posting_lens():
-        # norms ride in the postings: zero doc-table involvement —
-        # the theta seed is one pruned chunk scan + decode. Deleted
-        # docs must still drop out (a deleted doc's partial could
-        # push theta ABOVE the true k-th live score and prune a
-        # chunk holding a real top-k doc): anti-join the (small)
-        # deletion set instead of inner-joining the whole doc table.
-        joined = decode_chunk_rows(
-            rows, with_positions=False, with_norm=True, spread=spread
+    Legacy bound: score(max_tf, max_norm) — sound but loose, because
+    the max-tf doc and the shortest doc are usually different docs (a
+    measured 2-4× overstatement that kills pruning). With ``pareto``
+    (stores whose chunks carry the per-tf-bucket (tf, norm) pareto
+    metadata) the bound is max over buckets of score(tf_b, norm_b) —
+    near-exact, evaluated JVM-side over the tiny metadata arrays; null
+    pareto rows (legacy segments in a mixed store) fall back."""
+    legacy = _score_expr(idf, avg_len, F.col("max_tf"),
+                         F.col("max_norm"))
+    if not pareto:
+        return legacy
+    tight = F.array_max(
+        F.zip_with(
+            "pareto_tf", "pareto_norm",
+            lambda t, n: _score_expr(idf, avg_len, t, n),
         )
-        dels = store.deletions()
-        if dels is not None:
-            joined = joined.join(dels, "doc_num", "left_anti")
-        norm = F.col("norm").cast("double")
-    else:
-        decoded = decode_chunk_rows(rows, with_positions=False)
-        docs = store.doc_table().select(
-            "doc_num", F.col(f"len_{field}").alias("_len")
-        )
-        joined = decoded.join(docs, "doc_num")
-        norm = F.when(
-            F.col("_len") > 0,
-            (F.lit(1.0) / F.sqrt(F.col("_len"))).cast("float"),
-        ).cast("double")
-    fl = F.lit(1.0) / (norm * norm)
-    score = (
-        F.lit(idf) * (tf * F.lit(BM25_K1))
-        / (tf + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B)
-                                  + (F.lit(BM25_B) * fl) / F.lit(avg)))
     )
-    return joined.select("doc_num", score.alias("score"))
+    return F.coalesce(tight, legacy)
 
 
-def _candidate_intervals(decoded_surv: DataFrame) -> list[tuple[int, int]]:
-    """Compact the candidate doc set into ≤ MAX_INTERVALS global
-    [lo, hi] doc-num ranges (a SUPERSET — coarsening only ever widens
-    coverage, never drops a candidate).
-
-    Adaptive bucketing keeps the collected set bounded: start at
-    4096-doc buckets and widen until the distinct count fits
-    MAX_BUCKETS — at 10¹² docs a pathological spread still collects
-    ≤ 64k longs. Bucket runs then merge driver-side (numpy) and the
-    smallest inter-run gaps close first until ≤ MAX_INTERVALS remain.
-    """
-    shift = 12
-    while True:
-        b = (
-            decoded_surv.select(
-                F.shiftright("doc_num", shift).alias("b")
-            )
-            .distinct()
-        )
-        vals = None
-        if shift >= 40:
-            vals = [int(r["b"]) for r in b.collect()]
-        else:
-            cnt = b.count()
-            if cnt <= MAX_BUCKETS:
-                vals = [int(r["b"]) for r in b.collect()]
-        if vals is not None:
-            break
-        shift += 4
-    if not vals:
+def _coalesce_intervals(
+    pairs: list[tuple[int, int]],
+) -> list[tuple[int, int]]:
+    """Coalesce [lo, hi] doc spans into ≤ MAX_INTERVALS ranges — a
+    SUPERSET (merging only widens coverage, never drops a doc). Sorted
+    merge of overlapping/adjacent spans, then the smallest inter-span
+    gaps close first until the count is bounded, so the rescore
+    overlap predicate stays a short whole-stage-codegen OR-chain."""
+    if not pairs:
         return []
-    bs = np.sort(np.asarray(vals, dtype=np.int64))
-    # merge adjacent buckets into runs
-    breaks = np.nonzero(np.diff(bs) > 1)[0]
+    arr = np.asarray(sorted(pairs), dtype=np.int64)
+    lo_all, hi_all = arr[:, 0], arr[:, 1]
+    # merge overlapping/adjacent spans (input sorted by lo)
+    hi_run = np.maximum.accumulate(hi_all)
+    breaks = np.nonzero(lo_all[1:] > hi_run[:-1] + 1)[0]
     lo_i = np.concatenate(([0], breaks + 1))
-    hi_i = np.concatenate((breaks, [bs.size - 1]))
-    lo = bs[lo_i] << shift
-    hi = ((bs[hi_i] + 1) << shift) - 1
-    # close smallest gaps until the interval count is bounded
+    hi_i = np.concatenate((breaks, [arr.shape[0] - 1]))
+    lo = lo_all[lo_i]
+    hi = hi_run[hi_i]
     while lo.size > MAX_INTERVALS:
         gaps = lo[1:] - hi[:-1]
         order = np.argsort(gaps)
@@ -184,18 +149,35 @@ def pruned_disjunction_topk(
     in a long-lived driver don't accumulate cached blocks."""
     from bleve_spark.index.segments import decode_chunk_rows
 
+    import os as _os
+    import time as _time
+    _dbg = bool(_os.environ.get("BLEVE_SPARK_BLOCKMAX_DEBUG"))
+    _t0 = _time.time()
+
+    def _mark(label):
+        if _dbg:
+            print(f"[blockmax] {label}: "
+                  f"{_time.time() - _t0:.2f}s cumulative")
+
     spark = store.spark
     chunks = store.chunk_rows().where(
         (F.col("field") == field) & F.col("term").isin(terms)
     ).persist()
-    decoded_surv = None
     try:
-        df_by_term = {
-            r["term"]: int(r["df"])
-            for r in chunks.groupBy("term")
-            .agg(F.sum("n_docs").alias("df"))
+        avg = stats.avg_len(field)
+        use_pareto = "pareto_tf" in chunks.columns
+        # ONE metadata agg: per-term doc_freq + max chunk bound
+        meta_rows = (
+            chunks.groupBy("term")
+            .agg(
+                F.sum("n_docs").alias("df"),
+                F.max(_bound_col(1.0, avg, use_pareto)).alias("_raw"),
+            )
             .collect()
-        }
+        )
+        _mark("meta agg")
+        df_by_term = {r["term"]: int(r["df"]) for r in meta_rows}
+        raw_max = {r["term"]: float(r["_raw"]) for r in meta_rows}
         idfs = {
             t: idf_value("bm25", stats.doc_count, df_by_term.get(t, 0),
                          stats.avg_len(field))
@@ -208,20 +190,10 @@ def pruned_disjunction_topk(
         # Contribution of term t to a doc's pre-coord sum is
         # base_t(d)·qw_t (base includes idf once). Coord ≤ 1 gives
         # S(d) ≤ Σ_t base_t(d)·qw_t ≤ B_{t*}(chunk) + Σ_{t'≠t*} Gmax.
-        avg = stats.avg_len(field)
-        per_term_bounds = (
-            chunks.groupBy("term")
-            .agg(F.max(_bound_col(1.0, avg)).alias("_raw"))
-            .collect()
-        )
-        gmax = {t: 0.0 for t in terms}
-        for r in per_term_bounds:
-            t = r["term"]
-            gmax[t] = float(r["_raw"]) * idfs[t] * qw[t]
+        gmax = {
+            t: raw_max.get(t, 0.0) * idfs[t] * qw[t] for t in terms
+        }
 
-        # θ: docs matching the rarest term have final score ≥
-        # base_rare(d)·qw_rare·(1/total) (coord ≥ 1/total, others ≥ 0)
-        # — the k-th best of those partials lower-bounds the true k-th
         present = [t for t in terms if df_by_term.get(t, 0) > 0]
         if not present:
             empty = store.doc_table().select(*key_cols).where(
@@ -229,20 +201,14 @@ def pruned_disjunction_topk(
             ).withColumn("score", F.lit(0.0))
             return spark.createDataFrame([], empty.schema)
         rare = min(present, key=lambda t: df_by_term[t])
-        rare_scores = _term_scores(
-            store, stats, field, rare, idfs[rare],
-            spread=df_by_term[rare] >= _cfg.SPREAD_MIN_DF,
-        )
-        kth = rare_scores.orderBy(
-            F.col("score").desc()
-        ).limit(k).collect()
-        theta = (
-            float(kth[-1]["score"]) * qw[rare] / total
-            if len(kth) >= k
-            else 0.0
-        )
+        # coord-aware bound tightening: a doc can match at most the
+        # PRESENT terms, so coord ≤ n_present/total and
+        # S(d) ≤ (B_t + Σ_{present t'≠t} Gmax) · n_present/total.
+        # With absent query terms (df=0) this halves/shrinks the bound
+        # side and lets single-effective-term top-k prune for real
+        # (absent terms contribute gmax=0 to `others` already).
+        coord_max = float(len(present)) / total
 
-        # prune: chunk of t survives iff B_t(chunk) + Σ_{t'≠t} Gmax ≥ θ
         sum_gmax = sum(gmax.values())
         others_df = spark.createDataFrame(
             [(t, float(sum_gmax - gmax[t]), float(idfs[t] * qw[t]))
@@ -252,82 +218,147 @@ def pruned_disjunction_topk(
         with_bound = chunks.join(
             F.broadcast(others_df), "term"
         ).withColumn(
-            "_bound", _bound_col(1.0, avg) * F.col("idf_qw")
+            "_bound", _bound_col(1.0, avg, use_pareto) * F.col("idf_qw")
         )
-        surviving = with_bound.where(
-            F.col("_bound") + F.col("others") >= F.lit(theta)
-        ).select("segment_id", "term", "chunk_id", "n_docs")
-
-        # pruning-effectiveness guard from metadata alone: when the
-        # surviving chunks hold most of the postings anyway, the
-        # two-stage candidate machinery costs more than the one
-        # unpruned decode it would replace
         total_postings = sum(df_by_term.values())
-        surv_postings = (
-            surviving.agg(F.sum("n_docs").alias("s")).collect()[0]["s"]
-            or 0
-        )
-        prune_wins = (
-            theta > 0.0
-            and surv_postings < PRUNE_MIN_BENEFIT * total_postings
-        )
-
+        use_lens = store.has_posting_lens()
         blob_rows = store.chunk_rows(with_blobs=True).where(
             (F.col("field") == field) & F.col("term").isin(terms)
         )
-        use_lens = store.has_posting_lens()
         spread = total_postings >= _cfg.SPREAD_MIN_DF
-        surv_ids = surviving.select("segment_id", "term", "chunk_id")
         dels = store.deletions()
 
-        if prune_wins:
-            # stage 1: decode ONLY the surviving chunks → candidates
-            surv_blob = blob_rows.join(
-                F.broadcast(surv_ids),
-                ["segment_id", "term", "chunk_id"], "left_semi",
+        # ---- θ with ZERO decode: the pareto buckets are ACHIEVED
+        # scores. A bucket b < PARETO_TF_CAP holds only tf==b docs, so
+        # score(b, norm_b) is a real doc's exact partial; the overflow
+        # bucket's doc has tf ≥ CAP, and score is increasing in tf, so
+        # score(CAP, norm_ovf) is an achieved lower bound too. The
+        # k-th highest per-chunk achieved score over the rare term's
+        # chunks therefore names k distinct docs (one per chunk) whose
+        # final ≥ achieved·qw_rare/total — a valid θ from one tiny
+        # metadata top-k, no blob IO at all. Legacy stores (no pareto)
+        # have no achieved metadata: θ stays 0 and the call degrades
+        # to the plain one-decode disjunction plan.
+        theta = 0.0
+        surv_postings = total_postings
+        if use_pareto and dels is None:
+            # deleted docs would poison the achieved-score θ (their
+            # pareto entries still name them), so stores with live
+            # deletions skip pruning; merges reclaim deletes, so the
+            # steady at-rest state prunes.
+            achieved = F.array_max(
+                F.zip_with(
+                    "pareto_tf", "pareto_norm",
+                    lambda t, n: _score_expr(
+                        1.0, avg,
+                        F.least(t, F.lit(PARETO_TF_CAP)), n,
+                    ),
+                )
             )
-            decoded_surv = decode_chunk_rows(
-                surv_blob, with_positions=False, with_norm=use_lens,
-                with_chunk=True,
+            kth = (
+                chunks.where(
+                    (F.col("term") == rare)
+                    & F.col("pareto_tf").isNotNull()
+                )
+                .select(achieved.alias("_a"))
+                .orderBy(F.col("_a").desc())
+                .limit(k)
+                .collect()
+            )
+            _mark("theta topk")
+            if len(kth) >= k:
+                theta = (
+                    float(kth[-1]["_a"]) * idfs[rare]
+                    * qw[rare] / total
+                )
+
+        # prune: chunk of t survives iff B_t(chunk) + Σ_{t'≠t} Gmax ≥ θ
+        surviving = with_bound.where(
+            (F.col("_bound") + F.col("others"))
+            * F.lit(coord_max) >= F.lit(theta)
+        ).select(
+            "segment_id", "term", "chunk_id", "n_docs",
+            "min_doc", "max_doc",
+        )
+
+        # ---- effectiveness guard under θ: ONE capped collect both
+        # decides whether pruning wins AND yields (a) the surviving
+        # chunk ids for the pushed-down candidate scan and (b) their
+        # [min_doc, max_doc] spans for the rescore overlap predicate —
+        # no further metadata jobs. Overflow (> SURV_PREDICATE_MAX
+        # rows) means pruning kept too much to win anyway.
+        surv_rows = None
+        if theta > 0.0:
+            surv_rows = surviving.limit(
+                SURV_PREDICATE_MAX + 1
+            ).collect()
+            _mark("surviving collect")
+            if len(surv_rows) <= SURV_PREDICATE_MAX:
+                surv_postings = sum(
+                    int(r["n_docs"]) for r in surv_rows
+                )
+            else:
+                surv_rows = None
+        prune_wins = (
+            theta > 0.0
+            and surv_rows is not None
+            and surv_postings < PRUNE_MIN_BENEFIT * total_postings
+        )
+
+        if prune_wins:
+            import functools
+            import operator
+            from collections import defaultdict
+
+            # candidates decode ONLY the surviving chunks; the id set
+            # ships as a LITERAL predicate (not a semi-join) so
+            # row-group stats on the term-sorted chunk_id column skip
+            # the pruned chunks' BLOB PAGES — the whole point of
+            # pruning is to not read them
+            by_st: dict = defaultdict(list)
+            for r in surv_rows:
+                by_st[(int(r["segment_id"]), r["term"])].append(
+                    int(r["chunk_id"])
+                )
+            surv_pred = functools.reduce(operator.or_, [
+                (F.col("segment_id") == sg)
+                & (F.col("term") == t)
+                & F.col("chunk_id").isin(cids)
+                for (sg, t), cids in by_st.items()
+            ])
+            cand_src = decode_chunk_rows(
+                blob_rows.where(surv_pred),
+                with_positions=False, with_norm=False,
                 spread=surv_postings >= _cfg.SPREAD_MIN_DF,
             )
             if dels is not None:
-                decoded_surv = decoded_surv.join(
-                    dels, "doc_num", "left_anti"
-                )
-            decoded_surv = decoded_surv.persist()
+                cand_src = cand_src.join(dels, "doc_num", "left_anti")
+            candidates = cand_src.select("doc_num").distinct()
 
-            # stage 2: the rescore needs every query-term posting of
-            # every candidate — candidates live inside chunks whose
-            # [min_doc, max_doc] overlaps a candidate interval, a
-            # metadata-only filter BEFORE any further blob IO
-            intervals = _candidate_intervals(decoded_surv)
-            if not intervals:
-                empty = store.doc_table().select(*key_cols).where(
-                    F.lit(False)
-                ).withColumn("score", F.lit(0.0))
-                return spark.createDataFrame([], empty.schema)
-            iv = F.array(*[
-                F.struct(F.lit(lo).alias("lo"), F.lit(hi).alias("hi"))
+            # the rescore needs every query-term posting of every
+            # candidate — candidates live inside the surviving chunks'
+            # doc spans, so the rescore scan is bounded by a plain
+            # [min_doc, max_doc] overlap OR-chain over the coalesced
+            # spans (parquet pushes it down; row groups outside every
+            # span never read their blob pages), then tightened to the
+            # exact candidate set with a doc_num semi-join. Everything
+            # is ONE lazy plan: candidate decode, overlap decode, and
+            # scoring fuse into the final job — no persist, no extra
+            # driver round-trips.
+            intervals = _coalesce_intervals([
+                (int(r["min_doc"]), int(r["max_doc"]))
+                for r in surv_rows
+            ])
+            overlap = functools.reduce(operator.or_, [
+                (F.col("max_doc") >= F.lit(lo))
+                & (F.col("min_doc") <= F.lit(hi))
                 for lo, hi in intervals
             ])
-            overlap = F.exists(
-                iv,
-                lambda r: (F.col("max_doc") >= r["lo"])
-                & (F.col("min_doc") <= r["hi"]),
-            )
-            extra_blob = blob_rows.where(overlap).join(
-                F.broadcast(surv_ids),
-                ["segment_id", "term", "chunk_id"], "left_anti",
-            )
-            decoded_extra = decode_chunk_rows(
-                extra_blob, with_positions=False, with_norm=use_lens,
-                with_chunk=True, spread=spread,
-            )
-            candidates = decoded_surv.select("doc_num").distinct()
-            decoded = decoded_surv.unionByName(decoded_extra).join(
-                candidates, "doc_num", "left_semi"
-            )
+            decoded = decode_chunk_rows(
+                blob_rows.where(overlap),
+                with_positions=False, with_norm=use_lens,
+                spread=spread,
+            ).join(candidates, "doc_num", "left_semi")
         else:
             # pruning can't win (θ=0 or survivors ≈ everything):
             # single unpruned decode — the plain bulk-disjunction plan
@@ -389,8 +420,7 @@ def pruned_disjunction_topk(
         # be released before returning — a lazy return would leak the
         # persisted decode across queries in a long-lived driver
         rows = topk.collect()
+        _mark("final")
         return spark.createDataFrame(rows, topk.schema)
     finally:
         chunks.unpersist()
-        if decoded_surv is not None:
-            decoded_surv.unpersist()
