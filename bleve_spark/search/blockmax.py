@@ -62,6 +62,15 @@ PRUNE_MIN_BENEFIT = 0.5
 # (row-group IO pruning); bigger sets fall back to a broadcast
 # semi-join (decode pruned, scan IO not)
 SURV_PREDICATE_MAX = 8192
+# chunk-metadata row cap for the driver-side WAND planning fast path
+# (one collect, pure numpy/python for df/θ/surviving/spans); terms
+# whose metadata overflows fall back to distributed aggregation. 256k
+# rows ≈ a 256M-posting term at 1024-doc chunks, ~20 MB collected.
+META_COLLECT_MAX = 262_144
+# candidate sets at most this many postings broadcast to the joins
+# (the candidate semi-join and the doc-key join) instead of shuffling
+# the corpus-sized side
+BROADCAST_DOCS_MAX = 2_000_000
 
 
 def _score_expr(idf: float, avg_len: float, tf_col, norm_col):
@@ -166,18 +175,60 @@ def pruned_disjunction_topk(
     try:
         avg = stats.avg_len(field)
         use_pareto = "pareto_tf" in chunks.columns
-        # ONE metadata agg: per-term doc_freq + max chunk bound
-        meta_rows = (
-            chunks.groupBy("term")
-            .agg(
-                F.sum("n_docs").alias("df"),
-                F.max(_bound_col(1.0, avg, use_pareto)).alias("_raw"),
+        achieved_raw = None
+        if use_pareto:
+            achieved_raw = F.array_max(
+                F.zip_with(
+                    "pareto_tf", "pareto_norm",
+                    lambda t, n: _score_expr(
+                        1.0, avg,
+                        F.least(t, F.lit(PARETO_TF_CAP)), n,
+                    ),
+                )
             )
-            .collect()
-        )
-        _mark("meta agg")
-        df_by_term = {r["term"]: int(r["df"]) for r in meta_rows}
-        raw_max = {r["term"]: float(r["_raw"]) for r in meta_rows}
+        # ---- metadata phase. Fast path: when the query terms' chunk
+        # metadata fits META_COLLECT_MAX rows (it almost always does —
+        # a term needs >256M postings to overflow), collect it ONCE
+        # and derive df / gmax / θ / surviving / candidate spans with
+        # driver-side numpy: the whole WAND decision costs a single
+        # small Spark job. Oversized terms fall back to distributed
+        # aggregation (three jobs, same math).
+        meta_cols = [
+            "segment_id", "term", "chunk_id", "n_docs",
+            "min_doc", "max_doc",
+            _bound_col(1.0, avg, use_pareto).alias("_b"),
+        ]
+        if achieved_raw is not None:
+            meta_cols.append(achieved_raw.alias("_a"))
+        head = chunks.select(*meta_cols).limit(
+            META_COLLECT_MAX + 1
+        ).collect()
+        _mark(f"metadata collect ({len(head)} rows)")
+        driver_meta = len(head) <= META_COLLECT_MAX
+        if driver_meta:
+            df_by_term = {}
+            raw_max = {}
+            for r in head:
+                t = r["term"]
+                df_by_term[t] = df_by_term.get(t, 0) + int(r["n_docs"])
+                b = float(r["_b"]) if r["_b"] is not None else 0.0
+                if b > raw_max.get(t, 0.0):
+                    raw_max[t] = b
+        else:
+            head = None
+            meta_rows = (
+                chunks.groupBy("term")
+                .agg(
+                    F.sum("n_docs").alias("df"),
+                    F.max(
+                        _bound_col(1.0, avg, use_pareto)
+                    ).alias("_raw"),
+                )
+                .collect()
+            )
+            _mark("meta agg")
+            df_by_term = {r["term"]: int(r["df"]) for r in meta_rows}
+            raw_max = {r["term"]: float(r["_raw"]) for r in meta_rows}
         idfs = {
             t: idf_value("bm25", stats.doc_count, df_by_term.get(t, 0),
                          stats.avg_len(field))
@@ -246,119 +297,149 @@ def pruned_disjunction_topk(
             # pareto entries still name them), so stores with live
             # deletions skip pruning; merges reclaim deletes, so the
             # steady at-rest state prunes.
-            achieved = F.array_max(
-                F.zip_with(
-                    "pareto_tf", "pareto_norm",
-                    lambda t, n: _score_expr(
-                        1.0, avg,
-                        F.least(t, F.lit(PARETO_TF_CAP)), n,
+            if driver_meta:
+                av = sorted(
+                    (
+                        float(r["_a"]) for r in head
+                        if r["term"] == rare and r["_a"] is not None
                     ),
+                    reverse=True,
                 )
-            )
-            kth = (
-                chunks.where(
-                    (F.col("term") == rare)
-                    & F.col("pareto_tf").isNotNull()
+                if len(av) >= k:
+                    theta = av[k - 1] * idfs[rare] * qw[rare] / total
+            else:
+                kth = (
+                    chunks.where(
+                        (F.col("term") == rare)
+                        & F.col("pareto_tf").isNotNull()
+                    )
+                    .select(achieved_raw.alias("_a"))
+                    .orderBy(F.col("_a").desc())
+                    .limit(k)
+                    .collect()
                 )
-                .select(achieved.alias("_a"))
-                .orderBy(F.col("_a").desc())
-                .limit(k)
-                .collect()
-            )
-            _mark("theta topk")
-            if len(kth) >= k:
-                theta = (
-                    float(kth[-1]["_a"]) * idfs[rare]
-                    * qw[rare] / total
-                )
+                _mark("theta topk")
+                if len(kth) >= k:
+                    theta = (
+                        float(kth[-1]["_a"]) * idfs[rare]
+                        * qw[rare] / total
+                    )
 
-        # prune: chunk of t survives iff B_t(chunk) + Σ_{t'≠t} Gmax ≥ θ
-        surviving = with_bound.where(
-            (F.col("_bound") + F.col("others"))
-            * F.lit(coord_max) >= F.lit(theta)
-        ).select(
-            "segment_id", "term", "chunk_id", "n_docs",
-            "min_doc", "max_doc",
-        )
-
-        # ---- effectiveness guard under θ: ONE capped collect both
+        # ---- effectiveness guard under θ: the surviving set (chunk
+        # of t survives iff (B_t + Σ_{t'≠t} Gmax)·coord_max ≥ θ) both
         # decides whether pruning wins AND yields (a) the surviving
-        # chunk ids for the pushed-down candidate scan and (b) their
-        # [min_doc, max_doc] spans for the rescore overlap predicate —
-        # no further metadata jobs. Overflow (> SURV_PREDICATE_MAX
-        # rows) means pruning kept too much to win anyway.
+        # chunk ids for the candidacy test and (b) their [min_doc,
+        # max_doc] spans for the rescore overlap predicate. With
+        # driver-resident metadata it is a pure python filter; the
+        # distributed fallback pays one capped collect. Overflow
+        # (> SURV_PREDICATE_MAX rows) means pruning kept too much to
+        # win anyway.
         surv_rows = None
         if theta > 0.0:
-            surv_rows = surviving.limit(
-                SURV_PREDICATE_MAX + 1
-            ).collect()
-            _mark("surviving collect")
-            if len(surv_rows) <= SURV_PREDICATE_MAX:
+            others_of = {
+                t: sum_gmax - gmax[t] for t in terms
+            }
+            iq = {t: idfs[t] * qw[t] for t in terms}
+            if driver_meta:
+                surv_rows = [
+                    r for r in head
+                    if ((float(r["_b"]) if r["_b"] is not None
+                         else 0.0) * iq[r["term"]]
+                        + others_of[r["term"]]) * coord_max >= theta
+                ]
+                if len(surv_rows) > SURV_PREDICATE_MAX:
+                    surv_rows = None
+            else:
+                surviving = with_bound.where(
+                    (F.col("_bound") + F.col("others"))
+                    * F.lit(coord_max) >= F.lit(theta)
+                ).select(
+                    "segment_id", "term", "chunk_id", "n_docs",
+                    "min_doc", "max_doc",
+                )
+                surv_rows = surviving.limit(
+                    SURV_PREDICATE_MAX + 1
+                ).collect()
+                _mark("surviving collect")
+                if len(surv_rows) > SURV_PREDICATE_MAX:
+                    surv_rows = None
+            if surv_rows is not None:
                 surv_postings = sum(
                     int(r["n_docs"]) for r in surv_rows
                 )
-            else:
-                surv_rows = None
         prune_wins = (
             theta > 0.0
             and surv_rows is not None
             and surv_postings < PRUNE_MIN_BENEFIT * total_postings
         )
+        cand_intervals = None
+        small_cand = False
 
-        if prune_wins:
+        if prune_wins and driver_meta:
+            # ONE postings scan serves both stages, and the scan's
+            # chunk set is computed EXACTLY on the driver: the rescore
+            # needs, for every term, the chunks whose [min_doc,
+            # max_doc] span overlaps a surviving chunk's span
+            # (candidates live inside those spans) — a numpy interval
+            # intersection over the already-collected metadata.
+            # Shipping the result as per-(segment, term) chunk_id
+            # IN-lists keeps the pushed predicate InSet-shaped (O(1)
+            # hash per row-group/row); a wide comparison OR-chain was
+            # measured to cost ~2s of Catalyst codegen per query.
+            # Candidacy is a LITERAL is-surviving column on the
+            # decoded rows — docs whose per-doc group has no
+            # surviving-chunk posting drop at the aggregate. No
+            # candidate pre-decode, no semi-join, no persist.
+            # (prune_wins implies no live deletions — the θ guard.)
             import functools
             import operator
             from collections import defaultdict
 
-            # candidates decode ONLY the surviving chunks; the id set
-            # ships as a LITERAL predicate (not a semi-join) so
-            # row-group stats on the term-sorted chunk_id column skip
-            # the pruned chunks' BLOB PAGES — the whole point of
-            # pruning is to not read them
-            by_st: dict = defaultdict(list)
-            for r in surv_rows:
-                by_st[(int(r["segment_id"]), r["term"])].append(
-                    int(r["chunk_id"])
-                )
-            surv_pred = functools.reduce(operator.or_, [
-                (F.col("segment_id") == sg)
-                & (F.col("term") == t)
-                & F.col("chunk_id").isin(cids)
-                for (sg, t), cids in by_st.items()
-            ])
-            cand_src = decode_chunk_rows(
-                blob_rows.where(surv_pred),
-                with_positions=False, with_norm=False,
-                spread=surv_postings >= _cfg.SPREAD_MIN_DF,
-            )
-            if dels is not None:
-                cand_src = cand_src.join(dels, "doc_num", "left_anti")
-            candidates = cand_src.select("doc_num").distinct()
-
-            # the rescore needs every query-term posting of every
-            # candidate — candidates live inside the surviving chunks'
-            # doc spans, so the rescore scan is bounded by a plain
-            # [min_doc, max_doc] overlap OR-chain over the coalesced
-            # spans (parquet pushes it down; row groups outside every
-            # span never read their blob pages), then tightened to the
-            # exact candidate set with a doc_num semi-join. Everything
-            # is ONE lazy plan: candidate decode, overlap decode, and
-            # scoring fuse into the final job — no persist, no extra
-            # driver round-trips.
-            intervals = _coalesce_intervals([
+            spans = _coalesce_intervals([
                 (int(r["min_doc"]), int(r["max_doc"]))
                 for r in surv_rows
             ])
-            overlap = functools.reduce(operator.or_, [
-                (F.col("max_doc") >= F.lit(lo))
-                & (F.col("min_doc") <= F.lit(hi))
-                for lo, hi in intervals
-            ])
+            los = np.asarray([s[0] for s in spans], dtype=np.int64)
+            his = np.asarray([s[1] for s in spans], dtype=np.int64)
+            cmin = np.asarray(
+                [int(r["min_doc"]) for r in head], dtype=np.int64
+            )
+            cmax = np.asarray(
+                [int(r["max_doc"]) for r in head], dtype=np.int64
+            )
+            # spans are disjoint + sorted, so the only span that can
+            # overlap chunk c is the last one starting ≤ c.max_doc
+            idx = np.searchsorted(los, cmax, side="right") - 1
+            ok = (idx >= 0) & (
+                his[np.maximum(idx, 0)] >= cmin
+            )
+            rescore = [r for r, keep in zip(head, ok) if keep]
+            cand_intervals = spans
+            small_cand = surv_postings <= BROADCAST_DOCS_MAX
+
+            def _chunk_pred(rows):
+                by_st: dict = defaultdict(list)
+                for r in rows:
+                    by_st[(int(r["segment_id"]), r["term"])].append(
+                        int(r["chunk_id"])
+                    )
+                return functools.reduce(operator.or_, [
+                    (F.col("segment_id") == sg)
+                    & (F.col("term") == t)
+                    & F.col("chunk_id").isin(cids)
+                    for (sg, t), cids in by_st.items()
+                ])
+
+            rescore_postings = sum(int(r["n_docs"]) for r in rescore)
             decoded = decode_chunk_rows(
-                blob_rows.where(overlap),
+                blob_rows.where(_chunk_pred(rescore)),
                 with_positions=False, with_norm=use_lens,
-                spread=spread,
-            ).join(candidates, "doc_num", "left_semi")
+                with_chunk=True,
+                # spread by the PRUNED decode size — the unpruned
+                # term df would force a pointless repartition stage
+                # over a few hundred rows
+                spread=rescore_postings >= _cfg.SPREAD_MIN_DF,
+            ).withColumn("_surv", _chunk_pred(surv_rows))
         else:
             # pruning can't win (θ=0 or survivors ≈ everything):
             # single unpruned decode — the plain bulk-disjunction plan
@@ -399,19 +480,32 @@ def pruned_disjunction_topk(
                                       + (F.lit(BM25_B) * fl)
                                       / F.lit(avg)))
         ) * F.col("qw")
-        agg = joined.select(
-            "doc_num", s.alias("s")
-        ).groupBy("doc_num").agg(
-            F.sum("s").alias("_sum"), F.count(F.lit(1)).alias("_cnt")
-        )
+        sel = ["doc_num", s.alias("s")]
+        aggs = [
+            F.sum("s").alias("_sum"), F.count(F.lit(1)).alias("_cnt"),
+        ]
+        if cand_intervals is not None:
+            sel.append(F.col("_surv"))
+            aggs.append(F.max("_surv").alias("_cand"))
+        agg = joined.select(*sel).groupBy("doc_num").agg(*aggs)
+        if cand_intervals is not None:
+            # the overlap spans are a SUPERSET of the candidates: only
+            # docs with at least one surviving-chunk posting can reach
+            # the top-k (the block-max argument)
+            agg = agg.where(F.col("_cand"))
         per_doc = agg.select(
             "doc_num",
             (F.col("_sum") * F.col("_cnt").cast("double")
              / F.lit(total)).alias("score"),
         )
-        result = per_doc.join(
-            store.doc_table().select("doc_num", *key_cols), "doc_num"
-        ).select(*key_cols, "score")
+        doc_keys = store.doc_table().select("doc_num", *key_cols)
+        # keys resolve AFTER aggregation; the small per-doc side
+        # broadcasts when bounded, so the key join scans the doc
+        # table without shuffling it
+        pd_side = F.broadcast(per_doc) if small_cand else per_doc
+        result = doc_keys.join(pd_side, "doc_num").select(
+            *key_cols, "score"
+        )
         order = [F.col("score").desc()] + [
             F.col(c).asc() for c in key_cols
         ]
