@@ -72,6 +72,30 @@ META_COLLECT_MAX = 262_144
 # the corpus-sized side
 BROADCAST_DOCS_MAX = 2_000_000
 
+# planning-metadata cache: (store fingerprint, field, terms) → the
+# collected chunk-metadata rows. Segments are immutable and the
+# fingerprint covers the manifest set, so entries are consistent; the
+# reference keeps every segment's term dictionary (FST) resident for
+# exactly this reason — WAND planning on a warm term set is then zero
+# Spark jobs. Bounded FIFO.
+_META_CACHE: dict = {}
+_META_CACHE_MAX = 128
+
+
+def _store_fingerprint(store: SegmentStore):
+    import os
+
+    mdir = os.path.join(store.root, "manifest")
+    try:
+        names = sorted(os.listdir(mdir))
+        mt = max(
+            (os.path.getmtime(os.path.join(mdir, n)) for n in names),
+            default=0.0,
+        )
+        return (store.root, len(names), mt)
+    except OSError:
+        return (store.root, -1, 0.0)
+
 
 def _score_expr(idf: float, avg_len: float, tf_col, norm_col):
     tf = F.sqrt(tf_col.cast("double"))
@@ -200,9 +224,17 @@ def pruned_disjunction_topk(
         ]
         if achieved_raw is not None:
             meta_cols.append(achieved_raw.alias("_a"))
-        head = chunks.select(*meta_cols).limit(
-            META_COLLECT_MAX + 1
-        ).collect()
+        cache_key = (
+            _store_fingerprint(store), field, tuple(sorted(terms)),
+        )
+        head = _META_CACHE.get(cache_key)
+        if head is None:
+            head = chunks.select(*meta_cols).limit(
+                META_COLLECT_MAX + 1
+            ).collect()
+            if len(_META_CACHE) >= _META_CACHE_MAX:
+                _META_CACHE.pop(next(iter(_META_CACHE)))
+            _META_CACHE[cache_key] = head
         _mark(f"metadata collect ({len(head)} rows)")
         driver_meta = len(head) <= META_COLLECT_MAX
         if driver_meta:
