@@ -262,6 +262,43 @@ def test_blockmax_pruned_equals_naive(spark, transcripts, seg_root):
     assert p == n
 
 
+def test_blockmax_distributed_fallback_equals_naive(
+    spark, transcripts, seg_root, monkeypatch
+):
+    """The >META_COLLECT_MAX path (distributed aggregation instead of
+    the driver-side planning collect) produces the same ranking — the
+    fallback a 10^12-doc hot term would take."""
+    from bleve_spark.search import blockmax as B
+    from bleve_spark.search.searcher import compile_query
+
+    monkeypatch.setattr(B, "META_COLLECT_MAX", 1)
+    B._META_CACHE.clear()
+    store = SegmentStore(spark, seg_root)
+    stats = store.stats(list(FIELDS))
+    terms = ["quick", "dogs"]
+    pruned = B.pruned_disjunction_topk(
+        store, stats, KEYS, "text", terms, k=10
+    ).collect()
+    idx = store.to_indexed_table(transcripts, KEYS, FIELDS)
+    naive = compile_query(
+        idx,
+        {"disjuncts": [
+            {"field": "text", "term": t} for t in terms
+        ], "min": 1},
+    )
+    order = [F.col("score").desc()] + [F.col(k).asc() for k in KEYS]
+    naive_rows = naive.orderBy(*order).limit(10).collect()
+    p = [
+        (tuple(r[k] for k in KEYS), round(float(r["score"]), 9))
+        for r in pruned
+    ]
+    n = [
+        (tuple(r[k] for k in KEYS), round(float(r["score"]), 9))
+        for r in naive_rows
+    ]
+    assert p == n
+
+
 def test_streaming_incremental(spark, tmp_path):
     from bleve_spark.corpus import transcripts_pandas
     from bleve_spark.streaming.pipeline import IncrementalIndexer
