@@ -436,3 +436,42 @@ def test_merged_files_are_term_sorted(spark, transcripts, tmp_path):
             t.column("field").to_pylist(), t.column("term").to_pylist()
         ))
         assert pairs == sorted(pairs), f
+
+
+def test_merge_wide_single_round_equals_rounds(
+    spark, transcripts, seg_root, tmp_path
+):
+    """fanin=None (one wide round over all segments) serves byte-
+    identical postings to the ≤10-way rounds — the concat fast path
+    makes wide fan-in O(bytes) per term group, replacing log₁₀(n)
+    full-shuffle rounds."""
+    import shutil
+
+    from bleve_spark.index.merge import merge_to_single
+
+    r1 = str(tmp_path / "a")
+    r2 = str(tmp_path / "b")
+    shutil.copytree(seg_root, r1)
+    shutil.copytree(seg_root, r2)
+    w = merge_to_single(spark, r1, fanin=None)
+    n = merge_to_single(spark, r2, fanin=2)
+    sw = SegmentStore(spark, w)
+    sn = SegmentStore(spark, n)
+    idx_w = sw.to_indexed_table(transcripts, KEYS, FIELDS)
+    idx_n = sn.to_indexed_table(transcripts, KEYS, FIELDS)
+    from bleve_spark.search.searcher import search_df
+
+    for q, need_hits in (
+        ({"field": "text", "match": "quick dogs"}, True),
+        # positional streams survive the concat byte-identically
+        ({"field": "text", "match_phrase": "quick brown"}, False),
+    ):
+        a = [(r["conv_id"], r["turn_idx"],
+              round(float(r["score"]), 9))
+             for r in search_df(idx_w, q, size=10).collect()]
+        b = [(r["conv_id"], r["turn_idx"],
+              round(float(r["score"]), 9))
+             for r in search_df(idx_n, q, size=10).collect()]
+        assert a == b
+        if need_hits:
+            assert len(a) > 0

@@ -156,7 +156,10 @@ def main():
         # ---- multi-round merge (2500 segs → 1, ≤10-way rounds) ----
         if not os.environ.get("SF1_SKIP_MERGE"):
             t0 = time.time()
-            final_root = merge_to_single(spark, root1, fanin=10)
+            # fanin=None: ONE wide merge round — the concat fast path
+            # makes group cost O(bytes), so shuffling every posting
+            # byte log10(n) times buys nothing (see merge_to_single)
+            final_root = merge_to_single(spark, root1, fanin=None)
             merge_secs = time.time() - t0
             rounds = 0
             p = final_root
@@ -171,7 +174,7 @@ def main():
             out["merge"] = {
                 "seconds": round(merge_secs, 3),
                 "rounds": rounds,
-                "fanin": 10,
+                "fanin": "all",
                 "segments_before": out["build_sf1"]["runs"][-1]
                 ["segments"],
                 "segments_after": n_final,
@@ -199,9 +202,10 @@ def main():
         tmp_roots += [c0, root0]
         if not os.environ.get("SF1_SKIP_MERGE"):
             t0m = time.time()
-            query_root0 = merge_to_single(spark, root0, fanin=10)
+            query_root0 = merge_to_single(spark, root0, fanin=None)
             out["merge_sf01"] = {
-                "seconds": round(time.time() - t0m, 3), "fanin": 10,
+                "seconds": round(time.time() - t0m, 3),
+                "fanin": "all",
             }
             p = query_root0
             while p != root0 and "_L" in p:
