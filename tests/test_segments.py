@@ -475,3 +475,53 @@ def test_merge_wide_single_round_equals_rounds(
         assert a == b
         if need_hits:
             assert len(a) > 0
+
+
+def test_blockmax_pareto_overflow_bucket(spark, tmp_path):
+    """tf > PARETO_TF_CAP lands in the overflow bucket: its bound
+    stays an upper bound and its achieved-θ contribution stays a
+    lower bound (score at tf=CAP), so pruning remains rank-identical
+    on heavy-tf docs."""
+    from bleve_spark.index.segments import PARETO_TF_CAP
+    from bleve_spark.search import blockmax as B
+    from bleve_spark.search.searcher import compile_query
+
+    heavy = " ".join(["zebra"] * (PARETO_TF_CAP + 9))
+    rows = [(0, 0, f"{heavy} fox", "user")] + [
+        (i, 0, "zebra fox jumps high " + "pad " * (i % 7), "user")
+        for i in range(1, 40)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id long, turn_idx long, text string, role string"
+    )
+    root = str(tmp_path / "ovf")
+    build_segments(df, KEYS, {"text": "standard"}, root, n_segments=2)
+    store = SegmentStore(spark, root)
+    stats = store.stats(["text"])
+    B._META_CACHE.clear()
+    pruned = B.pruned_disjunction_topk(
+        store, stats, KEYS, "text", ["zebra", "fox"], k=5
+    ).collect()
+    idx = store.to_indexed_table(df, KEYS, {"text": "standard"})
+    naive = compile_query(
+        idx,
+        {"disjuncts": [
+            {"field": "text", "term": "zebra"},
+            {"field": "text", "term": "fox"},
+        ], "min": 1},
+    )
+    order = [F.col("score").desc()] + [F.col(k).asc() for k in KEYS]
+    n5 = naive.orderBy(*order).limit(5).collect()
+    p = [(r["conv_id"], r["turn_idx"], round(float(r["score"]), 9))
+         for r in pruned]
+    n = [(r["conv_id"], r["turn_idx"], round(float(r["score"]), 9))
+         for r in n5]
+    assert p == n and len(p) == 5
+    # the overflow doc scores identically through both plans too
+    heavy = [(r["conv_id"], round(float(r["score"]), 9))
+             for r in naive.where(F.col("conv_id") == 0).collect()]
+    heavy_p = [(r["conv_id"], round(float(r["score"]), 9))
+               for r in B.pruned_disjunction_topk(
+                   store, stats, KEYS, "text", ["zebra", "fox"], k=40
+               ).collect() if r["conv_id"] == 0]
+    assert heavy and heavy_p and heavy[0] == heavy_p[0]
