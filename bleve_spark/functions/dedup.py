@@ -221,6 +221,49 @@ def _cap_hot_buckets(
     return rows.join(hot, bucket_cols, "left_anti")
 
 
+def _bucket_pairs(rows: DataFrame, bucket_cols: list[str],
+                  payload: F.Column, max_bucket_df: int | None
+                  ) -> DataFrame:
+    """(_a, _b) candidate pairs from within-bucket membership in ONE
+    aggregation: collect each bucket's (bounded) member list, drop
+    buckets above ``max_bucket_df`` (same count semantics as
+    :func:`_cap_hot_buckets` — the size of the collected list IS the
+    bucket's row count), and explode the a<b member combinations with
+    native array ops. Replaces the {hot-count aggregate + anti-join +
+    bucket self-join} plan: one exchange of the banded rows instead of
+    four, and each banded row crosses the shuffle once instead of
+    twice (both self-join sides). The emitted pair volume is unchanged
+    — capped buckets stay ≤ cap²/2 pairs, and with no cap the
+    collected list is exactly the key group the self-join would have
+    materialized per reducer anyway.
+
+    ``payload`` is a struct column (first field the ordering key);
+    struct-array sort_array orders by it, so ``_a < _b`` holds
+    fieldwise for the leading key. Output columns: ``_a``, ``_b``
+    (structs)."""
+    grouped = rows.groupBy(*bucket_cols).agg(
+        F.sort_array(F.collect_list(payload)).alias("_ks")
+    )
+    if max_bucket_df is not None:
+        grouped = grouped.where(F.size("_ks") <= int(max_bucket_df))
+    grouped = grouped.where(F.size("_ks") >= 2)
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size("_ks") - 2),
+            lambda i: F.transform(
+                F.slice(F.col("_ks"), i + 2, F.size("_ks")),
+                lambda b: F.struct(
+                    F.element_at(F.col("_ks"), i + 1).alias("_a"),
+                    b.alias("_b"),
+                ),
+            ),
+        )
+    )
+    return grouped.select(F.explode(pairs).alias("_p")).select(
+        F.col("_p._a").alias("_a"), F.col("_p._b").alias("_b")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -295,24 +338,15 @@ def minhash_lsh_pairs(
         # (uncapped); production corpora set a cap so one hot
         # bucket can never become an m^2/2-pair reducer
         max_bucket_df = _cfg.DEDUP_MAX_BUCKET_DF
-    if max_bucket_df is not None:
-        band_rows = _cap_hot_buckets(
-            band_rows, ["band", "bucket"], max_bucket_df
-        )
-
-    cand = (
-        band_rows.alias("l")
-        .join(
-            band_rows.alias("r"),
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.key") < F.col("r.key")),
-        )
-        .select(
-            F.col("l.key").alias("key_a"), F.col("r.key").alias("key_b")
-        )
-        .distinct()
-    )
+    # within-bucket a<b pairs in ONE aggregation (cap applied on the
+    # collected size — identical drop set to the old hot-count
+    # aggregate + anti-join + self-join plan, with the banded rows
+    # crossing the shuffle once instead of twice)
+    cand = _bucket_pairs(
+        band_rows, ["band", "bucket"], F.col("key"), max_bucket_df
+    ).select(
+        F.col("_a").alias("key_a"), F.col("_b").alias("key_b")
+    ).distinct()
 
     sa = sigs.select(F.col("key").alias("key_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("key").alias("key_b"), F.col("sig").alias("sig_b"))
@@ -407,26 +441,18 @@ def simhash_pairs(
         # (uncapped); production corpora set a cap so one hot
         # bucket can never become an m^2/2-pair reducer
         max_bucket_df = _cfg.DEDUP_MAX_BUCKET_DF
-    if max_bucket_df is not None:
-        chunks = _cap_hot_buckets(
-            chunks, ["chunk", "val"], max_bucket_df
-        )
-    cand = (
-        chunks.alias("l")
-        .join(
-            chunks.alias("r"),
-            (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.val") == F.col("r.val"))
-            & (F.col("l.key") < F.col("r.key")),
-        )
-        .select(
-            F.col("l.key").alias("key_a"),
-            F.col("r.key").alias("key_b"),
-            F.col("l.simhash").alias("sh_a"),
-            F.col("r.simhash").alias("sh_b"),
-        )
-        .distinct()
-    )
+    # within-chunk a<b pairs in ONE aggregation (see minhash_lsh_pairs)
+    # — the struct payload carries the simhash alongside the key, so
+    # no join back is needed for the hamming check
+    cand = _bucket_pairs(
+        chunks, ["chunk", "val"],
+        F.struct(F.col("key"), F.col("simhash")), max_bucket_df,
+    ).select(
+        F.col("_a.key").alias("key_a"),
+        F.col("_b.key").alias("key_b"),
+        F.col("_a.simhash").alias("sh_a"),
+        F.col("_b.simhash").alias("sh_b"),
+    ).distinct()
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return cand.select(
         "key_a", "key_b", ham.alias("hamming")

@@ -124,11 +124,13 @@ def fingerprint(text_col: str) -> Column:
     return F.md5(F.concat_ws(" ", toks))
 
 
-def text_profile(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
-    """One row per doc with the full stats bundle."""
-    from bleve_spark.functions.dedup import ensure_parallelism
-
-    df = ensure_parallelism(df)
+def text_profile_columns(df: DataFrame, text_col: str,
+                         key_col: str) -> DataFrame:
+    """Column-expression statement of the profile (the reference
+    semantics; every helper above). Kept as the executable spec the
+    Arrow path is regression-tested against — as a plan it runs the
+    higher-order functions interpreted (CodegenFallback) and
+    re-evaluates the shared ``split(lower(text))`` subtree per stat."""
     return df.select(
         F.col(key_col).alias("key"),
         token_count(text_col).cast("long").alias("n_tokens"),
@@ -139,4 +141,131 @@ def text_profile(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
         F.round(quality_score(text_col), 6).alias("quality"),
         lang_id(text_col).alias("lang_pred"),
         fingerprint(text_col).alias("fingerprint"),
+    )
+
+
+def _profile_batches(stops: frozenset, markers: list):
+    """Per-batch profile worker (guide §4.2: one Arrow stage, batch
+    compute in native/C code). Faithful to the Column spec above:
+
+    * words = split(lower(text), \\s+) with Java-default ASCII
+      classes (``re.ASCII``) and limit -1 (Python ``re.split`` keeps
+      the same leading/trailing empty strings);
+    * stopword/lang-marker counts run over the UNfiltered word list
+      (empties match nothing) with size(words) as the ratio
+      denominator — exactly like ``stopword_ratio``;
+    * n_tokens / mean_word_len use the non-empty words;
+    * all ratios are int/int double divisions and the quality formula
+      is the same left-associated double arithmetic, so every value is
+      bit-identical to the interpreted Column plan;
+    * rounding stays in Spark (F.round on top) — Python ``round`` is
+      banker's, Spark's is HALF_UP.
+    """
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    ws = re.compile(r"\s+", re.ASCII)
+    tok = re.compile(r"[a-z0-9]+(?:'[a-z]+)?")
+    punct = re.compile(r"[^\w\s]", re.ASCII)
+
+    def run(batches):
+        for pdf in batches:
+            keys = pdf["key"].tolist()
+            texts = pdf["text"].tolist()
+            n = len(texts)
+            cols: dict = {
+                "key": keys,
+                "n_tokens": [0] * n, "n_regex_tokens": [0] * n,
+                "swr": [0.0] * n, "mwl": [0.0] * n, "pr": [0.0] * n,
+                "quality": [0.0] * n,
+                "lang_pred": [""] * n, "fingerprint": [""] * n,
+            }
+            for i, text in enumerate(texts):
+                text = text or ""
+                lowered = text.lower()
+                words = ws.split(lowered)
+                nonempty = [w for w in words if w]
+                n_tok = len(nonempty)
+                n_words = len(words)
+                swr = float(sum(1 for w in words if w in stops)) / max(
+                    float(n_words), 1.0
+                )
+                mwl = float(sum(len(w) for w in nonempty)) / max(
+                    float(n_tok), 1.0
+                )
+                n_chars = len(text)
+                pr = float(len(punct.findall(text))) / max(
+                    float(n_chars), 1.0
+                )
+                ntd = float(n_tok)
+                len_score = min(ntd / 20.0, 1.0) * min(
+                    2000.0 / max(ntd, 1.0), 1.0
+                )
+                wl_score = 1.0 if (3.0 <= mwl <= 10.0) else 0.5
+                sw_score = min(swr * 4.0, 1.0)
+                punct_score = (
+                    1.0 if pr <= 0.2
+                    else max(1.0 - (pr - 0.2) * 2.0, 0.0)
+                )
+                quality = (
+                    len_score * 0.4 + wl_score * 0.2
+                    + sw_score * 0.2 + punct_score * 0.2
+                )
+                best_lang, best_cnt = "und", 0
+                for lang, mset in markers:
+                    cnt = sum(1 for w in words if w in mset)
+                    if cnt > best_cnt:
+                        best_lang, best_cnt = lang, cnt
+                fp = hashlib.md5(
+                    " ".join(sorted(set(nonempty))).encode("utf-8")
+                ).hexdigest()
+                cols["n_tokens"][i] = n_tok
+                cols["n_regex_tokens"][i] = len(tok.findall(lowered))
+                cols["swr"][i] = swr
+                cols["mwl"][i] = mwl
+                cols["pr"][i] = pr
+                cols["quality"][i] = quality
+                cols["lang_pred"][i] = best_lang
+                cols["fingerprint"][i] = fp
+            yield pd.DataFrame(cols)
+
+    return run
+
+
+def text_profile(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
+    """One row per doc with the full stats bundle.
+
+    One ``mapInPandas`` stage over (key, text) — the Column plan
+    (``text_profile_columns``, kept as the spec) evaluates its
+    higher-order functions interpreted and recomputes the shared
+    ``split(lower(text))`` subtree for every stat; the Arrow stage
+    computes each per-doc value once, bit-identically (regression
+    test: tests/test_textstats_arrow.py). Only the two needed columns
+    cross the Python boundary; rounding stays in Spark."""
+    from bleve_spark.functions.dedup import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    key_t = dict(df.dtypes)[key_col]
+    schema = (
+        f"key {key_t}, n_tokens long, n_regex_tokens long, "
+        "swr double, mwl double, pr double, quality double, "
+        "lang_pred string, fingerprint string"
+    )
+    markers = [(k, frozenset(v)) for k, v in _LANG_MARKERS.items()]
+    prof = df.select(
+        F.col(key_col).alias("key"),
+        F.col(text_col).cast("string").alias("text"),
+    ).mapInPandas(
+        _profile_batches(frozenset(ENGLISH_STOP_WORDS), markers),
+        schema=schema,
+    )
+    return prof.select(
+        "key", "n_tokens", "n_regex_tokens",
+        F.round("swr", 6).alias("stopword_ratio"),
+        F.round("mwl", 6).alias("mean_word_len"),
+        F.round("pr", 6).alias("punct_ratio"),
+        F.round("quality", 6).alias("quality"),
+        "lang_pred", "fingerprint",
     )

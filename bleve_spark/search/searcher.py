@@ -500,7 +500,10 @@ class SDisj(SNode):
             sum_df=sum(t.doc_freq for t in terms),
         )
 
-    def docs(self, ctx):
+    def docs(self, ctx, dedup: bool = True):
+        """``dedup=False`` may return duplicate key rows — valid (and
+        one exchange cheaper) when the consumer is a semi/anti join
+        (SBool must_not / filter), which is multiset-insensitive."""
         kids = [c for c in self.children if not isinstance(c, SNone)]
         if not kids:
             return ctx.empty().select(*ctx.keys)
@@ -522,10 +525,11 @@ class SDisj(SNode):
             return _bulk_join_docs(
                 ctx, bulk[0].field, [t.term for t in bulk], min_req,
                 sum_df=sum(t.doc_freq for t in bulk),
+                dedup=dedup,
             )
         u = _union_children(ctx, [c.docs(ctx) for c in kids])
         if min_req <= 1:
-            return u.distinct()
+            return u.distinct() if dedup else u
         return (
             u.groupBy(*ctx.keys)
             .agg(F.count(F.lit(1)).alias("_cnt"))
@@ -617,12 +621,15 @@ def _bulk_join_score(ctx, fld: str, mdf, total, min_req,
 
 
 def _bulk_join_docs(ctx, fld: str, terms: list[str],
-                    min_req: int, sum_df: int = 0) -> DataFrame:
+                    min_req: int, sum_df: int = 0,
+                    dedup: bool = True) -> DataFrame:
     """Unscored doc-key set of an all-term conjunction/disjunction in
     ONE term-pruned postings read + ONE groupBy (must_not / filter
     clauses). On stores with postings-resident scoring reads, the
     groupBy runs on doc_num and keys join after aggregation over
-    matched docs only."""
+    matched docs only. ``dedup=False`` (only meaningful at
+    min_req ≤ 1) skips the groupBy and returns the raw matched rows —
+    a multiset, fine for semi/anti-join consumers."""
     pred = (F.col("field") == fld) & F.col("term").isin(list(terms))
     spread = sum_df >= _cfg.SPREAD_MIN_DF
     doc_fac = getattr(ctx.idx, "postings_doc_factory", None)
@@ -631,6 +638,10 @@ def _bulk_join_docs(ctx, fld: str, terms: list[str],
             rows = doc_fac(pred, spread=spread)
         except TypeError:
             rows = doc_fac(pred)
+        if min_req <= 1 and not dedup:
+            return rows.join(ctx.idx.doc_keys_df(), "doc_num").select(
+                *ctx.keys
+            )
         agg = rows.groupBy("doc_num").agg(
             F.count(F.lit(1)).alias("_cnt")
         )
@@ -640,6 +651,8 @@ def _bulk_join_docs(ctx, fld: str, terms: list[str],
             *ctx.keys
         )
     rows = ctx.idx.prune_postings(pred, positions=False, spread=spread)
+    if min_req <= 1 and not dedup:
+        return rows.select(*ctx.keys)
     agg = rows.groupBy(*ctx.keys).agg(
         F.count(F.lit(1)).alias("_cnt")
     )
@@ -721,11 +734,22 @@ class SDictDisj(SNode):
         )
         return _bulk_join_score(ctx, self.field, mdf, total=n, min_req=1)
 
-    def docs(self, ctx):
+    def docs(self, ctx, dedup: bool = True):
         rows = ctx.idx.prune_postings(
             F.col("field") == self.field, positions=False
         ).join(self.expansion.select("term"), "term", "left_semi")
-        return rows.select(*ctx.keys).distinct()
+        out = rows.select(*ctx.keys)
+        return out.distinct() if dedup else out
+
+
+def _docs_multiset(node: SNode, ctx: _Ctx) -> DataFrame:
+    """Doc keys for a semi/anti-join consumer: those joins are
+    multiset-insensitive, so disjunction nodes may skip their final
+    distinct/groupBy exchange. Other node types keep their (already
+    unique or cheap) docs() contract."""
+    if isinstance(node, (SDisj, SDictDisj)):
+        return node.docs(ctx, dedup=False)
+    return node.docs(ctx)
 
 
 @dataclass
@@ -785,9 +809,13 @@ class SBool(SNode):
             result = ctx.empty()
 
         if self.must_not is not None and not isinstance(self.must_not, SNone):
-            result = result.join(self.must_not.docs(ctx), keys, "left_anti")
+            result = result.join(
+                _docs_multiset(self.must_not, ctx), keys, "left_anti"
+            )
         if self.filter is not None:
-            result = result.join(self.filter.docs(ctx), keys, "left_semi")
+            result = result.join(
+                _docs_multiset(self.filter, ctx), keys, "left_semi"
+            )
         return result
 
 

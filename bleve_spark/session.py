@@ -48,6 +48,33 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalesce post-shuffle partitions by SIZE (advisory), not down
+        # to defaultParallelism: with the default parallelismFirst=true
+        # every KB-sized reduce stage still launches `cores` tasks, and
+        # task-launch overhead dominates small/medium stages (measured:
+        # a 5k-doc term query ran 132 tasks; the whole headline suite
+        # schedules ~7k). Size-based coalescing is the scale-correct
+        # setting: at 100 TB the same advisory target yields thousands
+        # of ~64 MB partitions, while cached index relations and
+        # metadata shuffles collapse to a handful of tasks.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            "false",
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "64m"),
+        )
+        # Let AQE (incl. the size-based coalescing above) apply INSIDE
+        # persisted plans: off, a cached index relation keeps one
+        # partition per map task of the build (measured 128 partitions
+        # for a 10 MB postings cache — every term lookup then schedules
+        # 128 scan tasks; with it on, the cache materializes at
+        # ~advisory-sized partitions at any scale).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
