@@ -144,50 +144,62 @@ def minhash_signatures_local(
     rows is gone entirely; at 100 TB the only shuffle left in LSH
     dedup is the band-bucket join itself."""
     a, b = _seeded_params(num_hashes, seed)
-    words = F.split(F.lower(F.col(text_col)), r"\s+")
-    idx = F.sequence(
-        F.lit(0), F.greatest(F.size(words) - shingle_n, F.lit(0))
-    )
-    sh = F.filter(
-        F.array_distinct(
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ", F.slice(words, i + 1, shingle_n)
-                ),
-            )
-        ),
-        lambda s: F.length(s) > 0,
-    )
-    base = F.transform(sh, lambda s: md5_hash60(s) % F.lit(_MERSENNE))
-    hashed = (
-        df.select(F.col(key_col).alias("key"), base.alias("__b"))
-        .where(F.size("__b") > 0)
-    )
-    # The 64-way min fold over the hash arrays is pure int64 math —
-    # but as a Catalyst expression every candidate (aggregate /
-    # transform / zip_with) is a higher-order function, which NEVER
-    # enters whole-stage codegen (they are CodegenFallback): the r3
-    # single-expression fold ran fully interpreted and dominated the
-    # query (~3s of 4.3s warm at sf0.1; far worse in a cold window —
-    # the r3 driver-bench regression). Shingling + md5 stay in the JVM
-    # (string semantics bit-identical to the SQL oracle); the fold
-    # moves to ONE Arrow batch stage vectorized with
-    # np.minimum.reduceat — still row-local, still zero shuffle.
+    # The whole per-doc computation — split/lower, shingle
+    # construction, the 60-bit md5 base hash, and the 64-way min fold
+    # — runs in ONE Arrow batch stage (guide §4.2): every candidate
+    # Catalyst statement of the shingle+md5 step is a higher-order
+    # function, which NEVER enters whole-stage codegen
+    # (CodegenFallback) — measured 4.4s of interpreted evaluation at
+    # sf0.1 vs ~0.2s for the same work through hashlib/str C paths
+    # per task. Hash values are bit-identical to the SQL twin:
+    # md5(utf-8) is md5, the first-15-hex-chars parse is the top 60
+    # bits of the digest, and the split/shingle semantics mirror the
+    # Java-regex defaults (re.ASCII \s+, truncating slice, concat_ws
+    # keeping empties — pinned by tests/test_dedup_bounds.py and the
+    # dedup_* oracle gates). The min fold stays
+    # np.minimum.reduceat; still row-local, still zero shuffle.
     out_schema = "key long, sig array<long>"
 
     def _fold(batches):
+        import hashlib
+        import re
+
         import pandas as pd  # worker-side import
 
+        ws = re.compile(r"\s+", re.ASCII)
+        n = shingle_n
+        md5 = hashlib.md5
+
+        def base_hashes(text):
+            words = ws.split((text or "").lower())
+            hi = max(len(words) - n, 0)
+            seen = set()
+            for i in range(hi + 1):
+                s = " ".join(words[i:i + n])
+                if s:
+                    seen.add(s)
+            # top 60 bits of the digest == int(hexdigest[:15], 16)
+            return [
+                (int.from_bytes(
+                    md5(s.encode("utf-8")).digest()[:8], "big"
+                ) >> 4) % _MERSENNE
+                for s in seen
+            ]
+
         for pdf in batches:
-            keys = pdf["key"].to_numpy()
-            arrs = pdf["__b"].tolist()
+            keys = []
+            arrs = []
+            for key, text in zip(pdf["key"], pdf["text"]):
+                h = base_hashes(text)
+                if h:
+                    keys.append(key)
+                    arrs.append(h)
+            if not arrs:
+                yield pd.DataFrame({"key": [], "sig": []})
+                continue
             lens = np.fromiter(
                 (len(x) for x in arrs), dtype=np.int64, count=len(arrs)
             )
-            if len(arrs) == 0:
-                yield pd.DataFrame({"key": [], "sig": []})
-                continue
             flat = np.concatenate(
                 [np.asarray(x, dtype=np.int64) for x in arrs]
             )
@@ -199,6 +211,10 @@ def minhash_signatures_local(
             sigs = np.minimum.reduceat(hm, offs, axis=0)
             yield pd.DataFrame({"key": keys, "sig": list(sigs)})
 
+    hashed = df.select(
+        F.col(key_col).alias("key"),
+        F.col(text_col).cast("string").alias("text"),
+    )
     return hashed.mapInPandas(_fold, schema=out_schema)
 
 

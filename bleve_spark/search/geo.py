@@ -330,6 +330,45 @@ def _verts(coords: Column, pred_fn) -> tuple[Column, Column]:
     )
 
 
+def shape_relation_parts(
+    kind_col: Column,
+    coords_col: Column,
+    query_shape: dict,
+    relation: str,
+    bbox_cols: tuple | None = None,
+    nondet_exact: bool = False,
+) -> tuple[Column | None, Column]:
+    """(coarse bbox pre-filter or None, exact predicate) — the two
+    halves of :func:`shape_relation_pred`'s pruned form, exposed
+    separately so a caller can re-balance the surviving rows BETWEEN
+    them: the pre-filter is cheap native conjuncts that push into the
+    parquet scan (with materialized ``bbox_cols``, min/max row-group
+    pruning), the exact pass is the Arrow kernel whose per-row cost
+    dominates and benefits from running wide."""
+    from bleve_spark.search import geoshape_np
+    from bleve_spark.search.geobbox import (
+        flat_prefilter, query_shape_bbox,
+    )
+
+    if geoshape_np.ARROW_EXACT:
+        # exact pass as ONE Arrow stage (HOFs are CodegenFallback
+        # — interpreted per element); Catalyst splits the
+        # conjunction so the bbox conjuncts still push into the
+        # scan and the Arrow stage sees only surviving rows
+        exact = geoshape_np.flat_exact_pred(
+            kind_col, coords_col, query_shape, relation,
+            nondet=nondet_exact,
+        )
+    else:
+        exact = shape_relation_pred(
+            kind_col, coords_col, query_shape, relation, prune=False
+        )
+    qb = query_shape_bbox(query_shape)
+    if qb is None:
+        return None, exact
+    return flat_prefilter(coords_col, qb, relation, bbox_cols), exact
+
+
 def shape_relation_pred(
     kind_col: Column,
     coords_col: Column,
@@ -354,27 +393,11 @@ def shape_relation_pred(
     relation = relation.lower()
 
     if prune:
-        from bleve_spark.search import geoshape_np
-        from bleve_spark.search.geobbox import (
-            flat_prefilter, query_shape_bbox,
+        pre, exact = shape_relation_parts(
+            kind_col, coords_col, query_shape, relation,
+            bbox_cols=bbox_cols,
         )
-
-        if geoshape_np.ARROW_EXACT:
-            # exact pass as ONE Arrow stage (HOFs are CodegenFallback
-            # — interpreted per element); Catalyst splits the
-            # conjunction so the bbox conjuncts still push into the
-            # scan and the Arrow stage sees only surviving rows
-            exact = geoshape_np.flat_exact_pred(
-                kind_col, coords_col, query_shape, relation
-            )
-        else:
-            exact = shape_relation_pred(
-                kind_col, coords_col, query_shape, relation, prune=False
-            )
-        qb = query_shape_bbox(query_shape)
-        if qb is None:
-            return exact
-        return flat_prefilter(coords_col, qb, relation, bbox_cols) & exact
+        return exact if pre is None else pre & exact
 
     # multi* query shapes: a doc INTERSECTS the union iff it
     # intersects any member; is WITHIN the union iff within some

@@ -753,8 +753,15 @@ def flat_relation_fn(query_shape: dict, relation: str):
 
 
 def flat_exact_pred(kind_col: Column, coords_col: Column,
-                    query_shape: dict, relation: str) -> Column:
-    """The flat engine's exact pass as ONE Arrow stage."""
+                    query_shape: dict, relation: str,
+                    nondet: bool = False) -> Column:
+    """The flat engine's exact pass as ONE Arrow stage.
+
+    ``nondet=True`` marks the (deterministic) kernel non-deterministic
+    so the optimizer may not push the filter below a preceding
+    rebalance exchange (guide §4.4) — callers that widen the
+    bbox-surviving rows before the exact pass need the expensive
+    kernel to stay ABOVE their repartition."""
     fn = flat_relation_fn(query_shape, relation)
 
     @F.pandas_udf("boolean")
@@ -768,4 +775,6 @@ def flat_exact_pred(kind_col: Column, coords_col: Column,
             out.append(bool(fn(k, pts)))
         return pd.Series(out, dtype=bool)
 
+    if nondet:
+        u = u.asNondeterministic()
     return u(kind_col, coords_col)

@@ -1531,7 +1531,11 @@ class Compiler:
             # materialized <field>_bbox_* columns (written at index
             # time) give parquet row-group pruning; otherwise the bbox
             # pre-filter is computed inline (still short-circuits the
-            # exact geometry per row)
+            # exact geometry per row). (r7 measured: widening the
+            # bbox survivors before the Arrow kernel does NOT pay —
+            # the kernel is cheap per row, and the nondeterministic
+            # marking the rebalance needs blocks TakeOrderedAndProject,
+            # forcing a global sort. Deliberately left single-pred.)
             bbox = flat_bbox_cols_if_present(src, f)
             return src.where(
                 shape_relation_pred(
