@@ -45,6 +45,19 @@ SPREAD_MIN_DF: int = _int_env("SPREAD_MIN_DF", 100_000)
 BULK_DISJUNCTION_THRESHOLD: int = _int_env(
     "BULK_DISJUNCTION_THRESHOLD", 8
 )
+# Auto merge banding (merge_level band_chunks="auto"): a (field, term)
+# whose TOTAL postings across the merge inputs exceed this is "hot"
+# and its merge group is sub-keyed into ~half-this-size bands so no
+# single executor serializes the term's whole byte stream (a Zipfian
+# tool-name term at 100 TB would otherwise stall the wide single-round
+# merge on one task). Unskewed stores detect no hot terms and keep the
+# measured single-group-per-term fast path. Sizing rationale: a band
+# should take one task a few seconds at the measured concat throughput
+# (~millions of postings/s/task); scale UP if your executors are few
+# and fat, DOWN if stragglers dominate your merge wall-clock.
+MERGE_BAND_MIN_POSTINGS: int = _int_env(
+    "MERGE_BAND_MIN_POSTINGS", 16_000_000
+)
 DEDUP_MAX_BUCKET_DF: int | None = (
     int(os.environ["BLEVE_SPARK_DEDUP_MAX_BUCKET_DF"])
     if "BLEVE_SPARK_DEDUP_MAX_BUCKET_DF" in os.environ else None
@@ -52,7 +65,7 @@ DEDUP_MAX_BUCKET_DF: int | None = (
 
 _KNOWN = {
     "SPREAD_MIN_DF", "BULK_DISJUNCTION_THRESHOLD",
-    "DEDUP_MAX_BUCKET_DF",
+    "DEDUP_MAX_BUCKET_DF", "MERGE_BAND_MIN_POSTINGS",
 }
 
 

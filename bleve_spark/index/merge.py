@@ -28,6 +28,7 @@ from pyspark.sql import SparkSession, functions as F
 from bleve_spark.index.segments import (
     SEG_SHIFT,
     DEFAULT_CHUNK_DOCS,
+    PARETO_TF_CAP as _PARETO_CAP,
     _posting_schema,
     _seg_paths,
 )
@@ -41,7 +42,6 @@ from bleve_spark.index.varint import (
 )
 
 LOCAL_MASK = (1 << SEG_SHIFT) - 1
-_PARETO_CAP = 32  # must match segments.PARETO_TF_CAP
 
 # above this many total live deletions the merge stops collecting them
 # to the driver and instead writes per-segment compact parquet that
@@ -49,6 +49,9 @@ _PARETO_CAP = 32  # must match segments.PARETO_TF_CAP
 # bitmap shape — memory is one segment's delete set per task, never
 # the global union on the driver)
 DELETE_BROADCAST_MAX = 2_000_000
+# auto-banding: at most this many hot terms get per-term band
+# predicates; beyond it the skew is pervasive and every term bands
+_HOT_TERMS_MAX = 128
 
 
 class _DeleteLookup:
@@ -102,7 +105,7 @@ def merge_level(
     dst_root: str,
     fanin: int = 10,
     chunk_docs: int = DEFAULT_CHUNK_DOCS,
-    band_chunks: int | None = None,
+    band_chunks: int | str | None = None,
     rosters: list[list[int]] | None = None,
     delete_broadcast_max: int | None = None,
 ) -> list[dict]:
@@ -111,14 +114,23 @@ def merge_level(
     ``rosters`` (lists of segment ids, e.g. from
     :func:`bleve_spark.index.mergeplan.plan_from_manifests`) to merge
     planner-chosen groups instead; unplanned segments carry over as
-    singleton groups (copied forward)."""
+    singleton groups (copied forward).
+
+    ``band_chunks="auto"``: hot terms (total postings across the
+    inputs > config.MERGE_BAND_MIN_POSTINGS, found by one
+    metadata-only aggregation — no blob IO) are sub-keyed into
+    ~half-threshold-sized bands so one Zipfian term can never
+    serialize the round on a single task; every OTHER term keeps the
+    single-group fast path with dense chunk ids. Banded chunk ids are
+    band·band_chunks + i — unique and (member, chunk)-ordered but
+    deliberately sparse: readers prune on collected literal ids and
+    order comparisons only, and skipping the dense-renumber window
+    avoids re-shuffling every output byte a second time just because
+    one term was hot."""
     t_start = time.time()
-    mdir = os.path.join(src_root, "manifest")
-    manifests = []
-    for fn in sorted(os.listdir(mdir)):
-        if fn.endswith(".json"):
-            with open(os.path.join(mdir, fn)) as f:
-                manifests.append(json.load(f))
+    from bleve_spark.index.segments import SegmentStore as _SS
+
+    manifests = _SS(spark, src_root).manifests()
     manifests.sort(key=lambda m: m["segment_id"])
 
     if rosters is None:
@@ -209,20 +221,52 @@ def merge_level(
     )
     rows = rows.join(F.broadcast(rm_df), "segment_id")
     group_keys = ["new_seg", "field", "term"]
+    auto_band = band_chunks == "auto"
+    hot_pred = None
+    if auto_band:
+        import functools
+        import operator
+
+        from bleve_spark import config as _cfg
+
+        band_chunks = None
+        hot_min = int(_cfg.MERGE_BAND_MIN_POSTINGS)
+        # metadata-only aggregation (no blob IO), per MERGE GROUP —
+        # a term fanned out across many groups is only hot if one
+        # group's share crosses the threshold
+        hot_rows = (
+            rows.groupBy("new_seg", "field", "term")
+            .agg(F.sum("n_docs").alias("_np"))
+            .where(F.col("_np") > hot_min)
+            .select("field", "term").distinct()
+            .limit(_HOT_TERMS_MAX + 1)
+            .collect()
+        )
+        if hot_rows:
+            band_chunks = max(1, (hot_min // 2) // chunk_docs)
+            if len(hot_rows) <= _HOT_TERMS_MAX:
+                hot_pred = functools.reduce(operator.or_, [
+                    (F.col("field") == r["field"])
+                    & (F.col("term") == r["term"])
+                    for r in hot_rows
+                ])
+            # else: pervasive skew — band every term
     if band_chunks:
         # band key orders by (member, chunk) — chunk_id < 2^40 always
         # (a segment holds < 2^40 docs), so member·2^40 never collides.
-        # Output chunk ids are renumbered densely after the merge.
-        rows = rows.withColumn(
-            "band",
+        # Explicit band_chunks renumbers output chunk ids densely
+        # after the merge; auto mode keeps the sparse ordered ids
+        # (see docstring) and bands only hot terms.
+        banded = (
             (
-                (
-                    F.col("member").cast("long") * F.lit(1 << 40)
-                    + F.col("chunk_id").cast("long")
-                )
-                / F.lit(band_chunks)
-            ).cast("long"),
-        )
+                F.col("member").cast("long") * F.lit(1 << 40)
+                + F.col("chunk_id").cast("long")
+            )
+            / F.lit(band_chunks)
+        ).cast("long")
+        if hot_pred is not None:
+            banded = F.when(hot_pred, banded).otherwise(F.lit(0))
+        rows = rows.withColumn("band", banded)
         group_keys = group_keys + ["band"]
 
     cd = chunk_docs
@@ -490,9 +534,11 @@ def merge_level(
     merged = rows.groupBy(*group_keys).applyInPandas(
         merge_group, schema=_posting_schema()
     )
-    if band_chunks:
+    if band_chunks and not auto_band:
         # dense, order-preserving chunk ids so any number of banded
-        # merge levels compose without id-space growth
+        # merge levels compose without id-space growth (auto mode
+        # skips this — the window would re-shuffle every output blob
+        # byte; its sparse ids stay unique and ordered)
         from pyspark.sql import Window
 
         w = Window.partitionBy("segment_id", "field", "term").orderBy(
@@ -664,15 +710,11 @@ def tiered_merge(
 
     cur = root
     for level in range(1, max_rounds + 1):
-        mdir = os.path.join(cur, "manifest")
-        manifests = []
-        for fn in sorted(os.listdir(mdir)):
-            if fn.endswith(".json"):
-                with open(os.path.join(mdir, fn)) as f:
-                    manifests.append(json.load(f))
         from bleve_spark.index.segments import SegmentStore
 
-        deleted_counts = SegmentStore(spark, cur).deleted_counts()
+        store = SegmentStore(spark, cur)
+        manifests = store.manifests()
+        deleted_counts = store.deleted_counts()
         rosters = plan_from_manifests(manifests, options,
                                       deleted=deleted_counts)
         if not rosters:
@@ -692,7 +734,7 @@ def merge_to_single(
     root: str,
     fanin: int | None = 10,
     chunk_docs: int = DEFAULT_CHUNK_DOCS,
-    band_chunks: int | None = None,
+    band_chunks: int | str | None = "auto",
     delete_broadcast_max: int | None = None,
 ) -> str:
     """Repeated ≤fanin-way rounds until one segment remains
@@ -705,14 +747,18 @@ def merge_to_single(
     is O(bytes), so a single wide round replaces log₁₀(n) rounds of
     shuffling every posting byte (measured 5.3× on a 250-segment 2M
     store: 86.9s → 16.5s, identical output). Group memory is bounded
-    by the hottest term's total bytes; at corpus scales where one term
-    exceeds an executor (10^10+ postings), pass ``band_chunks`` to
-    sub-key groups, or keep a bounded ``fanin``."""
+    by the hottest term's total bytes; the default
+    ``band_chunks="auto"`` (r7) detects terms past
+    config.MERGE_BAND_MIN_POSTINGS from one metadata aggregation and
+    sub-keys ONLY those into bounded bands, so a Zipfian hot term
+    can no longer stall the round on one executor while unskewed
+    stores keep the measured single-group-per-term path."""
+    from bleve_spark.index.segments import SegmentStore as _SS
+
     level = 0
     cur = root
     while True:
-        mdir = os.path.join(cur, "manifest")
-        n = len([f for f in os.listdir(mdir) if f.endswith(".json")])
+        n = len(_SS(spark, cur).manifest_names())
         if n <= 1:
             return cur
         level += 1

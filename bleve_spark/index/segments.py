@@ -1260,13 +1260,35 @@ class SegmentStore:
         )
         return {int(r["seg"]): int(r["n"]) for r in rows}
 
+    def manifest_names(self) -> list[str]:
+        """Sorted manifest file names — THE single listing point every
+        manifest scan routes through (blockmax planning fingerprints,
+        merge rounds, the readers below). An object-store deployment
+        (S3/DBFS) swaps the lister HERE and every caller follows."""
+        mdir = os.path.join(self.root, "manifest")
+        return sorted(
+            f for f in os.listdir(mdir) if f.endswith(".json")
+        )
+
+    def manifest_stamp(self) -> tuple[int, float]:
+        """Cheap change detector over the manifest listing: (hash of
+        the sorted name tuple, max mtime). Used as part of planning
+        cache keys; same single-listing contract as
+        :meth:`manifest_names`."""
+        mdir = os.path.join(self.root, "manifest")
+        names = self.manifest_names()
+        mt = max(
+            (os.path.getmtime(os.path.join(mdir, n)) for n in names),
+            default=0.0,
+        )
+        return (hash(tuple(names)), mt)
+
     def manifests(self) -> list[dict]:
         mdir = os.path.join(self.root, "manifest")
         out = []
-        for fn in sorted(os.listdir(mdir)):
-            if fn.endswith(".json"):
-                with open(os.path.join(mdir, fn)) as f:
-                    out.append(json.load(f))
+        for fn in self.manifest_names():
+            with open(os.path.join(mdir, fn)) as f:
+                out.append(json.load(f))
         return out
 
     # -- decode -------------------------------------------------------

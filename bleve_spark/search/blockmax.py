@@ -83,18 +83,22 @@ _META_CACHE_MAX = 128
 
 
 def _store_fingerprint(store: SegmentStore):
-    import os
-
-    mdir = os.path.join(store.root, "manifest")
+    # the SERVED segment set must be part of the key: an _EpochView
+    # shares its parent's root/manifest dir while restricting
+    # chunk_rows to a snapshot subset — without it, view and
+    # full-store queries over the same (field, terms) collide and the
+    # pruned rescore can silently drop docs (r6 ADVICE). The name
+    # tuple hash (manifest_stamp) also disambiguates same-second
+    # in-place rewrites that fool a (count, mtime) pair. Listing goes
+    # through SegmentStore.manifest_stamp — the one lister an
+    # object-store deployment swaps.
+    segs = getattr(store, "_segs", None)
+    seg_key = frozenset(segs) if segs is not None else None
     try:
-        names = sorted(os.listdir(mdir))
-        mt = max(
-            (os.path.getmtime(os.path.join(mdir, n)) for n in names),
-            default=0.0,
-        )
-        return (store.root, len(names), mt)
+        nh, mt = store.manifest_stamp()
+        return (store.root, nh, mt, seg_key)
     except OSError:
-        return (store.root, -1, 0.0)
+        return (store.root, -1, 0.0, seg_key)
 
 
 def _score_expr(idf: float, avg_len: float, tf_col, norm_col):
@@ -293,16 +297,6 @@ def pruned_disjunction_topk(
         coord_max = float(len(present)) / total
 
         sum_gmax = sum(gmax.values())
-        others_df = spark.createDataFrame(
-            [(t, float(sum_gmax - gmax[t]), float(idfs[t] * qw[t]))
-             for t in terms],
-            "term string, others double, idf_qw double",
-        )
-        with_bound = chunks.join(
-            F.broadcast(others_df), "term"
-        ).withColumn(
-            "_bound", _bound_col(1.0, avg, use_pareto) * F.col("idf_qw")
-        )
         total_postings = sum(df_by_term.values())
         use_lens = store.has_posting_lens()
         blob_rows = store.chunk_rows(with_blobs=True).where(
@@ -324,38 +318,26 @@ def pruned_disjunction_topk(
         # to the plain one-decode disjunction plan.
         theta = 0.0
         surv_postings = total_postings
-        if use_pareto and dels is None:
+        if use_pareto and dels is None and driver_meta:
             # deleted docs would poison the achieved-score θ (their
             # pareto entries still name them), so stores with live
             # deletions skip pruning; merges reclaim deletes, so the
-            # steady at-rest state prunes.
-            if driver_meta:
-                av = sorted(
-                    (
-                        float(r["_a"]) for r in head
-                        if r["term"] == rare and r["_a"] is not None
-                    ),
-                    reverse=True,
-                )
-                if len(av) >= k:
-                    theta = av[k - 1] * idfs[rare] * qw[rare] / total
-            else:
-                kth = (
-                    chunks.where(
-                        (F.col("term") == rare)
-                        & F.col("pareto_tf").isNotNull()
-                    )
-                    .select(achieved_raw.alias("_a"))
-                    .orderBy(F.col("_a").desc())
-                    .limit(k)
-                    .collect()
-                )
-                _mark("theta topk")
-                if len(kth) >= k:
-                    theta = (
-                        float(kth[-1]["_a"]) * idfs[rare]
-                        * qw[rare] / total
-                    )
+            # steady at-rest state prunes. The pruned plan itself
+            # (interval coalescing, InSet chunk predicates) is
+            # driver-metadata-only, so when the metadata overflowed
+            # META_COLLECT_MAX there is no point paying θ/surviving
+            # jobs whose result can't be applied (r6 ADVICE): the
+            # overflow path goes straight to the plain one-decode
+            # disjunction plan below.
+            av = sorted(
+                (
+                    float(r["_a"]) for r in head
+                    if r["term"] == rare and r["_a"] is not None
+                ),
+                reverse=True,
+            )
+            if len(av) >= k:
+                theta = av[k - 1] * idfs[rare] * qw[rare] / total
 
         # ---- effectiveness guard under θ: the surviving set (chunk
         # of t survives iff (B_t + Σ_{t'≠t} Gmax)·coord_max ≥ θ) both
@@ -368,33 +350,20 @@ def pruned_disjunction_topk(
         # win anyway.
         surv_rows = None
         if theta > 0.0:
+            # θ > 0 implies driver_meta (above): pure python filter
+            # over the resident metadata, zero extra jobs
             others_of = {
                 t: sum_gmax - gmax[t] for t in terms
             }
             iq = {t: idfs[t] * qw[t] for t in terms}
-            if driver_meta:
-                surv_rows = [
-                    r for r in head
-                    if ((float(r["_b"]) if r["_b"] is not None
-                         else 0.0) * iq[r["term"]]
-                        + others_of[r["term"]]) * coord_max >= theta
-                ]
-                if len(surv_rows) > SURV_PREDICATE_MAX:
-                    surv_rows = None
-            else:
-                surviving = with_bound.where(
-                    (F.col("_bound") + F.col("others"))
-                    * F.lit(coord_max) >= F.lit(theta)
-                ).select(
-                    "segment_id", "term", "chunk_id", "n_docs",
-                    "min_doc", "max_doc",
-                )
-                surv_rows = surviving.limit(
-                    SURV_PREDICATE_MAX + 1
-                ).collect()
-                _mark("surviving collect")
-                if len(surv_rows) > SURV_PREDICATE_MAX:
-                    surv_rows = None
+            surv_rows = [
+                r for r in head
+                if ((float(r["_b"]) if r["_b"] is not None
+                     else 0.0) * iq[r["term"]]
+                    + others_of[r["term"]]) * coord_max >= theta
+            ]
+            if len(surv_rows) > SURV_PREDICATE_MAX:
+                surv_rows = None
             if surv_rows is not None:
                 surv_postings = sum(
                     int(r["n_docs"]) for r in surv_rows

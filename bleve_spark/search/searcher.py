@@ -1214,14 +1214,25 @@ class Compiler:
         if q.fuzziness:
             slots = []
             for i, alts_in in enumerate(q.terms):
-                alts: list[STerm] = []
+                # overlapping Levenshtein neighbourhoods of different
+                # alternatives (e.g. 'cat' and 'cab' at fuzziness 1)
+                # must collapse to ONE STerm per term — duplicates
+                # would union the term's postings twice, inflating the
+                # slot's score sum and coord denominator. Keep the
+                # smallest edit distance (largest 1/(1+d) boost),
+                # matching single-expansion scoring.
+                best: dict[str, STerm] = {}
                 for t in alts_in:
-                    alts.extend(
-                        self._phrase_alts(f, t, q.fuzziness, q.boost)
-                    )
-                if not alts:
+                    for s in self._phrase_alts(f, t, q.fuzziness,
+                                               q.boost):
+                        prev = best.get(s.term)
+                        if (prev is None
+                                or s.boost_multiplier
+                                > prev.boost_multiplier):
+                            best[s.term] = s
+                if not best:
                     return SNone()
-                slots.append((i + 1, alts))
+                slots.append((i + 1, list(best.values())))
             return SPhrase(slots, slop=q.slop)
         flat = [t for alts in q.terms for t in alts]
         freqs = self.idx.doc_freq(f, list(dict.fromkeys(flat)))

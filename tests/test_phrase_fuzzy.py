@@ -136,3 +136,30 @@ def test_multi_phrase_fuzziness(products_idx):
     assert [r["id"] for r in out] == ["product10", "product6"] or [
         r["id"] for r in out
     ] == ["product6", "product10"]
+
+
+def test_multi_phrase_fuzzy_overlapping_neighbourhoods(products_idx):
+    """Two alternatives whose Levenshtein neighbourhoods OVERLAP
+    ('onplus' and 'oneplus' both reach 'oneplus' at fuzziness 1) must
+    collapse to one STerm per expanded term — the slot scores exactly
+    like the single alternative whose expansion covers the union, not
+    double-counting the shared term's postings (r7 dedup fix; the
+    reference's per-slot searcher unions reader postings once)."""
+    dup = search_df(
+        products_idx,
+        {"terms": [["onplus", "oneplus"], ["9"], ["pro"]],
+         "fuzziness": 1, "field": "model"},
+        size=10, sort=["-_score", "_id"],
+    ).collect()
+    single = search_df(
+        products_idx,
+        {"terms": [["oneplus"], ["9"], ["pro"]],
+         "fuzziness": 1, "field": "model"},
+        size=10, sort=["-_score", "_id"],
+    ).collect()
+    # 'onplus'~1 expands only to 'oneplus'; dedup keeps the best
+    # multiplier 1/(1+0)=1 from the exact 'oneplus' alternative, so
+    # the two queries are score-identical row for row
+    assert [(r["id"], round(r["score"], 6)) for r in dup] == [
+        (r["id"], round(r["score"], 6)) for r in single
+    ]

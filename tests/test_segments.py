@@ -525,3 +525,82 @@ def test_blockmax_pareto_overflow_bucket(spark, tmp_path):
                    store, stats, KEYS, "text", ["zebra", "fox"], k=40
                ).collect() if r["conv_id"] == 0]
     assert heavy and heavy_p and heavy[0] == heavy_p[0]
+
+
+def test_merge_auto_banding_hot_term(spark, transcripts, seg_root,
+                                     tmp_path):
+    """band_chunks="auto" (the merge_to_single default): a term whose
+    total postings exceed config.MERGE_BAND_MIN_POSTINGS is sub-keyed
+    into >1 band (so >1 merge task handles its bytes), cool terms keep
+    the dense single-group fast path, and the merged postings are
+    identical to the unbanded merge."""
+    from bleve_spark import config as cfg
+    from bleve_spark.index.merge import merge_to_single
+
+    r1 = str(tmp_path / "auto")
+    r2 = str(tmp_path / "plain")
+    shutil.copytree(seg_root, r1)
+    shutil.copytree(seg_root, r2)
+
+    store0 = SegmentStore(spark, seg_root)
+    per_term = {
+        (r["field"], r["term"]): int(r["np"])
+        for r in store0.chunk_rows().groupBy("field", "term")
+        .agg(F.sum("n_docs").alias("np")).collect()
+    }
+    (hot_f, hot_t), hot_np = max(per_term.items(), key=lambda kv: kv[1])
+    # threshold below the hot term, above everything else we care to
+    # keep dense; bc = max(1, (hot_min//2)//chunk_docs) == 1 here
+    hot_min = max(hot_np // 2, 1)
+    cool = [
+        (f, t) for (f, t), n in per_term.items()
+        if n <= hot_min and (f, t) != (hot_f, hot_t)
+    ]
+    old = cfg.MERGE_BAND_MIN_POSTINGS
+    try:
+        cfg.configure(MERGE_BAND_MIN_POSTINGS=hot_min)
+        w = merge_to_single(spark, r1, fanin=None)  # auto default
+    finally:
+        cfg.configure(MERGE_BAND_MIN_POSTINGS=old)
+    n = merge_to_single(spark, r2, fanin=None, band_chunks=None)
+
+    sw = SegmentStore(spark, w)
+    sn = SegmentStore(spark, n)
+    # >1 band for the hot term: with bc=1 the band key is
+    # member·2^40 + chunk, so distinct high-bits == distinct merge
+    # groups that produced this term's chunks
+    hot_ids = [
+        int(r["chunk_id"]) for r in sw.chunk_rows().where(
+            (F.col("field") == hot_f) & (F.col("term") == hot_t)
+        ).select("chunk_id").collect()
+    ]
+    assert len({cid >> 40 for cid in hot_ids}) > 1
+    # a cool term kept dense ids (fast path untouched)
+    assert cool, "fixture needs at least one cool term"
+    cf, ct = max(cool, key=lambda k: per_term[k])
+    cool_ids = sorted(
+        int(r["chunk_id"]) for r in sw.chunk_rows().where(
+            (F.col("field") == cf) & (F.col("term") == ct)
+        ).select("chunk_id").collect()
+    )
+    assert cool_ids == list(range(len(cool_ids)))
+    # postings identical to the unbanded wide merge
+    a = _postings_set(sw.postings_df(KEYS, list(FIELDS)), KEYS)
+    b = _postings_set(sn.postings_df(KEYS, list(FIELDS)), KEYS)
+    assert a == b and len(a) > 0
+
+
+def test_manifest_listing_single_point(spark, seg_root):
+    """Every manifest scan routes through SegmentStore.manifest_names
+    — a subclass swapping the lister (the object-store hook) changes
+    what manifests()/manifest_stamp see, with no other code path doing
+    its own directory walk."""
+    class TwoOnly(SegmentStore):
+        def manifest_names(self):
+            return super().manifest_names()[:2]
+
+    full = SegmentStore(spark, seg_root)
+    two = TwoOnly(spark, seg_root)
+    assert len(full.manifests()) == 4
+    assert len(two.manifests()) == 2
+    assert two.manifest_stamp() != full.manifest_stamp()
