@@ -4057,36 +4057,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness gate samples the FIRST 50 entries in
     # insertion order. Rotate the registration order each round so
     # every gate accrues a driver-verified row (VERDICT r5 #1).
-    # Round 6 leads with the 50 gates the driver has NEVER sampled:
-    # the six that failed in round 1 (all since fixed + locally
-    # green), the new ANN layouts, then every other gate registered
-    # past position 50, plus this round's new gates. The 21 q_lang_*
-    # gates and the previously-driver-green first-50 rotate in next
-    # round.
+    # Round 7 finishes the rotation the r6 comment scheduled: the 21
+    # q_lang_* gates (the last never-driver-sampled group — after this
+    # round every registered gate has had a driver row at least once),
+    # a sentinel block of previously-green gates covering each
+    # operator family TOUCHED by this optimization round (regression
+    # tripwires, per r6 ADVICE), then the oldest previously-green
+    # gates that have not been re-sampled since r≤5.
     _lead = [
-        # r1 failures, never driver-re-sampled
-        "q_highlight", "dedup_minhash_pairs", "dedup_simhash_pairs",
-        "ann_lsh_topk", "ann_ivf_topk", "multimodal_features",
-        # never-sampled ANN layouts (r5) + streaming
-        "ann_hnsw_topk", "ann_ivfpq_full", "ann_ivfpq_topk",
-        "stream_sessionize",
-        # new this round
-        "q_phrase_fuzzy", "q_knn_request_ann",
-        # the rest of the never-sampled tail (registration order)
-        "q_mapping_numeric_array", "dedup_components",
-        "q_mapping_bool_field", "q_knn_request", "q_mapping_geo_bbox",
-        "q_ip_range", "q_hybrid_rrf", "q_hybrid_filtered",
-        "q_multi_phrase", "q_phrase_slop", "q_phrase_slop3",
-        "q_bool_field", "q_search_after", "q_search_before",
-        "q_rrf_fusion", "q_rsf_fusion", "q_alias_2shards",
-        "q_alias_strict", "q_composite_term", "q_composite_typed_term",
-        "q_composite_typed_store", "q_synonym_term",
-        "q_synonym_thesaurus", "q_alias_synonym", "q_term_store",
-        "q_term_after_delete", "q_blockmax_topk", "q_raw_text_match",
-        "q_raw_text_phrase", "dedup_exact", "dedup_ngram_jaccard",
-        "emb_neardup_pairs", "ann_cosine_topk", "text_profile",
-        "multimodal_image_stats", "multimodal_png_decode",
-        "q_fields_locations", "q_score_none",
+        # the 21 language-analyzer gates (never driver-sampled)
+        "q_lang_es", "q_lang_fr", "q_lang_de", "q_lang_cjk",
+        "q_lang_it", "q_lang_pt", "q_lang_ru", "q_lang_nl",
+        "q_lang_sv", "q_lang_da", "q_lang_no", "q_lang_fi",
+        "q_lang_ar", "q_lang_fa", "q_lang_hi", "q_lang_ckb",
+        "q_lang_hr", "q_lang_tr", "q_lang_hu", "q_lang_ro",
+        "q_lang_pl",
+        # sentinels: one per operator family this round optimized
+        "q_term_bm25", "q_match_or", "q_boolean", "q_query_string",
+        "q_phrase", "q_multi_phrase", "q_prefix_dist",
+        "dedup_minhash_pairs", "dedup_simhash_pairs", "text_profile",
+        "q_hybrid_filtered", "q_blockmax_topk", "q_term_store",
+        "q_geo_shape_intersects", "emb_neardup_pairs",
+        # oldest previously-green gates not re-sampled since r≤5
+        "q_term_tfidf", "q_conjunction", "q_disjunction_min2",
+        "q_fuzzy", "q_prefix", "q_regexp", "q_wildcard",
+        "q_term_range", "q_numeric_range", "q_date_range", "q_ids",
+        "q_sort_by_field", "q_sort_geo_distance", "q_pagination",
     ]
     ordered = {k: q[k] for k in _lead if k in q}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
