@@ -219,8 +219,10 @@ def pruned_disjunction_topk(
         # a term needs >256M postings to overflow), collect it ONCE
         # and derive df / gmax / θ / surviving / candidate spans with
         # driver-side numpy: the whole WAND decision costs a single
-        # small Spark job. Oversized terms fall back to distributed
-        # aggregation (three jobs, same math).
+        # small Spark job. Oversized terms fall back to ONE
+        # distributed df/gmax aggregation and the plain unpruned
+        # disjunction plan (the pruned plan is driver-metadata-only,
+        # so no θ/surviving jobs are paid on that path — r7).
         meta_cols = [
             "segment_id", "term", "chunk_id", "n_docs",
             "min_doc", "max_doc",
